@@ -1,0 +1,127 @@
+"""The flagship pipeline: ingest -> enrich -> dedup -> raw/1m/1h/1d tiers ->
+gap-fill -> compressed blocks, each tier committed atomically and resumable.
+
+This is the graft of the reference's end-to-end import composite
+(``index()`` = make index + bulk + publish,
+/root/reference/libs/mimir/src/rubber.rs:781-799) chained the way its
+importers chain off each other's *published* output (every importer reads
+the published admin index before enriching, src/bin/bano2mimir.rs:235-241):
+tier N+1 reads only tier N's committed run, so a killed job resumes at the
+last committed tier boundary.
+
+Tier chain and semantics:
+  raw  = validated + enriched + deduped pass-through rows (token arrays
+         byte-equal to input — the BASELINE.json per-row invariant);
+  1m   = groupby (source, minute bucket): n_rows/sum/min/max/mean of n_tok,
+         then gap-filled (filled rows flagged, excluded from coarser tiers);
+  1h,1d = hierarchical re-aggregation of the finer tier (exact: integer sums);
+  compressed = per-(source, day) Gorilla/DoD blocks of the 1m stream.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from mimirsbrunn_ray.sources.ingest import read_sequences, validated
+from mimirsbrunn_ray.stages.compress import compress_tier
+from mimirsbrunn_ray.stages.dedup import dedup_exact
+from mimirsbrunn_ray.stages.enrich import build_dim_ref, enriched
+from mimirsbrunn_ray.stages.gapfill import gapfill
+from mimirsbrunn_ray.stages.rollup import rollup
+from mimirsbrunn_ray.state.metrics import new_counters
+from mimirsbrunn_ray.state.publish import TierStore
+
+TIER_ORDER = ["raw", "1m", "1h", "1d", "compressed"]
+
+
+def run_tiering_job(
+    input_paths,
+    out_root: str,
+    run_id: str,
+    dim_table=None,
+    gap_policy: str = "locf",
+    resume: bool = True,
+    stop_after: str | None = None,
+    dedup_buckets: int = 64,
+    max_dropped: int | None = None,
+) -> dict:
+    """Run (or resume) the full tier chain; returns a per-tier summary.
+
+    ``resume=True`` skips every tier whose run_id is already committed in
+    the store (the alias-swap / ghost-cleanup graft); ``stop_after``
+    simulates a kill after a given tier (used by the resume tests).
+    """
+    store = TierStore(out_root)
+    input_paths = list(input_paths) if isinstance(input_paths, (list, tuple)) else [input_paths]
+    summary: dict = {"run_id": run_id, "tiers": {}}
+
+    def done(tier: str) -> bool:
+        if resume and store.is_run_committed(tier, run_id):
+            summary["tiers"][tier] = {"skipped": "already committed"}
+            return True
+        return False
+
+    # ---- raw tier ------------------------------------------------------
+    if not done("raw"):
+        counters = new_counters()
+        ds = read_sequences(input_paths)
+        ds = validated(ds, counters=counters)
+        if dim_table is not None:
+            ds = enriched(ds, build_dim_ref(dim_table))
+        ds = dedup_exact(ds, key="doc_id", num_buckets=dedup_buckets, counters=counters)
+        run_dir = store.publish(
+            ds,
+            "raw",
+            run_id,
+            input_paths=input_paths,
+            counters=counters,
+            max_dropped=max_dropped,
+        )
+        summary["tiers"]["raw"] = {"run_dir": run_dir}
+    if stop_after == "raw":
+        return summary
+
+    # ---- 1m tier (rollup + gap-fill) -----------------------------------
+    if not done("1m"):
+        counters = new_counters()
+        raw = rd.read_parquet(store.latest_data_paths("raw"),
+                              columns=["source", "ts", "n_tok"])
+        t1m = rollup(raw, "1m", from_tier="raw")
+        t1m = gapfill(t1m, "1m", policy=gap_policy, counters=counters)
+        run_dir = store.publish(
+            t1m, "1m", run_id,
+            input_paths=[store.latest_run_dir("raw")],
+            counters=counters,
+        )
+        summary["tiers"]["1m"] = {"run_dir": run_dir}
+    if stop_after == "1m":
+        return summary
+
+    # ---- 1h / 1d (hierarchical) ----------------------------------------
+    for gran, prev in (("1h", "1m"), ("1d", "1h")):
+        if done(gran):
+            continue
+        counters = new_counters()
+        fine = rd.read_parquet(store.latest_data_paths(prev))
+        t = rollup(fine, gran, from_tier=prev)
+        t = gapfill(t, gran, policy=gap_policy, counters=counters)
+        run_dir = store.publish(
+            t, gran, run_id,
+            input_paths=[store.latest_run_dir(prev)],
+            counters=counters,
+        )
+        summary["tiers"][gran] = {"run_dir": run_dir}
+        if stop_after == gran:
+            return summary
+
+    # ---- compressed blocks from the (gap-filled) 1m stream -------------
+    if not done("compressed"):
+        t1m = rd.read_parquet(store.latest_data_paths("1m"),
+                              columns=["source", "bucket", "sum_tok"])
+        blocks = compress_tier(t1m)
+        run_dir = store.publish(
+            blocks, "compressed", run_id,
+            input_paths=[store.latest_run_dir("1m")],
+        )
+        summary["tiers"]["compressed"] = {"run_dir": run_dir}
+    return summary

@@ -1,0 +1,94 @@
+"""Ingest: parquet scan -> schema check -> dirty-row drop -> event-time derivation.
+
+Grafts the reference's streaming CSV ingest with its warn-and-skip policy —
+deserialization or conversion errors drop the row, never abort the stream
+(/root/reference/src/addr_reader.rs:99-110, 39-52) — and its
+derive-identity-from-content rule (src/bin/bano2mimir.rs:139-159): here the
+event time is a deterministic function of the doc index embedded in
+``doc_id`` ("doc-{source}-{index:010d}"), so ``ts = EPOCH0 + index * 7s``.
+
+Everything is a zero-copy-Arrow ``map_batches`` stage; dropped-row counts
+stream to a CounterActor for the tier manifest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from mimirsbrunn_ray.functions.timeutil import trunc_us, ts_array, ts_from_index
+from mimirsbrunn_ray.schemas import SEQUENCES_SCHEMA, validate_schema
+
+
+def read_sequences(paths, columns=None) -> "rd.Dataset":
+    """Column-pruned parquet scan of a sequences corpus."""
+    return rd.read_parquet(paths, columns=columns)
+
+
+def parse_doc_index(doc_id: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized parse of the trailing fixed-width index of
+    ``doc-{source}-{i:010d}``.
+
+    Returns int64 indices; unparseable ids become -1 (dropped as dirty).
+    """
+    tail = pc.utf8_slice_codeunits(doc_id, start=-10)
+    is_num = pc.fill_null(pc.match_substring_regex(tail, r"^[0-9]+$"), False)
+    guarded = pc.if_else(is_num, tail, "-1")
+    return pc.cast(guarded, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+class ValidateAndDerive:
+    """Actor-pool stage: validate rows, derive ts + bucket_1m.
+
+    Drops (and counts) rows where:
+      * doc_id is null / has no parseable index,
+      * n_tok is null,
+      * n_tok != len(tokens)  (the per-row token-count invariant).
+
+    Stateful-setup-once / work-per-batch split follows the actor-pool rule
+    (SURVEY.md §7.1): the counter handle is resolved in ``__init__``.
+    """
+
+    def __init__(self, counters=None):
+        self.counters = counters
+        self._checked = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._checked:
+            validate_schema(batch.schema, SEQUENCES_SCHEMA, "ingest")
+            self._checked = True
+        n_in = batch.num_rows
+        tok_len = pc.fill_null(
+            pc.list_value_length(batch["tokens"]), -1
+        ).cast(pa.int32())
+        n_tok = pc.fill_null(batch["n_tok"], -2)
+        idx = parse_doc_index(batch["doc_id"])
+        ok = pc.fill_null(
+            pc.and_(pc.equal(tok_len, n_tok), pa.array(idx >= 0)), False
+        )
+        batch = batch.filter(ok)
+        idx = idx[ok.to_numpy(zero_copy_only=False)]
+        ts_us = ts_from_index(idx)
+        batch = batch.append_column("ts", ts_array(ts_us))
+        batch = batch.append_column("bucket_1m", ts_array(trunc_us(ts_us, "1m")))
+        if self.counters is not None:
+            self.counters.inc.remote(
+                {"rows_in": n_in, "rows_dropped_dirty": n_in - batch.num_rows}
+            )
+        return batch
+
+
+def validated(ds: "rd.Dataset", counters=None, batch_size: int = 16_384,
+              concurrency=None) -> "rd.Dataset":
+    """Apply ValidateAndDerive as an actor-pool map_batches stage."""
+    from mimirsbrunn_ray.context import pool_size
+
+    return ds.map_batches(
+        ValidateAndDerive,
+        fn_constructor_kwargs={"counters": counters},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else pool_size(),
+    )

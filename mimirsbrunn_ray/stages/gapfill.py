@@ -1,0 +1,86 @@
+"""Gap-fill for rollup tiers: LOCF or linear interpolation of missing buckets.
+
+The reference has no windowed semantics (its streams are plain lazy
+iterators, /root/reference/src/addr_reader.rs:35-65); SURVEY.md §2.11 maps
+the target's windowed behavior to explicit grouped computation: gap-fill runs
+inside ``groupby("source").map_groups`` over bucket-sorted groups.
+
+Partitioning assumption (documented per SURVEY.md custom-operator rule):
+one group = one source's full bucket series for the tier being filled. At
+1m granularity that is ~526k rows per source-year — comfortably one pandas
+group. For multi-year 100 TB runs, chain per-(source, year) groups and carry
+each partition's boundary row through the manifest
+(``boundary_last_value``, FIXTURES.md §5) exactly like the reference carries
+state across import phases via its published index reads
+(libs/mimir/src/rubber.rs:801-835).
+
+Filled rows get n_rows = 0, filled = True, fill_kind = policy; downstream
+hierarchical rollups exclude them (stages/rollup.py filters ``filled``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from mimirsbrunn_ray.functions.timeutil import BUCKET_US
+
+VALUE_COLS = ["sum_tok", "min_tok", "max_tok", "mean_tok"]
+
+
+def _fill_series(g: pd.DataFrame, width_us: int, policy: str) -> pd.DataFrame:
+    g = g.sort_values("bucket").reset_index(drop=True)
+    if len(g) <= 1:
+        return g
+    b = g["bucket"].astype("datetime64[us]")
+    b_us = b.astype(np.int64)
+    full = np.arange(b_us.iloc[0], b_us.iloc[-1] + width_us, width_us)
+    if len(full) == len(g):
+        return g
+    out = pd.DataFrame({"bucket": full.astype("datetime64[us]")})
+    out["source"] = g["source"].iloc[0]
+    merged = out.merge(g, on=["bucket", "source"], how="left")
+    missing = merged["n_rows"].isna()
+    merged["n_rows"] = merged["n_rows"].fillna(0).astype(np.int64)
+    if policy == "locf":
+        for c in VALUE_COLS:
+            merged[c] = merged[c].ffill()
+    elif policy == "linear":
+        present_us = b_us.to_numpy()
+        miss_us = full[missing.to_numpy()]
+        for c in VALUE_COLS:
+            vals = g[c].to_numpy(dtype=np.float64)
+            interp = np.interp(miss_us, present_us, vals)
+            col = merged[c].to_numpy(dtype=np.float64)
+            col[missing.to_numpy()] = interp
+            merged[c] = col
+        # integer value columns round to nearest int after interpolation
+        for c in ("sum_tok", "min_tok", "max_tok"):
+            merged[c] = np.rint(merged[c]).astype(np.int64)
+    else:
+        raise ValueError(f"unknown gap-fill policy {policy!r}")
+    merged["sum_tok"] = merged["sum_tok"].astype(np.int64)
+    merged["min_tok"] = merged["min_tok"].astype(np.int32)
+    merged["max_tok"] = merged["max_tok"].astype(np.int32)
+    merged["filled"] = missing.to_numpy()
+    merged["fill_kind"] = np.where(missing, policy, "none")
+    return merged[g.columns]
+
+
+def gapfill(
+    ds: "rd.Dataset",
+    granularity: str,
+    policy: str = "locf",
+    counters=None,
+) -> "rd.Dataset":
+    """Fill missing buckets per source between its first and last bucket."""
+    width = BUCKET_US[granularity]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = _fill_series(g, width, policy)
+        if counters is not None and len(out) != len(g):
+            counters.inc.remote({"rows_gap_filled": int(len(out) - len(g))})
+        return out
+
+    return ds.groupby("source").map_groups(fn, batch_format="pandas")

@@ -1,0 +1,129 @@
+"""Hierarchical continuous aggregates: raw -> 1m -> 1h -> 1d.
+
+Generalizes the reference's two-phase aggregate pattern — per-key partial
+accumulation then a global reduce + broadcast normalize
+(/root/reference/src/stops.rs:44-58 global max; src/bin/stops2mimir.rs:94-103
+child counts) — into Ray Data's canonical partial+final aggregation:
+
+  1. ``map_batches`` pre-aggregates each Arrow batch down to one row per
+     (source, bucket) key (a combiner), so the shuffle moves only partials;
+  2. a small ``groupby(["source","bucket"]).aggregate(...)`` merges partials.
+
+Skew note (SURVEY.md §4): the hot source ("web", >= 40% of rows) never
+overloads a reducer because step 1 bounds each key's final group to at most
+one row per input batch — the partial combine IS the salt. Integer sums
+(n_tok is int32 -> int64 sums) keep results order-insensitive; mean is
+derived as sum/count at the very end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+from mimirsbrunn_ray.functions.timeutil import BUCKET_US, trunc_us, ts_array
+
+PARTIAL_COLS = ["n_rows", "sum_tok", "min_tok", "max_tok"]
+
+
+def _partial_from_raw(batch: pa.Table, granularity: str) -> pa.Table:
+    """Combine a raw-tier batch to one partial row per (source, bucket)."""
+    ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    bucket = ts_array(trunc_us(ts_us, granularity))
+    t = pa.table(
+        {
+            "source": batch["source"],
+            "bucket": bucket,
+            "n_tok": batch["n_tok"].cast(pa.int64()),
+        }
+    )
+    g = t.group_by(["source", "bucket"]).aggregate(
+        [("n_tok", "count"), ("n_tok", "sum"), ("n_tok", "min"), ("n_tok", "max")]
+    )
+    g = g.select(
+        ["source", "bucket", "n_tok_count", "n_tok_sum", "n_tok_min", "n_tok_max"]
+    )
+    return g.rename_columns(
+        ["source", "bucket", "n_rows", "sum_tok", "min_tok", "max_tok"]
+    )
+
+
+def _partial_from_rollup(batch: pa.Table, granularity: str) -> pa.Table:
+    """Combine a finer-tier batch (1m->1h, 1h->1d) to coarser partials."""
+    # ignore gap-filled rows: synthetic points must not contaminate sums
+    if "filled" in batch.column_names:
+        batch = batch.filter(
+            pc.fill_null(pc.invert(batch["filled"]), True)
+        )
+    b_us = batch["bucket"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    bucket = ts_array(trunc_us(b_us, granularity))
+    t = pa.table(
+        {
+            "source": batch["source"],
+            "bucket": bucket,
+            "n_rows": batch["n_rows"].cast(pa.int64()),
+            "sum_tok": batch["sum_tok"].cast(pa.int64()),
+            "min_tok": batch["min_tok"].cast(pa.int64()),
+            "max_tok": batch["max_tok"].cast(pa.int64()),
+        }
+    )
+    g = t.group_by(["source", "bucket"]).aggregate(
+        [
+            ("n_rows", "sum"),
+            ("sum_tok", "sum"),
+            ("min_tok", "min"),
+            ("max_tok", "max"),
+        ]
+    )
+    g = g.select(
+        ["source", "bucket", "n_rows_sum", "sum_tok_sum", "min_tok_min", "max_tok_max"]
+    )
+    return g.rename_columns(
+        ["source", "bucket", "n_rows", "sum_tok", "min_tok", "max_tok"]
+    )
+
+
+def _finish(batch: pa.Table) -> pa.Table:
+    """Derive mean, stamp fill columns, enforce ROLLUP_SCHEMA types."""
+    n = batch["n_rows"].cast(pa.int64())
+    s = batch["sum_tok"].cast(pa.int64())
+    mean = pc.divide(s.cast(pa.float64()), n.cast(pa.float64()))
+    return pa.table(
+        {
+            "source": batch["source"],
+            "bucket": batch["bucket"].cast(pa.timestamp("us")),
+            "n_rows": n,
+            "sum_tok": s,
+            "min_tok": batch["min_tok"].cast(pa.int32()),
+            "max_tok": batch["max_tok"].cast(pa.int32()),
+            "mean_tok": mean,
+            "filled": pa.array(np.zeros(batch.num_rows, dtype=bool)),
+            "fill_kind": pa.array(["none"] * batch.num_rows, type=pa.string()),
+        }
+    )
+
+
+def rollup(ds: "rd.Dataset", granularity: str, from_tier: str) -> "rd.Dataset":
+    """Roll a raw or finer rollup tier up to ``granularity``.
+
+    ``from_tier`` is "raw" or a finer granularity ("1m", "1h").
+    Returns a Dataset with ROLLUP_SCHEMA.
+    """
+    assert granularity in BUCKET_US
+    if from_tier == "raw":
+        partial = lambda b: _partial_from_raw(b, granularity)  # noqa: E731
+    else:
+        assert BUCKET_US[from_tier] < BUCKET_US[granularity]
+        partial = lambda b: _partial_from_rollup(b, granularity)  # noqa: E731
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["source", "bucket"]).aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("sum_tok", alias_name="sum_tok"),
+        Min("min_tok", alias_name="min_tok"),
+        Max("max_tok", alias_name="max_tok"),
+    )
+    return agg.map_batches(_finish, batch_format="pyarrow")

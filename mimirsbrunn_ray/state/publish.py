@@ -1,0 +1,163 @@
+"""Atomic tiered publish — the zero-downtime alias-swap graft.
+
+The reference writes every import to a fresh dated physical index
+``munin_{type}_{dataset}_{timestamp}`` (/root/reference/libs/mimir/src/
+rubber.rs:134-161), bulk-loads it, then atomically repoints the read aliases
+in a single ``_aliases`` call and deletes superseded indexes
+(rubber.rs:553-636). Failed runs leave "ghost" indexes that the next publish
+cleans (tests/rubber_test.rs:239).
+
+Here: each tier run writes fully under ``{root}/{tier}/run={run_id}/``,
+commits its manifest, then atomically rewrites ``{root}/{tier}/LATEST.json``
+(tmp file + os.replace) to point at the new run. Readers only ever follow
+LATEST.json -> a fully-written run dir. ``cleanup_ghosts`` deletes
+uncommitted or superseded run dirs; ``latest``/``is_tier_committed`` are the
+resume boundary (SURVEY.md §4 checkpoint row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import ray.data as rd
+
+from mimirsbrunn_ray.state.manifest import is_committed, read_manifest, write_manifest
+
+LATEST_NAME = "LATEST.json"
+
+
+class TierStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+    def tier_dir(self, tier: str) -> str:
+        return os.path.join(self.root, tier)
+
+    def run_dir(self, tier: str, run_id: str) -> str:
+        return os.path.join(self.tier_dir(tier), f"run={run_id}")
+
+    # -- read side -------------------------------------------------------
+    def latest(self, tier: str) -> dict | None:
+        p = os.path.join(self.tier_dir(tier), LATEST_NAME)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def latest_run_dir(self, tier: str) -> str | None:
+        latest = self.latest(tier)
+        return latest["run_dir"] if latest else None
+
+    def latest_data_paths(self, tier: str) -> list[str]:
+        """Parquet files of the latest committed run (for the next tier's
+        read — the reference's read-own-published-index pattern, S9)."""
+        run_dir = self.latest_run_dir(tier)
+        if run_dir is None:
+            raise FileNotFoundError(f"no committed run for tier {tier!r}")
+        m = read_manifest(run_dir)
+        return [os.path.join(run_dir, p["key"]) for p in m["partitions"]]
+
+    def is_run_committed(self, tier: str, run_id: str) -> bool:
+        latest = self.latest(tier)
+        return bool(
+            latest
+            and latest.get("run_id") == run_id
+            and is_committed(latest["run_dir"])
+        )
+
+    # -- write side ------------------------------------------------------
+    def publish(
+        self,
+        ds: "rd.Dataset",
+        tier: str,
+        run_id: str,
+        input_paths: list[str] | None = None,
+        counters: dict | None = None,
+        partition_cols: list[str] | None = None,
+        max_dropped: int | None = None,
+        keep_runs: int = 2,
+    ) -> str:
+        """Write ds -> run dir, commit manifest, swap LATEST atomically.
+
+        ``counters`` may be a plain dict or a CounterActor handle; a handle
+        is read AFTER the write completes (the dataset is lazy — counts only
+        exist once every stage has run).
+        """
+        from mimirsbrunn_ray.state.metrics import ErrorBudgetExceeded, totals
+
+        run_dir = self.run_dir(tier, run_id)
+        if os.path.exists(run_dir):  # ghost from a killed run — rewrite it
+            shutil.rmtree(run_dir)
+        kwargs = {}
+        if partition_cols:
+            kwargs["partition_cols"] = partition_cols
+        ds.write_parquet(run_dir, **kwargs)
+        if counters is not None and not isinstance(counters, dict):
+            counters = totals(counters)
+        counters = dict(counters or {})
+        if max_dropped is not None:
+            dropped = counters.get("rows_dropped_dirty", 0)
+            if dropped > max_dropped:
+                shutil.rmtree(run_dir)  # never publish a failed run
+                raise ErrorBudgetExceeded(
+                    f"tier {tier}: {dropped} dropped rows > budget {max_dropped}"
+                )
+        previous = self.latest(tier)
+        write_manifest(
+            run_dir,
+            run_id=run_id,
+            tier=tier,
+            input_paths=input_paths or [],
+            counters=counters,
+            previous_run=(previous or {}).get("run_id"),
+            committed=True,
+        )
+        self._swap_latest(tier, run_id, run_dir)
+        self.cleanup_ghosts(tier, keep_runs=keep_runs)
+        return run_dir
+
+    def _swap_latest(self, tier: str, run_id: str, run_dir: str) -> None:
+        tier_dir = self.tier_dir(tier)
+        os.makedirs(tier_dir, exist_ok=True)
+        tmp = os.path.join(tier_dir, LATEST_NAME + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"run_id": run_id, "run_dir": run_dir}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(tier_dir, LATEST_NAME))
+
+    def cleanup_ghosts(self, tier: str, keep_runs: int = 2) -> list[str]:
+        """Delete uncommitted run dirs and old runs beyond the retention
+        count (never the one LATEST points at)."""
+        tier_dir = self.tier_dir(tier)
+        if not os.path.isdir(tier_dir):
+            return []
+        latest = self.latest(tier)
+        latest_dir = latest["run_dir"] if latest else None
+        runs = sorted(
+            d
+            for d in os.listdir(tier_dir)
+            if d.startswith("run=") and os.path.isdir(os.path.join(tier_dir, d))
+        )
+        removed = []
+        committed = []
+        for d in runs:
+            full = os.path.join(tier_dir, d)
+            if full == latest_dir:
+                committed.append(full)
+                continue
+            if not is_committed(full):
+                shutil.rmtree(full)
+                removed.append(full)
+            else:
+                committed.append(full)
+        # retention: keep newest `keep_runs` committed dirs (incl. latest)
+        excess = [d for d in committed if d != latest_dir][: max(0, len(committed) - keep_runs)]
+        for full in excess:
+            shutil.rmtree(full)
+            removed.append(full)
+        return removed
