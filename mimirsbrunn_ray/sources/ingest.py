@@ -85,10 +85,12 @@ def validated(ds: "rd.Dataset", counters=None, batch_size: int = 16_384,
     """Apply ValidateAndDerive as an actor-pool map_batches stage."""
     from mimirsbrunn_ray.context import pool_size
 
+    # autoscaling pool (min 1): a fixed pool sized to the node can reserve
+    # every CPU and starve the read/shuffle/write stages (SURVEY.md §4)
     return ds.map_batches(
         ValidateAndDerive,
         fn_constructor_kwargs={"counters": counters},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else pool_size(),
+        concurrency=concurrency if concurrency is not None else (1, pool_size()),
     )

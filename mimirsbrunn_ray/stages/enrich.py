@@ -83,5 +83,5 @@ def enriched(
         fn_constructor_kwargs={"dim_ref": dim_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else pool_size(),
+        concurrency=concurrency if concurrency is not None else (1, pool_size()),
     )

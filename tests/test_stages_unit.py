@@ -1,0 +1,88 @@
+"""Unit tests for individual stages: dedup winner determinism, enrichment
+lookup + weight normalization, gap-fill policies."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mimirsbrunn_ray.functions.timeutil import US_PER_MINUTE
+from mimirsbrunn_ray.stages.dedup import _dedup_bucket, add_bucket
+from mimirsbrunn_ray.stages.enrich import SourceDimEnricher, build_dim_ref
+from mimirsbrunn_ray.stages.gapfill import _fill_series
+
+
+def test_dedup_bucket_keeps_deterministic_winner():
+    t = pa.table(
+        {
+            "doc_id": ["b", "a", "b", "a", "c"],
+            "v": [1, 2, 3, 4, 5],
+        }
+    )
+    t = add_bucket(t, "doc_id", 4)
+    # winner = first row after (key, tiebreak) sort -> smallest v per key
+    out = _dedup_bucket(t, "doc_id", ["v"])
+    got = dict(zip(out["doc_id"].to_pylist(), out["v"].to_pylist()))
+    assert got == {"a": 2, "b": 1, "c": 5}
+
+
+def test_dedup_hash_is_process_independent():
+    t = pa.table({"doc_id": ["x", "y", "z"]})
+    b1 = add_bucket(t, "doc_id", 64)["_dedup_bucket"].to_pylist()
+    b2 = add_bucket(t, "doc_id", 64)["_dedup_bucket"].to_pylist()
+    assert b1 == b2
+
+
+def test_enricher_lookup_and_normalization(ray_session, dim_table):
+    ref = build_dim_ref(dim_table)
+    enr = SourceDimEnricher(ref)
+    batch = pa.table({"source": ["web", "misc", "unknown-src", "web"]})
+    out = enr(batch)
+    assert out["family"].to_pylist() == ["crawl", "misc", "unknown", "crawl"]
+    assert out["weight"].to_pylist()[0] == 1.0  # max weight normalizes to 1
+    assert out["weight"].to_pylist()[1] == pytest.approx(0.2 / 8.0)
+    assert out["weight"].to_pylist()[2] == 0.0
+    assert out["priority"].to_pylist()[2] == -1
+
+
+def _series(buckets, sums):
+    n = len(buckets)
+    return pd.DataFrame(
+        {
+            "source": ["s"] * n,
+            "bucket": pd.to_datetime(np.asarray(buckets, dtype=np.int64), unit="us"),
+            "n_rows": np.ones(n, dtype=np.int64),
+            "sum_tok": np.asarray(sums, dtype=np.int64),
+            "min_tok": np.asarray(sums, dtype=np.int32),
+            "max_tok": np.asarray(sums, dtype=np.int32),
+            "mean_tok": np.asarray(sums, dtype=np.float64),
+            "filled": [False] * n,
+            "fill_kind": ["none"] * n,
+        }
+    )
+
+
+def test_gapfill_locf():
+    b = [0, US_PER_MINUTE, 4 * US_PER_MINUTE]
+    out = _fill_series(_series(b, [10, 20, 50]), US_PER_MINUTE, "locf")
+    assert len(out) == 5
+    assert out["sum_tok"].tolist() == [10, 20, 20, 20, 50]
+    assert out["filled"].tolist() == [False, False, True, True, False]
+    assert out["fill_kind"].tolist() == ["none", "none", "locf", "locf", "none"]
+    assert out["n_rows"].tolist() == [1, 1, 0, 0, 1]
+
+
+def test_gapfill_linear():
+    b = [0, 3 * US_PER_MINUTE]
+    out = _fill_series(_series(b, [10, 40]), US_PER_MINUTE, "linear")
+    assert out["sum_tok"].tolist() == [10, 20, 30, 40]
+    assert out["fill_kind"].tolist() == ["none", "linear", "linear", "none"]
+
+
+def test_gapfill_no_gaps_is_identity():
+    b = [0, US_PER_MINUTE]
+    src = _series(b, [1, 2])
+    out = _fill_series(src.copy(), US_PER_MINUTE, "locf")
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), src, check_dtype=False
+    )
