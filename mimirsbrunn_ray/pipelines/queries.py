@@ -1,0 +1,319 @@
+"""Driver-facing query registry: one Ray Data pipeline per operator from
+SURVEY.md §2, each paired with an ANSI-SQL oracle (ORACLES) that DuckDB runs
+over the same parquet tables. Column names and types are kept in lockstep
+between each pair — the driver hashes values after sorting columns by name.
+
+Every callable takes ``sf_dir`` and returns a ray.data.Dataset (the driver
+converts). None of them calls ray.init().
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from mimirsbrunn_ray.sources.documents_adapter import SEQ_CTE, sequences_from_documents
+from mimirsbrunn_ray.stages.dedup import dedup_exact
+from mimirsbrunn_ray.stages.gapfill import gapfill
+from mimirsbrunn_ray.stages.join import broadcast_join, make_lookup_ref
+from mimirsbrunn_ray.stages.rollup import generic_rollup, rollup
+
+# ---------------------------------------------------------------------------
+# sequences rollup tiers (the flagship operators; A2/A5 graft -> tiers)
+# ---------------------------------------------------------------------------
+
+
+def _rollup_query(sf_dir: str, gran: str) -> "rd.Dataset":
+    seq = sequences_from_documents(sf_dir)
+    return rollup(seq, gran, from_tier="raw").drop_columns(["filled", "fill_kind"])
+
+
+def q_rollup_1m(sf_dir):
+    return _rollup_query(sf_dir, "1m")
+
+
+def q_rollup_1h(sf_dir):
+    return _rollup_query(sf_dir, "1h")
+
+
+def q_rollup_1d(sf_dir):
+    return _rollup_query(sf_dir, "1d")
+
+
+def _rollup_sql(unit: str) -> str:
+    return (
+        SEQ_CTE
+        + f"""
+SELECT source,
+       date_trunc('{unit}', ts) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(MIN(n_tok) AS INTEGER) AS min_tok,
+       CAST(MAX(n_tok) AS INTEGER) AS max_tok,
+       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS mean_tok
+FROM seq GROUP BY source, bucket
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# raw pass-through (ingest + event-time derivation, M1/S1 graft)
+# ---------------------------------------------------------------------------
+
+
+def q_raw_passthrough(sf_dir):
+    return sequences_from_documents(sf_dir)
+
+
+RAW_SQL = (
+    SEQ_CTE
+    + """
+SELECT doc_id, n_tok, source, ts, date_trunc('minute', ts) AS bucket_1m
+FROM seq
+"""
+)
+
+# ---------------------------------------------------------------------------
+# gap-filled 1m tier (LOCF) — windowed-aggregate + gap-fill operator
+# ---------------------------------------------------------------------------
+
+
+def q_gapfill_locf_1m(sf_dir):
+    seq = sequences_from_documents(sf_dir)
+    return gapfill(rollup(seq, "1m", from_tier="raw"), "1m", policy="locf")
+
+
+GAPFILL_SQL = (
+    SEQ_CTE
+    + """
+, r AS (
+  SELECT source, date_trunc('minute', ts) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+         CAST(MIN(n_tok) AS INTEGER) AS min_tok,
+         CAST(MAX(n_tok) AS INTEGER) AS max_tok,
+         CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS mean_tok
+  FROM seq GROUP BY source, bucket),
+bounds AS (SELECT source, MIN(bucket) lo, MAX(bucket) hi FROM r GROUP BY source),
+grid AS (
+  SELECT b.source, unnest(generate_series(b.lo, b.hi, INTERVAL 1 MINUTE)) AS bucket
+  FROM bounds b),
+j AS (
+  SELECT grid.source, grid.bucket,
+         r.n_rows, r.sum_tok, r.min_tok, r.max_tok, r.mean_tok,
+         (r.bucket IS NULL) AS filled
+  FROM grid LEFT JOIN r ON r.source = grid.source AND r.bucket = grid.bucket)
+SELECT source, bucket,
+       COALESCE(n_rows, 0) AS n_rows,
+       last_value(sum_tok IGNORE NULLS) OVER w AS sum_tok,
+       last_value(min_tok IGNORE NULLS) OVER w AS min_tok,
+       last_value(max_tok IGNORE NULLS) OVER w AS max_tok,
+       last_value(mean_tok IGNORE NULLS) OVER w AS mean_tok,
+       filled,
+       CASE WHEN filled THEN 'locf' ELSE 'none' END AS fill_kind
+FROM j
+WINDOW w AS (PARTITION BY source ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+)
+
+# ---------------------------------------------------------------------------
+# top-k + global-max weight normalization (O4 + A2 grafts)
+# ---------------------------------------------------------------------------
+
+
+def q_topk_sources(sf_dir):
+    seq = sequences_from_documents(sf_dir)
+    from ray.data.aggregate import Count, Sum
+
+    per_source = seq.groupby("source").aggregate(
+        Sum("n_tok", alias_name="total_tok"), Count(alias_name="n_docs")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch["source"],
+                "total_tok": batch["total_tok"].cast(pa.int64()),
+                "n_docs": batch["n_docs"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        per_source.map_batches(finish, batch_format="pyarrow")
+        .sort(["total_tok", "source"], descending=[True, False])
+        .limit(5)
+    )
+
+
+TOPK_SQL = (
+    SEQ_CTE
+    + """
+SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM seq GROUP BY source
+ORDER BY total_tok DESC, source ASC LIMIT 5
+"""
+)
+
+
+def q_weight_normalized_sources(sf_dir):
+    """Global-max normalize (the 'China population' analog,
+    /root/reference/src/utils.rs:55-72 + src/stops.rs:44-58):
+    global aggregate -> broadcast scalar -> vectorized normalize."""
+    seq = sequences_from_documents(sf_dir)
+    from ray.data.aggregate import Sum
+
+    per_source = seq.groupby("source").aggregate(Sum("n_tok", alias_name="total_tok"))
+    gmax = per_source.max("total_tok")  # small global aggregate
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = batch["total_tok"].cast(pa.int64())
+        return pa.table(
+            {
+                "source": batch["source"],
+                "total_tok": t,
+                "weight": pc.divide(t.cast(pa.float64()), float(gmax)),
+            }
+        )
+
+    return per_source.map_batches(norm, batch_format="pyarrow")
+
+
+WEIGHT_SQL = (
+    SEQ_CTE
+    + """
+, s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total_tok FROM seq GROUP BY source)
+SELECT source, total_tok,
+       CAST(total_tok AS DOUBLE) / MAX(CAST(total_tok AS DOUBLE)) OVER () AS weight
+FROM s
+"""
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup (D1 graft: deterministic keep-min winner)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_documents(sf_dir):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    dd = dedup_exact(docs, key="text", tiebreak=["doc_id"], num_buckets=16)
+    return dd.select_columns(["doc_id"])
+
+
+DEDUP_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# events windowed rollup (generic key/ts/value stream)
+# ---------------------------------------------------------------------------
+
+
+def q_events_rollup_1h(sf_dir):
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return generic_rollup(ev, "event_type", "ts", "value", "1h", int_scale=100)
+
+
+EVENTS_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_val,
+       CAST(ROUND(MIN(value) * 100, 0) AS BIGINT) AS min_val,
+       CAST(ROUND(MAX(value) * 100, 0) AS BIGINT) AS max_val,
+       CAST(ROUND(CAST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS mean_val
+FROM events GROUP BY event_type, bucket
+"""
+
+# ---------------------------------------------------------------------------
+# broadcast dimension join (J1/J7 graft) over the star schema
+# ---------------------------------------------------------------------------
+
+
+def q_orders_per_nation(sf_dir):
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nname = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    lookup = make_lookup_ref(
+        cust["c_custkey"].to_pylist(),
+        [nname[k] for k in cust["c_nationkey"].to_pylist()],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    joined = broadcast_join(
+        orders, lookup, key_col="o_custkey", out_col="n_name", out_type=pa.string()
+    )
+    from ray.data.aggregate import Count, Sum
+
+    agg = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch["n_name"],
+                "n_orders": batch["n_orders"].cast(pa.int64()),
+                "total_price": pc.cast(
+                    pc.round(
+                        pc.multiply(batch["total_price"].cast(pa.float64()), 100.0),
+                        ndigits=0,
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORDERS_NATION_SQL = """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "rollup_1m": q_rollup_1m,
+    "rollup_1h": q_rollup_1h,
+    "rollup_1d": q_rollup_1d,
+    "raw_passthrough": q_raw_passthrough,
+    "gapfill_locf_1m": q_gapfill_locf_1m,
+    "topk_sources": q_topk_sources,
+    "weight_normalized_sources": q_weight_normalized_sources,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "events_rollup_1h": q_events_rollup_1h,
+    "orders_per_nation": q_orders_per_nation,
+}
+
+ORACLES = {
+    "rollup_1m": _rollup_sql("minute"),
+    "rollup_1h": _rollup_sql("hour"),
+    "rollup_1d": _rollup_sql("day"),
+    "raw_passthrough": RAW_SQL,
+    "gapfill_locf_1m": GAPFILL_SQL,
+    "topk_sources": TOPK_SQL,
+    "weight_normalized_sources": WEIGHT_SQL,
+    "dedup_exact_documents": DEDUP_SQL,
+    "events_rollup_1h": EVENTS_SQL,
+    "orders_per_nation": ORDERS_NATION_SQL,
+}

@@ -1,0 +1,78 @@
+"""Broadcast hash join — the reference's small-side lookup pattern.
+
+Every reference join except the OSM way<-node self-join is a broadcast of a
+small dimension side into the record stream (admins into addresses J1,
+INSEE map J3, NTFS side tables J7 — SURVEY.md §2.5). Ray Data shape:
+``ray.put`` the lookup once, resolve it once per actor/task, numpy-gather
+per batch. No shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def make_lookup_ref(keys, values) -> "ray.ObjectRef":
+    """Broadcast {key -> value} once from the driver."""
+    return ray.put(dict(zip(keys, values)))
+
+
+class BroadcastJoiner:
+    """Actor-pool stage appending ``out_col`` = lookup[batch[key_col]].
+
+    Missing keys get ``default`` (inner-join semantics are applied by a
+    following filter when default is None).
+    """
+
+    def __init__(self, lookup_ref, key_col: str, out_col: str, default=None,
+                 out_type: pa.DataType | None = None):
+        lookup = ray.get(lookup_ref)  # once per actor
+        keys = np.asarray(list(lookup.keys()))
+        order = np.argsort(keys, kind="stable")
+        self.keys_sorted = keys[order]
+        self.vals_sorted = np.asarray(list(lookup.values()), dtype=object)[order]
+        self.key_col = key_col
+        self.out_col = out_col
+        self.default = default
+        self.out_type = out_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.keys_sorted, keys)
+        pos = np.clip(pos, 0, len(self.keys_sorted) - 1)
+        hit = self.keys_sorted[pos] == keys
+        vals = self.vals_sorted[pos]
+        if not hit.all():
+            vals = vals.copy()
+            vals[~hit] = self.default
+        return batch.append_column(self.out_col, pa.array(vals, type=self.out_type))
+
+
+def broadcast_join(
+    ds: "rd.Dataset",
+    lookup_ref,
+    key_col: str,
+    out_col: str,
+    default=None,
+    out_type=None,
+    batch_size: int = 32_768,
+    concurrency=None,
+) -> "rd.Dataset":
+    from mimirsbrunn_ray.context import pool_size
+
+    return ds.map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs={
+            "lookup_ref": lookup_ref,
+            "key_col": key_col,
+            "out_col": out_col,
+            "default": default,
+            "out_type": out_type,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else (1, pool_size()),
+    )

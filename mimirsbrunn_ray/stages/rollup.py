@@ -106,6 +106,89 @@ def _finish(batch: pa.Table) -> pa.Table:
     )
 
 
+def generic_rollup(
+    ds: "rd.Dataset",
+    key: str,
+    ts_col: str,
+    value_col: str,
+    granularity: str,
+    int_scale: float | None = None,
+) -> "rd.Dataset":
+    """Partial+final rollup of an arbitrary (key, ts, value) stream — the
+    engine's windowed-aggregate operator applied to non-sequence tables
+    (e.g. the `events` table).
+
+    ``int_scale``: emit value aggregates as ``round(v * int_scale)`` int64
+    (e.g. 100 -> cents). Float sums depend on addition order, so ULP-level
+    differences between engines are expected; snapping to scaled integers
+    makes results bit-stable and cross-engine comparable.
+
+    Output columns: key, bucket, n_rows, sum_val, min_val, max_val, mean_val.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                key: batch[key],
+                "bucket": ts_array(trunc_us(ts_us, granularity)),
+                "v": batch[value_col].cast(pa.float64()),
+            }
+        )
+        g = t.group_by([key, "bucket"]).aggregate(
+            [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")]
+        )
+        g = g.select([key, "bucket", "v_count", "v_sum", "v_min", "v_max"])
+        return g.rename_columns([key, "bucket", "n_rows", "sum_v", "min_v", "max_v"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby([key, "bucket"]).aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("sum_v", alias_name="sum_v"),
+        Min("min_v", alias_name="min_v"),
+        Max("max_v", alias_name="max_v"),
+    )
+
+    def _snap(col) -> pa.ChunkedArray:
+        # half_towards_infinity == ties away from zero, matching SQL ROUND
+        scaled = pc.multiply(col.cast(pa.float64()), float(int_scale))
+        return pc.cast(
+            pc.round(scaled, ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_rows"].cast(pa.int64())
+        s = batch["sum_v"].cast(pa.float64())
+        mean = pc.divide(s, n.cast(pa.float64()))
+        mn, mx = batch["min_v"], batch["max_v"]
+        if int_scale is not None:
+            s, mn, mx = _snap(s), _snap(mn), _snap(mx)
+            # derive mean from the SNAPPED integer sum: both engines then
+            # divide identical integers -> identical doubles -> identical ties
+            mean = pc.cast(
+                pc.round(
+                    pc.divide(s.cast(pa.float64()), n.cast(pa.float64())),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+        return pa.table(
+            {
+                key: batch[key],
+                "bucket": batch["bucket"].cast(pa.timestamp("us")),
+                "n_rows": n,
+                "sum_val": s,
+                "min_val": mn,
+                "max_val": mx,
+                "mean_val": mean,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def rollup(ds: "rd.Dataset", granularity: str, from_tier: str) -> "rd.Dataset":
     """Roll a raw or finer rollup tier up to ``granularity``.
 

@@ -1,0 +1,87 @@
+"""Mirror of the driver's correctness gate: run every queries() entry and its
+oracle_sql() twin on sf0.001, compare row count, column names, and values
+(columns sorted by name, rows sorted by all columns)."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _assert_equal(name, ray_df, sql_df):
+    assert len(ray_df) == len(sql_df), f"{name}: rows {len(ray_df)} != {len(sql_df)}"
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), (
+        f"{name}: cols {sorted(ray_df.columns)} != {sorted(sql_df.columns)}"
+    )
+    a, b = _canon(ray_df), _canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            ok = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)
+        else:
+            ok = np.array_equal(av, bv)
+        assert ok, f"{name}: column {c} differs: {av[:5]} vs {bv[:5]}"
+
+
+def test_every_query_has_an_oracle(registry):
+    queries, oracles = registry
+    assert set(oracles) <= set(queries)
+    assert len(queries) >= 10
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rollup_1m", "rollup_1h", "rollup_1d", "raw_passthrough",
+        "gapfill_locf_1m", "topk_sources", "weight_normalized_sources",
+        "dedup_exact_documents", "events_rollup_1h", "orders_per_nation",
+    ],
+)
+def test_query_matches_oracle(registry, con, name):
+    queries, oracles = registry
+    res = queries[name](SF_DIR)
+    ray_df = res if isinstance(res, pd.DataFrame) else (
+        res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    )
+    sql_df = con.sql(oracles[name]).df()
+    _assert_equal(name, ray_df, sql_df)
+
+
+def test_entry_smokes(ray_session):
+    import __ray_entry__ as e
+
+    out = e.entry()
+    df = out.to_pandas()
+    assert len(df) > 0
+    assert {"source", "bucket", "n_rows", "sum_tok", "filled"} <= set(df.columns)
