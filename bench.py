@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): rolled-up points/sec — output rows across
+all retention tiers (raw pass-through + 1m + 1h + 1d + compressed blocks)
+per wall-clock second of the end-to-end tiering job (read -> validate ->
+enrich -> dedup -> rollup -> gap-fill -> compress -> publish) over a
+deterministic synthetic sequences corpus (generated once, cached in /tmp).
+
+Also times every queries() pipeline over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the headline job at 8 and 32 CPUs in fresh processes on
+the SAME corpus and reports both throughputs + scaling efficiency (the
+sandbox evidence for the N vs 4N cluster criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "2000000"))
+BENCH_CORPUS = f"/tmp/graft_bench/sequences_{BENCH_ROWS}"
+TIER_ROOT_TMPL = "/tmp/graft_bench/tiers_cpus{n}"
+
+
+def ensure_corpus() -> list[str]:
+    import glob
+
+    meta_path = os.path.join(BENCH_CORPUS, "_gen_meta.json")
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        if meta.get("n_rows_written", 0) > 0:
+            return sorted(glob.glob(os.path.join(BENCH_CORPUS, "part-*.parquet")))
+    from mimirsbrunn_ray.sources.synth import generate_sequences
+
+    shutil.rmtree(BENCH_CORPUS, ignore_errors=True)
+    generate_sequences(BENCH_CORPUS, BENCH_ROWS, n_files=32)
+    return sorted(glob.glob(os.path.join(BENCH_CORPUS, "part-*.parquet")))
+
+
+def run_headline(num_cpus: int) -> dict:
+    """Full tiering job; returns wall seconds + rolled-up point count."""
+    import glob
+
+    from mimirsbrunn_ray.pipelines.tiering import run_tiering_job
+    from mimirsbrunn_ray.state.manifest import read_manifest
+    from mimirsbrunn_ray.state.publish import TierStore
+
+    paths = ensure_corpus()
+    root = TIER_ROOT_TMPL.format(n=num_cpus)
+    shutil.rmtree(root, ignore_errors=True)
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    t0 = time.perf_counter()
+    run_tiering_job(paths, root, "bench", resume=False)
+    sec = time.perf_counter() - t0
+
+    store = TierStore(root)
+    points = 0
+    for tier in ["raw", "1m", "1h", "1d", "compressed"]:
+        m = read_manifest(store.latest_run_dir(tier))
+        points += m["rows_out"]
+    return {"sec": sec, "points": points, "points_per_sec": points / sec}
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()  # consume the lazy pipeline
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from mimirsbrunn_ray.context import quiet_data_context
+
+    quiet_data_context()
+
+    head = run_headline(num_cpus)
+    queries = run_queries(sf_dir)
+    ray.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "tiering_job_seconds",
+                "value": round(head["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir,
+                "num_cpus": num_cpus,
+                "bench_rows": BENCH_ROWS,
+                "rolled_up_points": head["points"],
+                "points_per_sec": round(head["points_per_sec"], 1),
+            }
+        )
+    )
+
+
+def scaling() -> None:
+    """Same corpus + job at 8 and 32 CPUs in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    ensure_corpus()  # generate once so both children read the same files
+    lo, hi = run(8), run(32)
+    eff = (lo["points_per_sec"] and hi["points_per_sec"] / lo["points_per_sec"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "bench_rows": BENCH_ROWS,
+                "cpus_lo": 8,
+                "cpus_hi": 32,
+                "sec_lo": lo["value"],
+                "sec_hi": hi["value"],
+                "points_per_sec_lo": lo["points_per_sec"],
+                "points_per_sec_hi": hi["points_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+def headline_only() -> None:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from mimirsbrunn_ray.context import quiet_data_context
+
+    quiet_data_context()
+    head = run_headline(num_cpus)
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "tiering_job_seconds",
+                "value": round(head["sec"], 3),
+                "unit": "sec",
+                "num_cpus": num_cpus,
+                "rolled_up_points": head["points"],
+                "points_per_sec": round(head["points_per_sec"], 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--headline-only" in sys.argv:
+        headline_only()
+    else:
+        main()

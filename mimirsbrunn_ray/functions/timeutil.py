@@ -17,7 +17,8 @@ import pyarrow.compute as pc
 
 # 2026-01-01T00:00:00Z in microseconds since the Unix epoch.
 EPOCH0_US = 1_767_225_600_000_000
-TS_STEP_US = 7_000_000  # 7 s between consecutive doc indices
+TS_STEP_US = 7_000_000  # 7 s between consecutive arrival ticks
+DOCS_PER_TICK = 64  # docs sharing one arrival tick (realistic bucket density)
 
 US_PER_MINUTE = 60_000_000
 US_PER_HOUR = 3_600_000_000
@@ -27,8 +28,15 @@ BUCKET_US = {"1m": US_PER_MINUTE, "1h": US_PER_HOUR, "1d": US_PER_DAY}
 
 
 def ts_from_index(index: np.ndarray) -> np.ndarray:
-    """int64 doc index -> int64 event-time microseconds."""
-    return EPOCH0_US + index.astype(np.int64) * TS_STEP_US
+    """int64 doc index -> int64 event-time microseconds.
+
+    ``ts = EPOCH0 + (index // DOCS_PER_TICK) * 7s`` — DOCS_PER_TICK docs
+    arrive per tick, so a 1m bucket holds ~548 docs across sources instead
+    of ~8.6 (with one doc per tick the number of (source, bucket) groups
+    approaches the row count and partial aggregation collapses nothing).
+    SQL equivalent: EPOCH0 + INTERVAL ((doc_id // 64) * 7) SECOND.
+    """
+    return EPOCH0_US + (index.astype(np.int64) // DOCS_PER_TICK) * TS_STEP_US
 
 
 def trunc_us(ts_us: np.ndarray, granularity: str) -> np.ndarray:

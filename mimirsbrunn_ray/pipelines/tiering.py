@@ -24,7 +24,11 @@ import ray.data as rd
 
 from mimirsbrunn_ray.sources.ingest import read_sequences, validated
 from mimirsbrunn_ray.stages.compress import compress_tier
-from mimirsbrunn_ray.stages.dedup import dedup_exact
+from mimirsbrunn_ray.stages.dedup import (
+    dedup_exact,
+    dedup_identical_sparse,
+    scan_duplicate_keys,
+)
 from mimirsbrunn_ray.stages.enrich import build_dim_ref, enriched
 from mimirsbrunn_ray.stages.gapfill import gapfill
 from mimirsbrunn_ray.stages.rollup import rollup
@@ -64,11 +68,18 @@ def run_tiering_job(
     # ---- raw tier ------------------------------------------------------
     if not done("raw"):
         counters = new_counters()
+        # pass 0: column-pruned duplicate-key scan (keys move, payloads don't)
+        dup_keys = scan_duplicate_keys(input_paths, key="doc_id")
         ds = read_sequences(input_paths)
         ds = validated(ds, counters=counters)
         if dim_table is not None:
             ds = enriched(ds, build_dim_ref(dim_table))
-        ds = dedup_exact(ds, key="doc_id", num_buckets=dedup_buckets, counters=counters)
+        if len(dup_keys) <= 5_000_000:
+            ds = dedup_identical_sparse(ds, dup_keys, key="doc_id", counters=counters)
+        else:
+            ds = dedup_exact(
+                ds, key="doc_id", num_buckets=dedup_buckets, counters=counters
+            )
         run_dir = store.publish(
             ds,
             "raw",

@@ -9,7 +9,7 @@ derivation (so DuckDB oracles can reproduce it):
 
     doc_id  = 'doc-' || source || '-' || lpad(doc_id, 10, '0')
     n_tok   = n_chars // 4 + 1
-    ts      = EPOCH0 + doc_id * 7s          (bucket_1m = date_trunc minute)
+    ts      = EPOCH0 + (doc_id // 64) * 7s  (bucket_1m = date_trunc minute)
     tokens  = splitmix64(doc index) stream  (optional; not SQL-expressible,
               only generated when the full engine path needs payloads)
 """
@@ -67,7 +67,8 @@ def sequences_from_documents(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
     )
     return ds.map_batches(
-        lambda b: _to_sequences(b, with_tokens), batch_format="pyarrow"
+        lambda b: _to_sequences(b, with_tokens), batch_format="pyarrow",
+        batch_size=None,
     )
 
 
@@ -78,7 +79,7 @@ WITH seq AS (
   SELECT 'doc-' || source || '-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS doc_id,
          CAST(n_chars // 4 + 1 AS INTEGER) AS n_tok,
          source,
-         TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (doc_id * 7) SECOND AS ts
+         TIMESTAMP '2026-01-01 00:00:00' + INTERVAL ((doc_id // 64) * 7) SECOND AS ts
   FROM documents
 )
 """

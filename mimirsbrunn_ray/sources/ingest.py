@@ -80,7 +80,7 @@ class ValidateAndDerive:
         return batch
 
 
-def validated(ds: "rd.Dataset", counters=None, batch_size: int = 16_384,
+def validated(ds: "rd.Dataset", counters=None, batch_size=None,
               concurrency=None) -> "rd.Dataset":
     """Apply ValidateAndDerive as an actor-pool map_batches stage."""
     from mimirsbrunn_ray.context import pool_size

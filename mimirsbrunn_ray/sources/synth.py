@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from mimirsbrunn_ray.functions.timeutil import EPOCH0_US, TS_STEP_US, US_PER_MINUTE
+from mimirsbrunn_ray.functions.timeutil import US_PER_MINUTE, ts_from_index
 
 VOCAB = 50_257
 
@@ -134,7 +134,7 @@ def generate_sequences(
 
     # --- plant gaps: for each gap source drop every row of n_gap_buckets
     # specific 1m buckets in the middle of the time range ------------------
-    ts_all = EPOCH0_US + idx_all * TS_STEP_US
+    ts_all = ts_from_index(idx_all)
     bucket_all = (ts_all // US_PER_MINUTE) * US_PER_MINUTE
     drop = np.zeros(n_rows, dtype=bool)
     lo, hi = bucket_all.min(), bucket_all.max()

@@ -46,7 +46,7 @@ def compress_tier(ds: "rd.Dataset") -> "rd.Dataset":
         day = (b // US_PER_DAY) * US_PER_DAY
         return batch.append_column("_day", pa.array(day))
 
-    keyed = ds.map_batches(add_day, batch_format="pyarrow")
+    keyed = ds.map_batches(add_day, batch_format="pyarrow", batch_size=None)
     return keyed.groupby(["source", "_day"]).map_groups(
         _compress_group, batch_format="pandas"
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 _BUCKET = "_dedup_bucket"
@@ -59,10 +60,15 @@ def dedup_exact(
     num_buckets: int = 64,
     counters=None,
 ) -> "rd.Dataset":
-    """Drop all but the deterministic first row per ``key``."""
+    """Drop all but the deterministic first row per ``key``.
+
+    Full-shuffle variant: every row moves once, hashed on ``key``. Use
+    ``dedup_exact_sparse`` when duplicates are rare and payloads are wide.
+    """
     tiebreak = tiebreak or []
     bucketed = ds.map_batches(
-        lambda b: add_bucket(b, key, num_buckets), batch_format="pyarrow"
+        lambda b: add_bucket(b, key, num_buckets), batch_format="pyarrow",
+        batch_size=None,
     )
 
     def fn(group: pa.Table) -> pa.Table:
@@ -73,3 +79,122 @@ def dedup_exact(
         return out
 
     return bucketed.groupby(_BUCKET).map_groups(fn, batch_format="pyarrow")
+
+
+def scan_duplicate_keys(paths, key: str = "doc_id") -> set:
+    """Column-pruned parquet scan -> the set of keys appearing > 1 time.
+
+    Only the key column leaves storage (the "prune at the read" rule); the
+    shuffle moves short keys, never token payloads. At 10^12-row scale the
+    returned exact set becomes a Bloom filter: false positives only route
+    extra rows through the shuffle dedup leg, never corrupt results.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(paths, columns=[key])
+
+    def key_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "n"])
+
+    counts = (
+        ds.map_batches(key_partials, batch_format="pyarrow", batch_size=None)
+        .groupby(key)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    dup_rows = counts.filter(expr="n > 1").select_columns([key]).take_all()
+    return {r[key] for r in dup_rows}
+
+
+class ClaimActor:
+    """Tiny shared claim table for duplicate keys only — the engine's one
+    legitimately-raw-actor piece of state (a shared mutable index, which the
+    Dataset API cannot express; SURVEY.md design stance).
+
+    Claims are owned: a retried task re-presents the same deterministic
+    owner token (derived from its batch's candidate keys) and re-acquires
+    its grants, so task retries never lose rows — the idempotence-on-retry
+    requirement the reference gets from ES ``_id`` upserts
+    (/root/reference/libs/mimir/src/rubber.rs:690-696)."""
+
+    def __init__(self) -> None:
+        self.owners: dict = {}
+
+    def claim(self, keys: list, owner: str) -> list:
+        out = []
+        owners = self.owners
+        for k in keys:
+            cur = owners.get(k)
+            if cur is None:
+                owners[k] = owner
+                out.append(True)
+            else:
+                out.append(cur == owner)
+        return out
+
+
+def dedup_identical_sparse(
+    ds: "rd.Dataset",
+    dup_keys: set,
+    key: str = "doc_id",
+    counters=None,
+) -> "rd.Dataset":
+    """Single-pass dedup for byte-identical duplicate payloads.
+
+    Rows whose key is not in ``dup_keys`` (the vast majority) stream through
+    with ZERO shuffle; rows in it consult a claim actor — first claim wins,
+    later copies drop. Because duplicate payloads are identical (validated
+    upstream; the generator plants them so, FIXTURES.md §2), the output
+    CONTENT is deterministic even though which physical copy survives is
+    not. For differing payloads with a deterministic-winner rule use
+    ``dedup_exact`` (keep-min graft).
+    """
+    import ray
+
+    dup_arr_ref = ray.put(pa.array(sorted(dup_keys)))
+    claimer = ray.remote(num_cpus=0)(ClaimActor).remote()
+
+    class ClaimFilter:
+        def __init__(self):
+            self.dup_arr = ray.get(dup_arr_ref)  # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(self.dup_arr) == 0:
+                return batch
+            in_dup = pc.is_in(batch[key], value_set=self.dup_arr)
+            in_dup_np = in_dup.to_numpy(zero_copy_only=False)
+            if not in_dup_np.any():
+                return batch
+            cand = pc.filter(batch[key], in_dup).to_pylist()
+            # drop in-batch later copies locally; only first occurrences claim
+            seen: set = set()
+            first = []
+            for k in cand:
+                if k in seen:
+                    first.append(False)
+                else:
+                    seen.add(k)
+                    first.append(True)
+            firsts = [k for k, f in zip(cand, first) if f]
+            import hashlib
+
+            owner = hashlib.sha1("\x00".join(map(str, cand)).encode()).hexdigest()
+            granted_first = ray.get(claimer.claim.remote(firsts, owner))
+            it = iter(granted_first)
+            granted = [f and next(it) for f in first]
+            keep = np.ones(batch.num_rows, dtype=bool)
+            keep[in_dup_np] = granted
+            dropped = int(len(granted) - sum(granted))
+            if counters is not None and dropped:
+                counters.inc.remote({"rows_deduped": dropped})
+            return batch.filter(pa.array(keep))
+
+    from mimirsbrunn_ray.context import pool_size
+
+    return ds.map_batches(
+        ClaimFilter,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, pool_size()),
+    )

@@ -73,7 +73,7 @@ class SourceDimEnricher:
 def enriched(
     ds: "rd.Dataset",
     dim_ref,
-    batch_size: int = 16_384,
+    batch_size=None,
     concurrency=None,
 ) -> "rd.Dataset":
     from mimirsbrunn_ray.context import pool_size

@@ -141,7 +141,7 @@ def generic_rollup(
         g = g.select([key, "bucket", "v_count", "v_sum", "v_min", "v_max"])
         return g.rename_columns([key, "bucket", "n_rows", "sum_v", "min_v", "max_v"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     agg = partials.groupby([key, "bucket"]).aggregate(
         Sum("n_rows", alias_name="n_rows"),
         Sum("sum_v", alias_name="sum_v"),
@@ -186,7 +186,7 @@ def generic_rollup(
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 def rollup(ds: "rd.Dataset", granularity: str, from_tier: str) -> "rd.Dataset":
@@ -202,11 +202,11 @@ def rollup(ds: "rd.Dataset", granularity: str, from_tier: str) -> "rd.Dataset":
         assert BUCKET_US[from_tier] < BUCKET_US[granularity]
         partial = lambda b: _partial_from_rollup(b, granularity)  # noqa: E731
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     agg = partials.groupby(["source", "bucket"]).aggregate(
         Sum("n_rows", alias_name="n_rows"),
         Sum("sum_tok", alias_name="sum_tok"),
         Min("min_tok", alias_name="min_tok"),
         Max("max_tok", alias_name="max_tok"),
     )
-    return agg.map_batches(_finish, batch_format="pyarrow")
+    return agg.map_batches(_finish, batch_format="pyarrow", batch_size=None)

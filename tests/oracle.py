@@ -11,7 +11,7 @@ import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
-from mimirsbrunn_ray.functions.timeutil import BUCKET_US, EPOCH0_US, TS_STEP_US
+from mimirsbrunn_ray.functions.timeutil import BUCKET_US, ts_from_index
 
 
 def load_clean(paths) -> pd.DataFrame:
@@ -31,7 +31,7 @@ def load_clean(paths) -> pd.DataFrame:
     df = pd.concat(frames, ignore_index=True)
     df = df[df["n_tok"] == df["true_len"]].copy()
     idx = df["doc_id"].str[-10:].astype(np.int64)
-    df["ts_us"] = EPOCH0_US + idx * TS_STEP_US
+    df["ts_us"] = ts_from_index(idx.to_numpy())
     df = df.drop_duplicates("doc_id", keep="first")
     return df
 

@@ -44,7 +44,7 @@ def test_validate_drops_dirty_and_derives_time():
 
     t = pa.table(
         {
-            "doc_id": ["doc-web-0000000000", "doc-web-0000000001", "doc-web-0000000002", None],
+            "doc_id": ["doc-web-0000000000", "doc-web-0000000001", "doc-web-0000000128", None],
             "tokens": [[1, 2], [3], [], [5]],
             "n_tok": [2, 99, 0, 1],  # row 1 dirty
             "source": ["web"] * 4,
@@ -54,6 +54,7 @@ def test_validate_drops_dirty_and_derives_time():
     out = ValidateAndDerive()(t)
     assert out.num_rows == 2  # dirty + null doc_id dropped; empty tokens kept
     ts = out["ts"].cast(pa.int64()).to_pylist()
+    # index // 64 ticks: idx 0 -> tick 0, idx 128 -> tick 2
     assert ts == [EPOCH0_US, EPOCH0_US + 2 * TS_STEP_US]
     b = out["bucket_1m"].cast(pa.int64()).to_pylist()
     assert all(x % 60_000_000 == 0 for x in b)
