@@ -124,28 +124,42 @@ WINDOW w AS (PARTITION BY source ORDER BY bucket
 # ---------------------------------------------------------------------------
 
 
+def _per_source_totals(seq) -> "rd.Dataset":
+    """partial (per batch) + tree-merge per-source totals — no sort shuffle."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"], "n_tok": b["n_tok"].cast(pa.int64())})
+        g = t.group_by(["source"]).aggregate([("n_tok", "sum"), ("n_tok", "count")])
+        g = g.select(["source", "n_tok_sum", "n_tok_count"])
+        return g.rename_columns(["source", "total_tok", "n_docs"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source"]).aggregate([("total_tok", "sum"), ("n_docs", "sum")])
+        g = g.select(["source", "total_tok_sum", "n_docs_sum"])
+        return g.rename_columns(["source", "total_tok", "n_docs"])
+
+    partials = seq.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return tree_merge(partials, combine)
+
+
 def q_topk_sources(sf_dir):
-    seq = sequences_from_documents(sf_dir)
-    from ray.data.aggregate import Count, Sum
+    per_source = _per_source_totals(sequences_from_documents(sf_dir))
 
-    per_source = seq.groupby("source").aggregate(
-        Sum("n_tok", alias_name="total_tok"), Count(alias_name="n_docs")
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
+    def topk(batch: pa.Table) -> pa.Table:
+        # final combine is one block -> top-k is an in-block sort (O4 graft)
+        out = batch.sort_by(
+            [("total_tok", "descending"), ("source", "ascending")]
+        ).slice(0, 5)
         return pa.table(
             {
-                "source": batch["source"],
-                "total_tok": batch["total_tok"].cast(pa.int64()),
-                "n_docs": batch["n_docs"].cast(pa.int64()),
+                "source": out["source"],
+                "total_tok": out["total_tok"].cast(pa.int64()),
+                "n_docs": out["n_docs"].cast(pa.int64()),
             }
         )
 
-    return (
-        per_source.map_batches(finish, batch_format="pyarrow")
-        .sort(["total_tok", "source"], descending=[True, False])
-        .limit(5)
-    )
+    return per_source.map_batches(topk, batch_format="pyarrow", batch_size=None)
 
 
 TOPK_SQL = (
@@ -163,14 +177,12 @@ def q_weight_normalized_sources(sf_dir):
     """Global-max normalize (the 'China population' analog,
     /root/reference/src/utils.rs:55-72 + src/stops.rs:44-58):
     global aggregate -> broadcast scalar -> vectorized normalize."""
-    seq = sequences_from_documents(sf_dir)
-    from ray.data.aggregate import Sum
-
-    per_source = seq.groupby("source").aggregate(Sum("n_tok", alias_name="total_tok"))
-    gmax = per_source.max("total_tok")  # small global aggregate
+    per_source = _per_source_totals(sequences_from_documents(sf_dir))
 
     def norm(batch: pa.Table) -> pa.Table:
+        # final combine is one block -> the global max is in-block (A2)
         t = batch["total_tok"].cast(pa.int64())
+        gmax = pc.max(t).as_py() or 1
         return pa.table(
             {
                 "source": batch["source"],
@@ -179,7 +191,7 @@ def q_weight_normalized_sources(sf_dir):
             }
         )
 
-    return per_source.map_batches(norm, batch_format="pyarrow")
+    return per_source.map_batches(norm, batch_format="pyarrow", batch_size=None)
 
 
 WEIGHT_SQL = (
@@ -255,10 +267,25 @@ def q_orders_per_nation(sf_dir):
     joined = broadcast_join(
         orders, lookup, key_col="o_custkey", out_col="n_name", out_type=pa.string()
     )
-    from ray.data.aggregate import Count, Sum
+    from mimirsbrunn_ray.stages.rollup import tree_merge
 
-    agg = joined.groupby("n_name").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"n_name": b["n_name"], "v": b["o_totalprice"].cast(pa.float64())}
+        )
+        g = t.group_by(["n_name"]).aggregate([("v", "count"), ("v", "sum")])
+        g = g.select(["n_name", "v_count", "v_sum"])
+        return g.rename_columns(["n_name", "n_orders", "total_price"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["n_name"]).aggregate(
+            [("n_orders", "sum"), ("total_price", "sum")]
+        )
+        g = g.select(["n_name", "n_orders_sum", "total_price_sum"])
+        return g.rename_columns(["n_name", "n_orders", "total_price"])
+
+    agg = tree_merge(
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None), combine
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -276,7 +303,7 @@ def q_orders_per_nation(sf_dir):
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 ORDERS_NATION_SQL = """

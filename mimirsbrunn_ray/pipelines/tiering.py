@@ -92,43 +92,52 @@ def run_tiering_job(
     if stop_after == "raw":
         return summary
 
-    # ---- 1m tier (rollup + gap-fill) -----------------------------------
-    if not done("1m"):
-        counters = new_counters()
-        raw = rd.read_parquet(store.latest_data_paths("raw"),
-                              columns=["source", "ts", "n_tok"])
-        t1m = rollup(raw, "1m", from_tier="raw")
-        t1m = gapfill(t1m, "1m", policy=gap_policy, counters=counters)
-        run_dir = store.publish(
-            t1m, "1m", run_id,
-            input_paths=[store.latest_run_dir("raw")],
-            counters=counters,
-        )
-        summary["tiers"]["1m"] = {"run_dir": run_dir}
-    if stop_after == "1m":
-        return summary
+    # ---- rollup tiers --------------------------------------------------
+    # Each published tier stays the resume boundary, but within one live run
+    # the (tiny) rollup tiers are materialized and fed forward in memory —
+    # re-reading a tier you just wrote only pays off when resuming. A
+    # rollup tier is ~1e-4 the raw size (one row per (source, bucket)), so
+    # pinning it in the object store is safe even at 10^12-row scale.
+    prev_mat = None  # materialized Dataset of the previous (finer) tier
 
-    # ---- 1h / 1d (hierarchical) ----------------------------------------
-    for gran, prev in (("1h", "1m"), ("1d", "1h")):
+    def _fine(prev: str):
+        if prev_mat is not None:
+            return prev_mat
+        cols = ["source", "ts", "n_tok"] if prev == "raw" else None
+        from mimirsbrunn_ray.sources.ingest import num_blocks_for
+
+        paths = store.latest_data_paths(prev)
+        return rd.read_parquet(paths, columns=cols,
+                               override_num_blocks=num_blocks_for(paths))
+
+    for gran, prev in (("1m", "raw"), ("1h", "1m"), ("1d", "1h")):
         if done(gran):
+            prev_mat = None  # force disk read of committed tier for the next
+            if stop_after == gran:
+                return summary
             continue
         counters = new_counters()
-        fine = rd.read_parquet(store.latest_data_paths(prev))
-        t = rollup(fine, gran, from_tier=prev)
-        t = gapfill(t, gran, policy=gap_policy, counters=counters)
+        t = rollup(_fine(prev), gran, from_tier=prev)
+        t = gapfill(t, gran, policy=gap_policy, counters=counters).materialize()
         run_dir = store.publish(
             t, gran, run_id,
             input_paths=[store.latest_run_dir(prev)],
             counters=counters,
         )
         summary["tiers"][gran] = {"run_dir": run_dir}
+        if gran == "1m":
+            t1m_mat = t
+        prev_mat = t
         if stop_after == gran:
             return summary
 
     # ---- compressed blocks from the (gap-filled) 1m stream -------------
     if not done("compressed"):
-        t1m = rd.read_parquet(store.latest_data_paths("1m"),
-                              columns=["source", "bucket", "sum_tok"])
+        try:
+            t1m = t1m_mat.select_columns(["source", "bucket", "sum_tok"])
+        except (NameError, UnboundLocalError):
+            t1m = rd.read_parquet(store.latest_data_paths("1m"),
+                                  columns=["source", "bucket", "sum_tok"])
         blocks = compress_tier(t1m)
         run_dir = store.publish(
             blocks, "compressed", run_id,

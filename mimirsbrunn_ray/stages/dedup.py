@@ -81,30 +81,49 @@ def dedup_exact(
     return bucketed.groupby(_BUCKET).map_groups(fn, batch_format="pyarrow")
 
 
-def scan_duplicate_keys(paths, key: str = "doc_id") -> set:
-    """Column-pruned parquet scan -> the set of keys appearing > 1 time.
+def scan_duplicate_keys(paths, key: str = "doc_id") -> np.ndarray:
+    """Column-pruned parquet scan -> sorted int64 hashes of keys seen > once.
 
-    Only the key column leaves storage (the "prune at the read" rule); the
-    shuffle moves short keys, never token payloads. At 10^12-row scale the
-    returned exact set becomes a Bloom filter: false positives only route
-    extra rows through the shuffle dedup leg, never corrupt results.
+    Only the key column leaves storage (the "prune at the read" rule), and
+    the shuffle moves 8-byte key HASHES, not strings — an order of magnitude
+    cheaper to sort/exchange. Hash collisions are harmless: a colliding
+    unique key is merely routed through the claim path, where claims are made
+    on REAL keys (each distinct key gets its own grant). At 10^12-row scale
+    the returned exact array generalizes to a Bloom filter with the same
+    false-positives-are-safe property.
     """
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(paths, columns=[key])
+    from mimirsbrunn_ray.sources.ingest import num_blocks_for
+
+    # the key column is ~2% of row bytes -> aim for proportionally fewer blocks
+    nb = num_blocks_for(paths, target_bytes=2 << 30)
+    ds = rd.read_parquet(paths, columns=[key], override_num_blocks=nb)
 
     def key_partials(batch: pa.Table) -> pa.Table:
-        g = batch.group_by([key]).aggregate([([], "count_all")])
-        return g.rename_columns([key, "n"])
+        h = _hash64(batch[key]).view(np.int64)
+        uniq, counts = np.unique(h, return_counts=True)
+        return pa.table({"h": uniq, "n": counts})
 
-    counts = (
-        ds.map_batches(key_partials, batch_format="pyarrow", batch_size=None)
-        .groupby(key)
-        .aggregate(Sum("n", alias_name="n"))
-    )
-    dup_rows = counts.filter(expr="n > 1").select_columns([key]).take_all()
-    return {r[key] for r in dup_rows}
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["h"]).aggregate([("n", "sum")])
+        return g.rename_columns(["h", "n"])
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    partials = ds.map_batches(key_partials, batch_format="pyarrow", batch_size=None)
+    # tree-merge: the final combine holds one row per distinct key hash —
+    # fine up to ~10^8 keys on one worker; beyond that shard the final
+    # combine by hash range (or accept a Bloom filter's false positives)
+    counts = tree_merge(partials, combine)
+
+    def only_dups(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["n"], 1)).select(["h"])
+
+    dup_rows = counts.map_batches(
+        only_dups, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return np.sort(np.asarray([r["h"] for r in dup_rows], dtype=np.int64))
 
 
 class ClaimActor:
@@ -136,36 +155,39 @@ class ClaimActor:
 
 def dedup_identical_sparse(
     ds: "rd.Dataset",
-    dup_keys: set,
+    dup_hashes: np.ndarray,
     key: str = "doc_id",
     counters=None,
 ) -> "rd.Dataset":
     """Single-pass dedup for byte-identical duplicate payloads.
 
-    Rows whose key is not in ``dup_keys`` (the vast majority) stream through
-    with ZERO shuffle; rows in it consult a claim actor — first claim wins,
-    later copies drop. Because duplicate payloads are identical (validated
-    upstream; the generator plants them so, FIXTURES.md §2), the output
-    CONTENT is deterministic even though which physical copy survives is
-    not. For differing payloads with a deterministic-winner rule use
+    Rows whose key hash is not in ``dup_hashes`` (the vast majority) stream
+    through with ZERO shuffle; rows in it consult a claim actor — first
+    claim wins, later copies drop. Because duplicate payloads are identical
+    (validated upstream; the generator plants them so, FIXTURES.md §2), the
+    output CONTENT is deterministic even though which physical copy survives
+    is not. For differing payloads with a deterministic-winner rule use
     ``dedup_exact`` (keep-min graft).
     """
     import ray
 
-    dup_arr_ref = ray.put(pa.array(sorted(dup_keys)))
+    dup_arr_ref = ray.put(np.sort(np.asarray(dup_hashes, dtype=np.int64)))
     claimer = ray.remote(num_cpus=0)(ClaimActor).remote()
 
     class ClaimFilter:
         def __init__(self):
-            self.dup_arr = ray.get(dup_arr_ref)  # once per actor
+            self.dup_hashes = ray.get(dup_arr_ref)  # once per actor
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(self.dup_arr) == 0:
+            if len(self.dup_hashes) == 0:
                 return batch
-            in_dup = pc.is_in(batch[key], value_set=self.dup_arr)
-            in_dup_np = in_dup.to_numpy(zero_copy_only=False)
+            h = _hash64(batch[key]).view(np.int64)
+            pos = np.searchsorted(self.dup_hashes, h)
+            pos = np.clip(pos, 0, len(self.dup_hashes) - 1)
+            in_dup_np = self.dup_hashes[pos] == h
             if not in_dup_np.any():
                 return batch
+            in_dup = pa.array(in_dup_np)
             cand = pc.filter(batch[key], in_dup).to_pylist()
             # drop in-batch later copies locally; only first occurrences claim
             seen: set = set()

@@ -73,8 +73,18 @@ def gapfill(
     granularity: str,
     policy: str = "locf",
     counters=None,
+    single_partition: bool = True,
 ) -> "rd.Dataset":
-    """Fill missing buckets per source between its first and last bucket."""
+    """Fill missing buckets per source between its first and last bucket.
+
+    ``single_partition=True`` (default): the rollup tier is one row per
+    (source, bucket) — bounded by the run's ingest window — so it coalesces
+    into one block and fills every source with a pandas groupby-apply in a
+    single task, skipping Ray's sort-based map_groups machinery entirely.
+    Set False for an unbounded tier: ``groupby("source").map_groups`` then
+    shuffles by source (with the per-(source, year) chaining + manifest
+    boundary carry described above).
+    """
     width = BUCKET_US[granularity]
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -83,4 +93,15 @@ def gapfill(
             counters.inc.remote({"rows_gap_filled": int(len(out) - len(g))})
         return out
 
-    return ds.groupby("source").map_groups(fn, batch_format="pandas")
+    if not single_partition:
+        return ds.groupby("source").map_groups(fn, batch_format="pandas")
+
+    def fill_all(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        parts = [fn(g) for _, g in df.groupby("source", sort=True)]
+        return pd.concat(parts, ignore_index=True)
+
+    return ds.repartition(1).map_batches(
+        fill_all, batch_format="pandas", batch_size=None
+    )
