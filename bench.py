@@ -140,7 +140,12 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     ensure_corpus()  # generate once so both children read the same files
-    lo, hi = run(8), run(32)
+    os.sync()
+    time.sleep(3)
+    lo = run(8)
+    os.sync()  # flush dirty pages so the next child isn't taxed by writeback
+    time.sleep(10)
+    hi = run(32)
     eff = (lo["points_per_sec"] and hi["points_per_sec"] / lo["points_per_sec"]) / (32 / 8)
     print(
         json.dumps(

@@ -55,6 +55,20 @@ def run_tiering_job(
     the store (the alias-swap / ghost-cleanup graft); ``stop_after``
     simulates a kill after a given tier (used by the resume tests).
     """
+    import os
+    import sys
+    import time as _time
+
+    _timing = os.environ.get("GRAFT_TIMING") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal _t0
+        if _timing:
+            print(f"[tiering] {label}: {_time.perf_counter() - _t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        _t0 = _time.perf_counter()
+
     store = TierStore(out_root)
     input_paths = list(input_paths) if isinstance(input_paths, (list, tuple)) else [input_paths]
     summary: dict = {"run_id": run_id, "tiers": {}}
@@ -70,6 +84,7 @@ def run_tiering_job(
         counters = new_counters()
         # pass 0: column-pruned duplicate-key scan (keys move, payloads don't)
         dup_keys = scan_duplicate_keys(input_paths, key="doc_id")
+        _mark("dup-scan")
         ds = read_sequences(input_paths)
         ds = validated(ds, counters=counters)
         if dim_table is not None:
@@ -89,6 +104,7 @@ def run_tiering_job(
             max_dropped=max_dropped,
         )
         summary["tiers"]["raw"] = {"run_dir": run_dir}
+    _mark("raw")
     if stop_after == "raw":
         return summary
 
@@ -125,6 +141,7 @@ def run_tiering_job(
             counters=counters,
         )
         summary["tiers"][gran] = {"run_dir": run_dir}
+        _mark(gran)
         if gran == "1m":
             t1m_mat = t
         prev_mat = t
@@ -144,4 +161,5 @@ def run_tiering_job(
             input_paths=[store.latest_run_dir("1m")],
         )
         summary["tiers"]["compressed"] = {"run_dir": run_dir}
+    _mark("compressed")
     return summary

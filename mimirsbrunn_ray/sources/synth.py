@@ -6,15 +6,17 @@ counts (/root/reference/tests/bano2mimir_test.rs:42-125: "exactly 35 docs,
 malformed line dropped, empty street filtered") — scaled up so the same
 corpus also drives the N-vs-4N bench.
 
-All generation is numpy-vectorized and seeded; no wall clock anywhere.
-Written as >= n_files parquet files so Ray parallelizes the read.
+Every per-row decision (source, token payload, dirty flag, duplication,
+gap membership) is a pure function of (seed, row index), so generation is
+embarrassingly parallel: shards are written by Ray tasks when a cluster is
+up (the driver process is CPU-constrained in this sandbox), else inline.
+No wall clock anywhere; same (seed, n_rows, n_files) -> identical bytes.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
@@ -32,19 +34,6 @@ SOURCE_P = [0.40, 0.20, 0.12, 0.08, 0.07, 0.05, 0.045, 0.035]
 GAP_SOURCES = ("books", "wiki")  # sources with withheld 1m buckets
 
 
-@dataclass
-class GenMeta:
-    n_rows_written: int = 0
-    n_clean: int = 0
-    n_dirty: int = 0
-    n_duplicates: int = 0
-    n_late: int = 0
-    n_gap_dropped: int = 0
-    gap_buckets_us: dict = field(default_factory=dict)  # source -> [bucket_us]
-    files: list = field(default_factory=list)
-    late_files: list = field(default_factory=list)
-
-
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 mix — public-domain PRNG finalizer."""
     z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
@@ -53,37 +42,37 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _make_table(
-    idx: np.ndarray,
-    src_codes: np.ndarray,
-    dirty_mask: np.ndarray,
-) -> pa.Table:
-    """Build rows whose token payload is a PURE function of the doc index —
-    duplicates are byte-identical no matter which shard or pass emits them
-    (the determinism-by-construction stance of the reference, SURVEY.md §5).
-    """
+def _row_hash(idx: np.ndarray, seed: int, stream: int) -> np.ndarray:
+    mix = (seed * 0x9E3779B97F4A7C15 + stream * 0xC2B2AE3D27D4EB4F) % (1 << 64)
+    return _splitmix64(idx.astype(np.uint64) ^ np.uint64(mix))
+
+
+def _source_codes(idx: np.ndarray, seed: int) -> np.ndarray:
+    u = _row_hash(idx, seed, 1).astype(np.float64) / 2.0**64
+    cum = np.cumsum(np.asarray(SOURCE_P))
+    cum[-1] = 1.0
+    return np.searchsorted(cum, u, side="right").clip(0, len(SOURCES) - 1)
+
+
+def _make_table(idx: np.ndarray, src_codes: np.ndarray, dirty: np.ndarray) -> pa.Table:
+    """Rows whose payload is a PURE function of the doc index — duplicates
+    are byte-identical no matter which shard or pass emits them."""
     n = len(idx)
     h = _splitmix64(idx)
-    # length ~ uniform [1, 356] (mean ~178, matching LogNormal(5,0.6)'s mean);
-    # 0.1% empty token lists (valid rows: n_tok == 0) for min/max aggregates
+    # length ~ uniform [1, 356] (mean ~178); 0.1% empty lists (valid, n_tok=0)
     lengths = 1 + (h % np.uint64(356)).astype(np.int64)
     lengths[(h % np.uint64(1000)) == 0] = 0
     total = int(lengths.sum())
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
-    pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lengths)
     values = (
-        _splitmix64(idx[row_of] * np.int64(2654435761) + pos_in_row)
-        % np.uint64(VOCAB)
+        _splitmix64(idx[row_of] * np.int64(2654435761) + pos) % np.uint64(VOCAB)
     ).astype(np.int32)
-    tokens = pa.LargeListArray.from_arrays(offsets, values).cast(
-        pa.list_(pa.int32())
-    )
+    tokens = pa.LargeListArray.from_arrays(offsets, values).cast(pa.list_(pa.int32()))
     n_tok = lengths.astype(np.int32)
-    # dirty rows: n_tok deliberately != len(tokens) -> engine must drop + count
-    n_tok = np.where(dirty_mask, n_tok + 1, n_tok).astype(np.int32)
-
+    n_tok = np.where(dirty, n_tok + 1, n_tok).astype(np.int32)
     src_arr = np.asarray(SOURCES, dtype=object)[src_codes]
     doc_id = np.char.add(
         np.char.add("doc-", src_arr.astype(str)),
@@ -99,6 +88,91 @@ def _make_table(
     )
 
 
+def gap_buckets(n_rows: int, n_gap_buckets: int) -> dict:
+    """Deterministic withheld 1m buckets per gap source (same for any shard)."""
+    ts_lo = int(ts_from_index(np.array([0]))[0])
+    ts_hi = int(ts_from_index(np.array([n_rows - 1]))[0])
+    lo = (ts_lo // US_PER_MINUTE) * US_PER_MINUTE
+    hi = (ts_hi // US_PER_MINUTE) * US_PER_MINUTE
+    span = max(1, (hi - lo) // US_PER_MINUTE)
+    out = {}
+    for s in GAP_SOURCES:
+        out[s] = [
+            int(lo + ((span * (k + 1)) // (n_gap_buckets + 1)) * US_PER_MINUTE)
+            for k in range(n_gap_buckets)
+        ]
+    return out
+
+
+def _gen_shard(
+    out_dir: str,
+    shard_id: int,
+    lo: int,
+    hi: int,
+    n_rows: int,
+    seed: int,
+    dirty_frac: float,
+    dup_frac: float,
+    late_frac: float,
+    n_gap_buckets: int,
+) -> dict:
+    """Generate rows for global indices [lo, hi); pure + parallel-safe."""
+    idx = np.arange(lo, hi, dtype=np.int64)
+    src = _source_codes(idx, seed)
+
+    # gaps: drop rows of gap sources falling in the withheld buckets
+    gaps = gap_buckets(n_rows, n_gap_buckets)
+    ts = ts_from_index(idx)
+    bucket = (ts // US_PER_MINUTE) * US_PER_MINUTE
+    drop = np.zeros(len(idx), dtype=bool)
+    for s, bs in gaps.items():
+        code = SOURCES.index(s)
+        for b in bs:
+            drop |= (src == code) & (bucket == b)
+    n_gap_dropped = int(drop.sum())
+    idx, src = idx[~drop], src[~drop]
+
+    # late rows: the first late_frac of the GLOBAL index space ships in late/
+    n_late_global = int(n_rows * late_frac)
+    late_sel = idx < n_late_global
+    late_idx, late_src = idx[late_sel], src[late_sel]
+    idx, src = idx[~late_sel], src[~late_sel]
+
+    # duplicates: rows chosen by hash are emitted twice (identical payload)
+    dup_sel = (_row_hash(idx, seed, 2).astype(np.float64) / 2.0**64) < dup_frac
+    dup_idx, dup_src = idx[dup_sel], src[dup_sel]
+    emit_idx = np.concatenate([idx, dup_idx])
+    emit_src = np.concatenate([src, dup_src])
+    # deterministic interleave so duplicates aren't trailing
+    order = np.argsort(_row_hash(np.arange(len(emit_idx)) + lo, seed, 3), kind="stable")
+    emit_idx, emit_src = emit_idx[order], emit_src[order]
+
+    dirty = (_row_hash(emit_idx, seed, 4).astype(np.float64) / 2.0**64) < dirty_frac
+
+    meta = {
+        "n_rows_written": 0,
+        "n_dirty": 0,
+        "n_duplicates": int(dup_sel.sum()),
+        "n_late": int(late_sel.sum()),
+        "n_gap_dropped": n_gap_dropped,
+    }
+    tbl = _make_table(emit_idx, emit_src, dirty)
+    pq.write_table(tbl, os.path.join(out_dir, f"part-{shard_id:05d}.parquet"))
+    meta["n_rows_written"] += tbl.num_rows
+    meta["n_dirty"] += int(dirty.sum())
+    if len(late_idx):
+        late_dirty = (
+            _row_hash(late_idx, seed, 4).astype(np.float64) / 2.0**64
+        ) < dirty_frac
+        lt = _make_table(late_idx, late_src, late_dirty)
+        pq.write_table(
+            lt, os.path.join(out_dir, "late", f"part-{shard_id:05d}.parquet")
+        )
+        meta["n_rows_written"] += lt.num_rows
+        meta["n_dirty"] += int(late_dirty.sum())
+    return meta
+
+
 def generate_sequences(
     out_dir: str,
     n_rows: int,
@@ -111,88 +185,51 @@ def generate_sequences(
 ) -> dict:
     """Write a deterministic sequences corpus; return golden metadata.
 
-    Planted edge cases (exact counts recorded so goldens are derivable):
-      * ``dup_frac`` rows duplicated with identical payload (exact dedup,
-        keep-first — grafting keep-min-id street dedup,
-        /root/reference/src/osm_reader/street.rs:202-234);
-      * for each source in GAP_SOURCES, all rows in ``n_gap_buckets``
-        specific 1m buckets withheld (gap-fill must reconstruct them);
-      * ``dirty_frac`` rows with n_tok != len(tokens) -> dropped + counted
-        (warn-and-skip policy, /root/reference/src/addr_reader.rs:39-52);
-      * ``late_frac`` rows with early event time shipped in separate
-        ``late/`` files (late-data / as-of merge path).
+    Planted edge cases (FIXTURES.md §2): identical-payload duplicates
+    (exact dedup keep-first, grafting keep-min street dedup,
+    /root/reference/src/osm_reader/street.rs:202-234); withheld 1m buckets
+    per GAP_SOURCES (gap-fill must reconstruct); dirty rows with
+    n_tok != len(tokens) (warn-and-skip, /root/reference/src/addr_reader.rs:39-52);
+    late rows in ``late/`` files (as-of / resume path).
     """
-    rng = np.random.default_rng(seed)
-    meta = GenMeta()
     os.makedirs(out_dir, exist_ok=True)
-    late_dir = os.path.join(out_dir, "late")
-    os.makedirs(late_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "late"), exist_ok=True)
+    bounds = np.linspace(0, n_rows, n_files + 1, dtype=np.int64)
+    args = [
+        (out_dir, i, int(bounds[i]), int(bounds[i + 1]), n_rows, seed,
+         dirty_frac, dup_frac, late_frac, n_gap_buckets)
+        for i in range(n_files)
+    ]
 
-    idx_all = np.arange(n_rows, dtype=np.int64)
-    src_codes_all = rng.choice(len(SOURCES), size=n_rows, p=SOURCE_P)
-    dirty_all = rng.random(n_rows) < dirty_frac
+    metas = None
+    try:
+        import ray
 
-    # --- plant gaps: for each gap source drop every row of n_gap_buckets
-    # specific 1m buckets in the middle of the time range ------------------
-    ts_all = ts_from_index(idx_all)
-    bucket_all = (ts_all // US_PER_MINUTE) * US_PER_MINUTE
-    drop = np.zeros(n_rows, dtype=bool)
-    lo, hi = bucket_all.min(), bucket_all.max()
-    span = max(1, (hi - lo) // US_PER_MINUTE)
-    for s in GAP_SOURCES:
-        code = SOURCES.index(s)
-        picks = []
-        for k in range(n_gap_buckets):
-            b = lo + ((span * (k + 1)) // (n_gap_buckets + 1)) * US_PER_MINUTE
-            picks.append(int(b))
-            drop |= (src_codes_all == code) & (bucket_all == b)
-        meta.gap_buckets_us[s] = picks
-    meta.n_gap_dropped = int(drop.sum())
+        if ray.is_initialized():
+            gen = ray.remote(num_cpus=1)(_gen_shard)
+            metas = ray.get([gen.remote(*a) for a in args])
+    except Exception:
+        metas = None
+    if metas is None:
+        metas = [_gen_shard(*a) for a in args]
 
-    keep = ~drop
-    idx = idx_all[keep]
-    src_codes = src_codes_all[keep]
-    dirty = dirty_all[keep]
-
-    # --- late rows: earliest indices delivered out-of-band ----------------
-    n_late = int(len(idx) * late_frac)
-    late_sel = np.zeros(len(idx), dtype=bool)
-    late_sel[:n_late] = True
-    meta.n_late = n_late
-
-    # --- duplicates -------------------------------------------------------
-    main_idx = idx[~late_sel]
-    main_src = src_codes[~late_sel]
-    main_dirty = dirty[~late_sel]
-    n_dup = int(len(main_idx) * dup_frac)
-    dup_pos = rng.choice(len(main_idx), size=n_dup, replace=False)
-    meta.n_duplicates = n_dup
-
-    order = np.concatenate([np.arange(len(main_idx)), dup_pos])
-    # dirty count is per EMITTED row (a duplicated dirty row counts twice)
-    meta.n_dirty = int(main_dirty[order].sum()) + int(dirty[late_sel].sum())
-    # deterministic shuffle so duplicates are interleaved, not appended
-    perm = rng.permutation(len(order))
-    order = order[perm]
-
-    shards = np.array_split(np.arange(len(order)), n_files)
-    for i, shard in enumerate(shards):
-        sel = order[shard]
-        tbl = _make_table(main_idx[sel], main_src[sel], main_dirty[sel])
-        path = os.path.join(out_dir, f"part-{i:05d}.parquet")
-        pq.write_table(tbl, path)
-        meta.files.append(path)
-        meta.n_rows_written += len(sel)
-
-    if n_late:
-        tbl = _make_table(idx[late_sel], src_codes[late_sel], dirty[late_sel])
-        path = os.path.join(late_dir, "part-00000.parquet")
-        pq.write_table(tbl, path)
-        meta.late_files.append(path)
-        meta.n_rows_written += n_late
-
-    meta.n_clean = meta.n_rows_written - meta.n_dirty
-    out = meta.__dict__
+    meta = {
+        "n_rows_written": 0, "n_dirty": 0, "n_duplicates": 0,
+        "n_late": 0, "n_gap_dropped": 0,
+    }
+    for m in metas:
+        for k in meta:
+            meta[k] += m[k]
+    meta["n_clean"] = meta["n_rows_written"] - meta["n_dirty"]
+    meta["gap_buckets_us"] = gap_buckets(n_rows, n_gap_buckets)
+    meta["files"] = sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+    meta["late_files"] = sorted(
+        os.path.join(out_dir, "late", f)
+        for f in os.listdir(os.path.join(out_dir, "late"))
+        if f.endswith(".parquet")
+    )
     with open(os.path.join(out_dir, "_gen_meta.json"), "w") as f:
-        json.dump(out, f, indent=1)
-    return out
+        json.dump(meta, f, indent=1)
+    return meta
