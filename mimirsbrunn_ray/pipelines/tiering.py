@@ -85,13 +85,21 @@ def run_tiering_job(
         # pass 0: column-pruned duplicate-key scan (keys move, payloads don't)
         dup_keys = scan_duplicate_keys(input_paths, key="doc_id")
         _mark("dup-scan")
+        from mimirsbrunn_ray.stages.raw_stage import raw_tier
+
         ds = read_sequences(input_paths)
-        ds = validated(ds, counters=counters)
-        if dim_table is not None:
-            ds = enriched(ds, build_dim_ref(dim_table))
         if len(dup_keys) <= 5_000_000:
-            ds = dedup_identical_sparse(ds, dup_keys, key="doc_id", counters=counters)
+            # fused validate+enrich+claim-dedup: one pass, 2 block hops
+            ds = raw_tier(
+                ds,
+                counters=counters,
+                dim_ref=build_dim_ref(dim_table) if dim_table is not None else None,
+                dup_hashes=dup_keys,
+            )
         else:
+            ds = validated(ds, counters=counters)
+            if dim_table is not None:
+                ds = enriched(ds, build_dim_ref(dim_table))
             ds = dedup_exact(
                 ds, key="doc_id", num_buckets=dedup_buckets, counters=counters
             )

@@ -157,7 +157,8 @@ def _gen_shard(
         "n_gap_dropped": n_gap_dropped,
     }
     tbl = _make_table(emit_idx, emit_src, dirty)
-    pq.write_table(tbl, os.path.join(out_dir, f"part-{shard_id:05d}.parquet"))
+    pq.write_table(tbl, os.path.join(out_dir, f"part-{shard_id:05d}.parquet"),
+                   compression="zstd", compression_level=3)
     meta["n_rows_written"] += tbl.num_rows
     meta["n_dirty"] += int(dirty.sum())
     if len(late_idx):
@@ -166,7 +167,8 @@ def _gen_shard(
         ) < dirty_frac
         lt = _make_table(late_idx, late_src, late_dirty)
         pq.write_table(
-            lt, os.path.join(out_dir, "late", f"part-{shard_id:05d}.parquet")
+            lt, os.path.join(out_dir, "late", f"part-{shard_id:05d}.parquet"),
+            compression="zstd", compression_level=3,
         )
         meta["n_rows_written"] += lt.num_rows
         meta["n_dirty"] += int(late_dirty.sum())

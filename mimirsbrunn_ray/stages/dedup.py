@@ -174,49 +174,67 @@ def dedup_identical_sparse(
     dup_arr_ref = ray.put(np.sort(np.asarray(dup_hashes, dtype=np.int64)))
     claimer = ray.remote(num_cpus=0)(ClaimActor).remote()
 
-    class ClaimFilter:
-        def __init__(self):
-            self.dup_hashes = ray.get(dup_arr_ref)  # once per actor
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(self.dup_hashes) == 0:
-                return batch
-            h = _hash64(batch[key]).view(np.int64)
-            pos = np.searchsorted(self.dup_hashes, h)
-            pos = np.clip(pos, 0, len(self.dup_hashes) - 1)
-            in_dup_np = self.dup_hashes[pos] == h
-            if not in_dup_np.any():
-                return batch
-            in_dup = pa.array(in_dup_np)
-            cand = pc.filter(batch[key], in_dup).to_pylist()
-            # drop in-batch later copies locally; only first occurrences claim
-            seen: set = set()
-            first = []
-            for k in cand:
-                if k in seen:
-                    first.append(False)
-                else:
-                    seen.add(k)
-                    first.append(True)
-            firsts = [k for k, f in zip(cand, first) if f]
-            import hashlib
-
-            owner = hashlib.sha1("\x00".join(map(str, cand)).encode()).hexdigest()
-            granted_first = ray.get(claimer.claim.remote(firsts, owner))
-            it = iter(granted_first)
-            granted = [f and next(it) for f in first]
-            keep = np.ones(batch.num_rows, dtype=bool)
-            keep[in_dup_np] = granted
-            dropped = int(len(granted) - sum(granted))
-            if counters is not None and dropped:
-                counters.inc.remote({"rows_deduped": dropped})
-            return batch.filter(pa.array(keep))
-
     from mimirsbrunn_ray.context import pool_size
 
     return ds.map_batches(
-        ClaimFilter,
+        ClaimFilterStage,
+        fn_constructor_kwargs={
+            "dup_ref": dup_arr_ref,
+            "claimer": claimer,
+            "key": key,
+            "counters": counters,
+        },
         batch_format="pyarrow",
         batch_size=None,
         concurrency=(1, pool_size()),
     )
+
+
+class ClaimFilterStage:
+    """The claim-filter as a reusable actor-pool stage (see
+    ``dedup_identical_sparse`` for semantics)."""
+
+    def __init__(self, dup_ref, claimer, key: str, counters=None):
+        import ray
+
+        self.dup_hashes = ray.get(dup_ref)  # once per actor
+        self.claimer = claimer
+        self.key = key
+        self.counters = counters
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        import ray
+
+        if len(self.dup_hashes) == 0:
+            return batch
+        key = self.key
+        h = _hash64(batch[key]).view(np.int64)
+        pos = np.searchsorted(self.dup_hashes, h)
+        pos = np.clip(pos, 0, len(self.dup_hashes) - 1)
+        in_dup_np = self.dup_hashes[pos] == h
+        if not in_dup_np.any():
+            return batch
+        in_dup = pa.array(in_dup_np)
+        cand = pc.filter(batch[key], in_dup).to_pylist()
+        # drop in-batch later copies locally; only first occurrences claim
+        seen: set = set()
+        first = []
+        for k in cand:
+            if k in seen:
+                first.append(False)
+            else:
+                seen.add(k)
+                first.append(True)
+        firsts = [k for k, f in zip(cand, first) if f]
+        owner = hashlib.sha1("\x00".join(map(str, cand)).encode()).hexdigest()
+        granted_first = ray.get(self.claimer.claim.remote(firsts, owner))
+        it = iter(granted_first)
+        granted = [f and next(it) for f in first]
+        keep = np.ones(batch.num_rows, dtype=bool)
+        keep[in_dup_np] = granted
+        dropped = int(len(granted) - sum(granted))
+        if self.counters is not None and dropped:
+            self.counters.inc.remote({"rows_deduped": dropped})
+        return batch.filter(pa.array(keep))

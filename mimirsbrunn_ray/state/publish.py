@@ -95,7 +95,10 @@ class TierStore:
         kwargs = {}
         if partition_cols:
             kwargs["partition_cols"] = partition_cols
-        ds.write_parquet(run_dir, **kwargs)
+        # zstd: ~2x smaller than snappy on token payloads -> halves the IO
+        # bytes per tier at the cost of (parallel) CPU; the right trade for
+        # a 100 TB store and for bandwidth-bound nodes
+        ds.write_parquet(run_dir, compression="zstd", **kwargs)
         if counters is not None and not isinstance(counters, dict):
             counters = totals(counters)
         counters = dict(counters or {})
