@@ -344,3 +344,206 @@ ORACLES = {
     "events_rollup_1h": EVENTS_SQL,
     "orders_per_nation": ORDERS_NATION_SQL,
 }
+
+# ---------------------------------------------------------------------------
+# text analysis (training-data ops): token stats (oracle-checked) and
+# lang-ID/quality/fingerprint features (heuristic -> rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(sf_dir):
+    from mimirsbrunn_ray.stages.text import token_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(token_stats, batch_format="pyarrow", batch_size=None)
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '[^.!,;:?]', '', 'g')) AS BIGINT) AS n_punct
+FROM documents
+"""
+
+
+def q_text_features(sf_dir):
+    from mimirsbrunn_ray.stages.text import text_features
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# stream-shaped: gap sessionization + as-of join over the events log
+# ---------------------------------------------------------------------------
+
+
+def q_sessionize_events(sf_dir):
+    from mimirsbrunn_ray.stages.window import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sessionize(ev, key="user_id", ts_col="ts")
+
+
+SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e GROUP BY user_id
+"""
+
+
+def q_asof_click_error(sf_dir):
+    """Each click joined to the user's most recent preceding error event
+    (the J5 as-of/nearest-lookup graft)."""
+    import pyarrow.parquet as _pq
+
+    from mimirsbrunn_ray.stages.window import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    # small side: error events only, loaded driver-side and broadcast
+    et = _pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    err_df = et.filter(pc.equal(et["event_type"], "error")).to_pandas()[
+        ["user_id", "ts"]
+    ]
+    joined = asof_join(
+        clicks, err_df, key="user_id", ts_col="ts",
+        right_ts_col="ts", out_col="last_error_ts", inner=True,
+    )
+    return joined.select_columns(["event_id", "user_id", "ts", "last_error_ts"])
+
+
+ASOF_SQL = """
+SELECT c.event_id, c.user_id, c.ts, e.ts AS last_error_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND e.ts <= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary (multi-key generic rollup over lineitem)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_pricing(sf_dir):
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            b["l_extendedprice"].cast(pa.float64()),
+            pc.subtract(pa.scalar(1.0), b["l_discount"].cast(pa.float64())),
+        )
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": b["l_quantity"].cast(pa.float64()),
+                "base": b["l_extendedprice"].cast(pa.float64()),
+                "disc_price": disc,
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base", "sum"), ("disc_price", "sum"), ([], "count_all")]
+        )
+        g = g.select(
+            ["l_returnflag", "l_linestatus", "qty_sum", "base_sum",
+             "disc_price_sum", "count_all"]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base", "sum_disc", "n"]
+        )
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_base", "sum"), ("sum_disc", "sum"), ("n", "sum")]
+        )
+        g = g.select(
+            ["l_returnflag", "l_linestatus", "sum_qty_sum", "sum_base_sum",
+             "sum_disc_sum", "n_sum"]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base", "sum_disc", "n"]
+        )
+
+    agg = tree_merge(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None), combine
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        def snap(col):
+            return pc.cast(
+                pc.round(
+                    pc.multiply(col.cast(pa.float64()), 100.0),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": snap(b["sum_qty"]),
+                "sum_base": snap(b["sum_base"]),
+                "sum_disc": snap(b["sum_disc"]),
+                "n": b["n"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity) * 100, 0) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice) * 100, 0) AS BIGINT) AS sum_base,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS sum_disc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+QUERIES.update(
+    {
+        "token_stats": q_token_stats,
+        "text_features": q_text_features,
+        "sessionize_events": q_sessionize_events,
+        "asof_click_error": q_asof_click_error,
+        "lineitem_pricing": q_lineitem_pricing,
+    }
+)
+
+ORACLES.update(
+    {
+        "token_stats": TOKEN_STATS_SQL,
+        "sessionize_events": SESSIONIZE_SQL,
+        "asof_click_error": ASOF_SQL,
+        "lineitem_pricing": LINEITEM_SQL,
+        # "text_features": heuristic (lang-ID/quality) — rows-only check
+    }
+)

@@ -1,0 +1,126 @@
+"""Text analysis for training-data pipelines: token counting, quality
+features, language-ID, document fingerprinting.
+
+These are the target-side generalization of the reference's per-record
+normalizers and label formatters (pure scalar functions in the map path,
+/root/reference/src/labels.rs, src/utils.rs:37-53) — every operator is a
+vectorized ``map_batches`` stage; the language-ID stage is an actor pool
+(compiled regexes + stopword tables built once per actor, the ST1 pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+# Minimal public stopword lists (top function words) per language.
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that"},
+    "de": {"der", "die", "und", "das", "ist", "du", "ich", "nicht", "ein", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "est", "un", "une", "que", "pas"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "es", "no"},
+}
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized word/char/punct counts.
+
+    Kept in lockstep with the SQL oracle: words = split on a single space
+    (DuckDB string_split(text, ' ')), punct = chars in [.!,;:?].
+    """
+    text = batch[text_col]
+    n_words = pc.list_value_length(pc.split_pattern(text, pattern=" ")).cast(
+        pa.int64()
+    )
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_punct = pc.count_substring_regex(text, pattern=r"[.!,;:?]").cast(pa.int64())
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": n_words,
+            "n_chars": n_chars,
+            "n_punct": n_punct,
+        }
+    )
+
+
+class LangIdQuality:
+    """Actor-pool stage: n-gram/stopword language ID + quality score +
+    64-bit rolling-hash fingerprint per document.
+
+    Setup (stopword lookup, compiled regex) happens once per actor.
+    Heuristic (deterministic): CJK codepoints -> "zh"; else argmax stopword
+    hit-ratio over the tables above; ties/no-hits -> "und".
+    Quality score in [0,1]: blend of word count, mean word length sanity,
+    punct ratio and stopword ratio (the weight-blend idiom of
+    /root/reference/src/stops.rs:72-88).
+    """
+
+    def __init__(self):
+        import re
+
+        self.word_re = re.compile(r"[a-zA-Z']+")
+        self.cjk_re = re.compile(r"[一-鿿]")
+        self.tables = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+
+    def _fingerprint(self, words: list) -> int:
+        # polynomial rolling hash (Rabin-Karp) over words, 64-bit.
+        # zlib.crc32 is process-independent (Python's hash() is salted).
+        import zlib
+
+        h = 1469598103934665603
+        for w in words:
+            h = (h * 1099511628211) & ((1 << 64) - 1)
+            h ^= zlib.crc32(w.encode("utf-8"))
+        return h & ((1 << 63) - 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs, scores, fps = [], [], []
+        for t in texts:
+            t = t or ""
+            if self.cjk_re.search(t):
+                langs.append("zh")
+                words = self.word_re.findall(t.lower())
+            else:
+                words = self.word_re.findall(t.lower())
+                best, best_ratio = "und", 0.0
+                for lang, table in self.tables.items():
+                    hits = sum(1 for w in words if w in table)
+                    ratio = hits / max(1, len(words))
+                    if ratio > best_ratio:
+                        best, best_ratio = lang, ratio
+                langs.append(best if best_ratio > 0.02 else "und")
+            n = len(words)
+            mean_len = (sum(map(len, words)) / n) if n else 0.0
+            punct = sum(t.count(c) for c in ".!,;:?")
+            stop = sum(1 for w in words if w in self.tables["en"])
+            q = (
+                min(1.0, n / 50.0) * 0.4
+                + (1.0 if 2.0 <= mean_len <= 12.0 else 0.3) * 0.3
+                + min(1.0, 4.0 * punct / max(1, n)) * 0.1
+                + min(1.0, 4.0 * stop / max(1, n)) * 0.2
+            )
+            scores.append(q)
+            fps.append(self._fingerprint(words))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(langs, type=pa.string()),
+                "quality": pa.array(np.round(scores, 6)),
+                "fingerprint": pa.array(fps, type=pa.int64()),
+            }
+        )
+
+
+def text_features(ds: "rd.Dataset", concurrency=None) -> "rd.Dataset":
+    from mimirsbrunn_ray.context import pool_size
+
+    return ds.map_batches(
+        LangIdQuality,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency if concurrency is not None else (1, pool_size()),
+    )

@@ -66,6 +66,8 @@ def test_every_query_has_an_oracle(registry):
         "rollup_1m", "rollup_1h", "rollup_1d", "raw_passthrough",
         "gapfill_locf_1m", "topk_sources", "weight_normalized_sources",
         "dedup_exact_documents", "events_rollup_1h", "orders_per_nation",
+        "token_stats", "sessionize_events", "asof_click_error",
+        "lineitem_pricing",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
