@@ -547,3 +547,155 @@ ORACLES.update(
         # "text_features": heuristic (lang-ID/quality) — rows-only check
     }
 )
+
+# ---------------------------------------------------------------------------
+# similarity search + near-dup (training-data ops over `embeddings`/`documents`)
+# ---------------------------------------------------------------------------
+
+KNN_QUERY_IDS = [0, 1, 2]
+KNN_K = 10
+
+
+def _query_vectors(sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import numpy as np
+
+    want = {q: i for i, q in enumerate(KNN_QUERY_IDS)}
+    vecs = [None] * len(KNN_QUERY_IDS)
+    ids = t["vec_id"].to_pylist()
+    embs = t["embedding"].to_pylist()
+    for i, v in enumerate(ids):
+        if v in want:
+            vecs[want[v]] = np.asarray(embs[i], dtype=np.float64)
+    return np.stack(vecs)
+
+
+def q_knn_bruteforce(sf_dir):
+    from mimirsbrunn_ray.stages.similarity import knn_bruteforce
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = knn_bruteforce(emb, _query_vectors(sf_dir), k=KNN_K)
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
+KNN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({', '.join(map(str, KNN_QUERY_IDS))})
+)
+SELECT CAST(q.qid AS INTEGER) AS query_id, e.vec_id,
+       ROUND(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS cosine
+FROM embeddings e, q
+QUALIFY row_number() OVER (
+    PARTITION BY q.qid
+    ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+) <= {KNN_K}
+"""
+
+
+def q_knn_ivf(sf_dir):
+    """Approximate ANN (IVF) — recall checked in pytest, rows-only here."""
+    import numpy as np
+
+    from mimirsbrunn_ray.stages.similarity import fit_ivf_centroids, knn_ivf
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()[:2000]]
+    )
+    cents = fit_ivf_centroids(sample, n_clusters=8)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return knn_ivf(emb, _query_vectors(sf_dir), cents, k=KNN_K, nprobe=3)
+
+
+def q_simhash_signatures(sf_dir):
+    """Deterministic 64-bit SimHash per document (near-dup primitive) —
+    not SQL-expressible, rows-only check."""
+    from mimirsbrunn_ray.stages.neardup import simhash_signatures
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_signatures(docs)
+
+
+def q_minhash_clusters(sf_dir):
+    """MinHash-LSH near-dup clusters (doc_id -> min-id cluster rep)."""
+    from mimirsbrunn_ray.stages.neardup import minhash_lsh_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(docs, threshold=0.8)
+
+
+def q_embedding_stats(sf_dir):
+    """Per-label count + snapped sum of L2 norms (vector column aggregate)."""
+    import numpy as np
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in b["embedding"].to_pylist()]
+        )
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        t = pa.table({"label": b["label"], "norm": pa.array(norms)})
+        g = t.group_by(["label"]).aggregate([("norm", "sum"), ("norm", "count")])
+        g = g.select(["label", "norm_sum", "norm_count"])
+        return g.rename_columns(["label", "sum_norm", "n"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["label"]).aggregate([("sum_norm", "sum"), ("n", "sum")])
+        g = g.select(["label", "sum_norm_sum", "n_sum"])
+        return g.rename_columns(["label", "sum_norm", "n"])
+
+    agg = tree_merge(
+        emb.map_batches(partial, batch_format="pyarrow", batch_size=None), combine
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": b["label"].cast(pa.int32()),
+                "n": b["n"].cast(pa.int64()),
+                "sum_norm_x1e4": pc.cast(
+                    pc.round(
+                        pc.multiply(b["sum_norm"].cast(pa.float64()), 10000.0),
+                        ndigits=0, round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+EMBED_STATS_SQL = """
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum'))) * 10000, 0) AS BIGINT)
+           AS sum_norm_x1e4
+FROM embeddings GROUP BY label
+"""
+
+QUERIES.update(
+    {
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
+        "simhash_signatures": q_simhash_signatures,
+        "minhash_clusters": q_minhash_clusters,
+        "embedding_stats": q_embedding_stats,
+    }
+)
+
+ORACLES.update(
+    {
+        "knn_bruteforce": KNN_SQL,
+        "embedding_stats": EMBED_STATS_SQL,
+        # knn_ivf / simhash / minhash: approximate or non-SQL -> rows-only
+    }
+)

@@ -1,0 +1,186 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k is the exact baseline: a broadcast query matrix
+(ray.put once, resolved once per actor) with one numpy matmul per batch and
+a per-batch partial top-k, merged by tree-reduction — the same
+partial+final aggregate shape as the rollups. IVF is the scale path: a
+deterministic mini-kmeans coarse quantizer fit on a sample; each batch
+searches only the ``nprobe`` nearest inverted lists.
+
+(The reference's nearest-neighbor analog is the reverse-geocode top-1
+proximity query, /root/reference/libs/mimir/src/rubber.rs:513-547.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1, n)
+
+
+def knn_bruteforce(
+    emb: "rd.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=None,
+) -> pd.DataFrame:
+    """Exact cosine top-k for each query row.
+
+    Returns (query_id, vec_id, cosine) with exactly k rows per query,
+    deterministic tie-break by vec_id ascending.
+    """
+    import ray
+
+    from mimirsbrunn_ray.context import pool_size
+
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q_unit)
+
+    class PartialTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)  # once per actor
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vecs = _unit(_to_matrix(b[vec_col]))
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            sims = vecs @ self.q.T  # (n, nq)
+            nq = sims.shape[1]
+            kk = min(k, sims.shape[0])
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(nq):
+                s = sims[:, qi]
+                top = np.argpartition(-s, kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(ids[top])
+                out_sim.extend(s[top])
+            return pa.table(
+                {
+                    "query_id": pa.array(np.asarray(out_q, dtype=np.int32)),
+                    id_col: pa.array(np.asarray(out_id)),
+                    "cosine": pa.array(np.asarray(out_sim, dtype=np.float64)),
+                }
+            )
+
+    def merge_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(
+            ["query_id", "cosine", id_col], ascending=[True, False, True]
+        )
+        df = df.groupby("query_id", sort=True).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    partials = emb.map_batches(
+        PartialTopK,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency if concurrency is not None else (1, pool_size()),
+    )
+    merged = tree_merge(partials, merge_topk)
+    out = merged.to_pandas()
+    out["cosine"] = np.round(out["cosine"], 6)
+    return out.reset_index(drop=True)
+
+
+def fit_ivf_centroids(
+    sample: np.ndarray, n_clusters: int = 16, iters: int = 10, seed: int = 5
+) -> np.ndarray:
+    """Deterministic mini-kmeans (numpy, fixed seed/iters) on unit vectors."""
+    rng = np.random.default_rng(seed)
+    x = _unit(np.asarray(sample, dtype=np.float64))
+    centroids = x[rng.choice(len(x), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(n_clusters):
+            m = x[assign == c]
+            if len(m):
+                centroids[c] = m.mean(axis=0)
+        centroids = _unit(centroids)
+    return centroids
+
+
+def knn_ivf(
+    emb: "rd.Dataset",
+    queries: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF approximate top-k: batches keep only vectors whose nearest
+    centroid is among each query's ``nprobe`` closest lists, then run the
+    exact kernel on the survivors. Same output shape as knn_bruteforce."""
+    import ray
+
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    allowed = [set(row.tolist()) for row in probe]
+    cent_ref = ray.put(centroids)
+    q_ref = ray.put(q_unit)
+    allowed_ref = ray.put(allowed)
+
+    class IVFPartial:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.q = ray.get(q_ref)
+            self.allowed = ray.get(allowed_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vecs = _unit(_to_matrix(b[vec_col]))
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            lists = np.argmax(vecs @ self.cent.T, axis=1)
+            sims = vecs @ self.q.T
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(sims.shape[1]):
+                mask = np.isin(lists, list(self.allowed[qi]))
+                if not mask.any():
+                    continue
+                s = sims[mask, qi]
+                sel_ids = ids[mask]
+                kk = min(k, len(s))
+                top = np.argpartition(-s, kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(sel_ids[top])
+                out_sim.extend(s[top])
+            return pa.table(
+                {
+                    "query_id": pa.array(np.asarray(out_q, dtype=np.int32)),
+                    id_col: pa.array(
+                        np.asarray(out_id, dtype=np.int64)
+                        if len(out_id)
+                        else np.array([], dtype=np.int64)
+                    ),
+                    "cosine": pa.array(np.asarray(out_sim, dtype=np.float64)),
+                }
+            )
+
+    def merge_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(
+            ["query_id", "cosine", id_col], ascending=[True, False, True]
+        )
+        df = df.groupby("query_id", sort=True).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    partials = emb.map_batches(
+        IVFPartial, batch_format="pyarrow", batch_size=None, concurrency=(1, 8)
+    )
+    out = tree_merge(partials, merge_topk).to_pandas()
+    out["cosine"] = np.round(out["cosine"], 6)
+    return out.reset_index(drop=True)

@@ -67,7 +67,7 @@ def test_every_query_has_an_oracle(registry):
         "gapfill_locf_1m", "topk_sources", "weight_normalized_sources",
         "dedup_exact_documents", "events_rollup_1h", "orders_per_nation",
         "token_stats", "sessionize_events", "asof_click_error",
-        "lineitem_pricing",
+        "lineitem_pricing", "knn_bruteforce", "embedding_stats",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
