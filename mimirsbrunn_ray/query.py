@@ -1,0 +1,128 @@
+"""Read API over published tiers — the bragi query-layer graft.
+
+Route mapping (SURVEY.md §2.10):
+  /autocomplete  -> ``top_k``: tier scan with predicate pushdown + top-k
+  /reverse       -> ``as_of``: the bucket covering a timestamp (backward
+                    fill to the nearest earlier bucket, top-1 proximity)
+  /features/{id} -> ``lookup_id``: exact key lookup, None if absent
+  /status        -> ``status``: manifest counters per tier
+
+All reads go through LATEST.json -> a fully committed run dir (the alias
+indirection, /root/reference/libs/mimir/src/rubber.rs:254-300), with
+column pruning and parquet row-group predicate pushdown at the read.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from mimirsbrunn_ray.functions.timeutil import BUCKET_US, trunc_us
+from mimirsbrunn_ray.state.manifest import read_manifest
+from mimirsbrunn_ray.state.publish import TierStore
+
+
+def _tier_dataset(store: TierStore, tier: str) -> "pads.Dataset":
+    return pads.dataset(store.latest_data_paths(tier))
+
+
+def top_k(
+    store: TierStore,
+    tier: str = "1m",
+    metric: str = "sum_tok",
+    k: int = 10,
+    source: str | None = None,
+    descending: bool = True,
+) -> pd.DataFrame:
+    """Top-k buckets by a metric (default page size 10 like bragi's
+    autocomplete limit, /root/reference/libs/bragi/src/routes/autocomplete.rs:56-58)."""
+    filt = pc.field("filled") == False  # noqa: E712 — pushdown expression
+    if source is not None:
+        filt = filt & (pc.field("source") == source)
+    tbl = _tier_dataset(store, tier).to_table(
+        columns=["source", "bucket", metric, "n_rows"], filter=filt
+    )
+    df = tbl.to_pandas().sort_values(
+        [metric, "source", "bucket"], ascending=[not descending, True, True]
+    )
+    return df.head(k).reset_index(drop=True)
+
+
+def lookup_id(store: TierStore, doc_id: str) -> dict | None:
+    """Exact-id lookup in the raw tier (features/{id}; 404 -> None)."""
+    tbl = _tier_dataset(store, "raw").to_table(
+        filter=pc.field("doc_id") == doc_id
+    )
+    if tbl.num_rows == 0:
+        return None
+    return tbl.slice(0, 1).to_pylist()[0]
+
+
+def as_of(
+    store: TierStore, source: str, ts_us: int, tier: str = "1m"
+) -> dict | None:
+    """The rollup row whose bucket covers ``ts_us`` for ``source``; if that
+    bucket is absent, the nearest EARLIER bucket (reverse-geocode top-1 /
+    LOCF semantics)."""
+    import numpy as np
+
+    bucket_us = int(trunc_us(np.array([ts_us]), _gran_of(tier))[0])
+    tbl = _tier_dataset(store, tier).to_table(
+        filter=(pc.field("source") == source)
+    )
+    if tbl.num_rows == 0:
+        return None
+    b = tbl["bucket"].cast("int64").to_numpy(zero_copy_only=False)
+    mask = b <= bucket_us
+    if not mask.any():
+        return None
+    idx = int(np.argmax(np.where(mask, b, np.iinfo("int64").min)))
+    return tbl.slice(idx, 1).to_pylist()[0]
+
+
+def _gran_of(tier: str) -> str:
+    assert tier in BUCKET_US
+    return tier
+
+
+def status(store: TierStore, tiers=("raw", "1m", "1h", "1d", "compressed")) -> dict:
+    """Run-manifest counters per tier (the /status + /metrics analog)."""
+    out = {}
+    for tier in tiers:
+        run_dir = store.latest_run_dir(tier)
+        if run_dir is None:
+            out[tier] = {"committed": False}
+            continue
+        m = read_manifest(run_dir)
+        out[tier] = {
+            "committed": m["committed"],
+            "run_id": m["run_id"],
+            "rows_out": m["rows_out"],
+            "bytes_out": m["bytes_out"],
+            "counters": m.get("counters", {}),
+        }
+    return out
+
+
+def decompressed_series(store: TierStore, source: str) -> pd.DataFrame:
+    """Decode the compressed tier back to (bucket, value) — query-side proof
+    that the Gorilla/DoD blocks are self-sufficient."""
+    import numpy as np
+
+    from mimirsbrunn_ray.stages.compress import decompress_block
+
+    tbl = _tier_dataset(store, "compressed").to_table(
+        filter=pc.field("source") == source
+    )
+    ts_all, vals_all = [], []
+    for row in tbl.to_pylist():
+        ts, vals = decompress_block(row["ts_dod"], row["val_gorilla"])
+        ts_all.append(ts)
+        vals_all.append(vals)
+    if not ts_all:
+        return pd.DataFrame(columns=["bucket_us", "value"])
+    ts = np.concatenate(ts_all)
+    vals = np.concatenate(vals_all)
+    order = np.argsort(ts, kind="stable")
+    return pd.DataFrame({"bucket_us": ts[order], "value": vals[order]})

@@ -52,14 +52,25 @@ class TierStore:
         latest = self.latest(tier)
         return latest["run_dir"] if latest else None
 
+    def latest_segments(self, tier: str) -> list[str]:
+        """Run dirs whose union IS the tier (additive segments — a late
+        merge appends a segment instead of rewriting petabytes)."""
+        latest = self.latest(tier)
+        if latest is None:
+            return []
+        return latest.get("segments") or [latest["run_dir"]]
+
     def latest_data_paths(self, tier: str) -> list[str]:
         """Parquet files of the latest committed run (for the next tier's
         read — the reference's read-own-published-index pattern, S9)."""
-        run_dir = self.latest_run_dir(tier)
-        if run_dir is None:
+        segments = self.latest_segments(tier)
+        if not segments:
             raise FileNotFoundError(f"no committed run for tier {tier!r}")
-        m = read_manifest(run_dir)
-        return [os.path.join(run_dir, p["key"]) for p in m["partitions"]]
+        out = []
+        for seg in segments:
+            m = read_manifest(seg)
+            out.extend(os.path.join(seg, p["key"]) for p in m["partitions"])
+        return out
 
     def is_run_committed(self, tier: str, run_id: str) -> bool:
         latest = self.latest(tier)
@@ -80,6 +91,7 @@ class TierStore:
         partition_cols: list[str] | None = None,
         max_dropped: int | None = None,
         keep_runs: int = 2,
+        append_segment: bool = False,
     ) -> str:
         """Write ds -> run dir, commit manifest, swap LATEST atomically.
 
@@ -119,16 +131,28 @@ class TierStore:
             previous_run=(previous or {}).get("run_id"),
             committed=True,
         )
-        self._swap_latest(tier, run_id, run_dir)
+        segments = [run_dir]
+        if append_segment:
+            segments = self.latest_segments(tier) + [run_dir]
+        self._swap_latest(tier, run_id, run_dir, segments)
         self.cleanup_ghosts(tier, keep_runs=keep_runs)
         return run_dir
 
-    def _swap_latest(self, tier: str, run_id: str, run_dir: str) -> None:
+    def _swap_latest(
+        self, tier: str, run_id: str, run_dir: str, segments: list[str] | None = None
+    ) -> None:
         tier_dir = self.tier_dir(tier)
         os.makedirs(tier_dir, exist_ok=True)
         tmp = os.path.join(tier_dir, LATEST_NAME + ".tmp")
         with open(tmp, "w") as f:
-            json.dump({"run_id": run_id, "run_dir": run_dir}, f)
+            json.dump(
+                {
+                    "run_id": run_id,
+                    "run_dir": run_dir,
+                    "segments": segments or [run_dir],
+                },
+                f,
+            )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(tier_dir, LATEST_NAME))
@@ -141,6 +165,7 @@ class TierStore:
             return []
         latest = self.latest(tier)
         latest_dir = latest["run_dir"] if latest else None
+        protected = set(self.latest_segments(tier))  # segments stay live
         runs = sorted(
             d
             for d in os.listdir(tier_dir)
@@ -150,7 +175,7 @@ class TierStore:
         committed = []
         for d in runs:
             full = os.path.join(tier_dir, d)
-            if full == latest_dir:
+            if full == latest_dir or full in protected:
                 committed.append(full)
                 continue
             if not is_committed(full):
@@ -158,8 +183,11 @@ class TierStore:
                 removed.append(full)
             else:
                 committed.append(full)
-        # retention: keep newest `keep_runs` committed dirs (incl. latest)
-        excess = [d for d in committed if d != latest_dir][: max(0, len(committed) - keep_runs)]
+        # retention: keep newest `keep_runs` committed dirs (incl. latest);
+        # never a live segment
+        excess = [d for d in committed if d != latest_dir and d not in protected][
+            : max(0, len(committed) - keep_runs)
+        ]
         for full in excess:
             shutil.rmtree(full)
             removed.append(full)

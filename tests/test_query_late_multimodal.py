@@ -1,0 +1,135 @@
+"""Query layer over published tiers, late-data merge, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mimirsbrunn_ray.functions.timeutil import EPOCH0_US
+from mimirsbrunn_ray.state.publish import TierStore
+
+
+@pytest.fixture(scope="module")
+def store(tier_root):
+    return TierStore(tier_root)
+
+
+def test_top_k(store):
+    from mimirsbrunn_ray.query import top_k
+
+    df = top_k(store, tier="1m", metric="sum_tok", k=5)
+    assert len(df) == 5
+    assert df["sum_tok"].is_monotonic_decreasing
+    one = top_k(store, tier="1m", k=3, source="web")
+    assert set(one["source"]) == {"web"}
+
+
+def test_lookup_id(store, corpus):
+    import pyarrow.parquet as pq
+
+    from mimirsbrunn_ray.query import lookup_id
+
+    some_id = pq.read_table(corpus["main_paths"][0])["doc_id"][0].as_py()
+    row = lookup_id(store, some_id)
+    assert row is not None and row["doc_id"] == some_id
+    assert lookup_id(store, "doc-nope-0000000000") is None  # the 404 path
+
+
+def test_as_of(store):
+    from mimirsbrunn_ray.query import as_of
+
+    hit = as_of(store, "web", EPOCH0_US + 10 * 60_000_000)
+    assert hit is not None and hit["source"] == "web"
+    assert as_of(store, "web", EPOCH0_US - 1) is None  # before first bucket
+
+
+def test_status(store):
+    from mimirsbrunn_ray.query import status
+
+    st = status(store)
+    assert st["raw"]["committed"] and st["1m"]["committed"]
+    assert st["raw"]["counters"]["rows_dropped_dirty"] > 0
+
+
+def test_decompressed_series_matches_1m(store):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mimirsbrunn_ray.query import decompressed_series
+
+    df = decompressed_series(store, "code")
+    t1m = pd.concat(
+        pq.read_table(f).to_pandas()
+        for f in glob.glob(os.path.join(store.latest_run_dir("1m"), "*.parquet"))
+    )
+    ref = t1m[t1m["source"] == "code"].sort_values("bucket")
+    assert len(df) == len(ref)
+    assert np.array_equal(df["value"].to_numpy(),
+                          ref["sum_tok"].to_numpy().astype(np.float64))
+
+
+def test_late_merge_is_exact_and_append_only(ray_session, corpus, tmp_path):
+    """After merging the late/ shard, every tier equals a from-scratch run
+    over (main + late) — and the raw tier was appended, not rewritten."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mimirsbrunn_ray.pipelines.late import merge_late_data
+    from mimirsbrunn_ray.pipelines.tiering import run_tiering_job
+    from tests import oracle
+
+    root = str(tmp_path / "tiers")
+    run_tiering_job(corpus["main_paths"], root, "r0")
+    store = TierStore(root)
+    raw_files_before = set(store.latest_data_paths("raw"))
+
+    late_paths = corpus["late_files"]
+    assert late_paths, "generator must plant late files"
+    merge_late_data(late_paths, root, "r1")
+
+    # append-only: all previous raw files still referenced verbatim
+    raw_after = set(store.latest_data_paths("raw"))
+    assert raw_files_before <= raw_after
+    assert len(store.latest_segments("raw")) == 2
+
+    # exactness: 1m tier == oracle over main+late
+    clean = oracle.load_clean(corpus["main_paths"] + late_paths)
+    exp = oracle.rollup(clean, "1m")
+    got = pd.concat(
+        pq.read_table(f).to_pandas()
+        for f in glob.glob(os.path.join(store.latest_run_dir("1m"), "*.parquet"))
+    )
+    got = got[~got["filled"]].copy()
+    got["bucket_us"] = got["bucket"].astype("datetime64[us]").astype(np.int64)
+    got = got.sort_values(["source", "bucket_us"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ("n_rows", "sum_tok", "min_tok", "max_tok"):
+        assert np.array_equal(
+            got[c].to_numpy().astype(np.int64), exp[c].to_numpy().astype(np.int64)
+        ), c
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.multimodal import (
+        FEATURE_DIM,
+        MediaDecoder,
+        decode_media,
+        synth_media_table,
+    )
+
+    tbl = synth_media_table(50)
+    out = decode_media(rd.from_arrow(tbl), impl="fake", batch_size=16).to_pandas()
+    assert len(out) == 50
+    assert all(len(f) == FEATURE_DIM for f in out["features"])
+    # deterministic: same payload -> same features
+    d = MediaDecoder()
+    f1 = d(tbl.slice(0, 1))["features"][0].as_py()
+    f2 = d(tbl.slice(0, 1))["features"][0].as_py()
+    assert f1 == f2
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(impl="pillow")
