@@ -1,0 +1,127 @@
+"""CLI entry points — the analog of the reference's importer binaries
+(bano2mimir / osm2mimir / ... share one launch harness,
+/root/reference/src/utils.rs:74-100). One process owns the Ray session;
+subcommands compose the library.
+
+  python -m mimirsbrunn_ray.cli generate  --out DIR --rows N [--files K]
+  python -m mimirsbrunn_ray.cli tier      --input GLOB --out ROOT --run-id ID
+  python -m mimirsbrunn_ray.cli merge-late --input GLOB --out ROOT --run-id ID
+  python -m mimirsbrunn_ray.cli query     --root ROOT (top-k|lookup|as-of|status) ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _ray_session(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from mimirsbrunn_ray.context import quiet_data_context
+
+    quiet_data_context()
+    return ray
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="mimirsbrunn_ray")
+    p.add_argument("--num-cpus", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a deterministic synthetic corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--files", type=int, default=8)
+    g.add_argument("--seed", type=int, default=42)
+
+    t = sub.add_parser("tier", help="run the full tier chain (resumable)")
+    t.add_argument("--input", required=True, help="parquet path or glob")
+    t.add_argument("--out", required=True)
+    t.add_argument("--run-id", required=True)
+    t.add_argument("--gap-policy", default="locf", choices=["locf", "linear"])
+    t.add_argument("--max-dropped", type=int, default=None)
+
+    m = sub.add_parser("merge-late", help="fold late rows into published tiers")
+    m.add_argument("--input", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--run-id", required=True)
+
+    q = sub.add_parser("query", help="read API over published tiers")
+    q.add_argument("--root", required=True)
+    q.add_argument("action", choices=["top-k", "lookup", "as-of", "status"])
+    q.add_argument("--tier", default="1m")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--source")
+    q.add_argument("--doc-id")
+    q.add_argument("--ts-us", type=int)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "generate":
+        ray = _ray_session(args.num_cpus)
+        from mimirsbrunn_ray.sources.synth import generate_sequences
+
+        meta = generate_sequences(args.out, args.rows, n_files=args.files,
+                                  seed=args.seed)
+        print(json.dumps({k: v for k, v in meta.items()
+                          if not isinstance(v, list)}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "tier":
+        ray = _ray_session(args.num_cpus)
+        from mimirsbrunn_ray.pipelines.tiering import run_tiering_job
+
+        paths = sorted(glob.glob(args.input))
+        summary = run_tiering_job(paths, args.out, args.run_id,
+                                  gap_policy=args.gap_policy,
+                                  max_dropped=args.max_dropped)
+        print(json.dumps(summary))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "merge-late":
+        ray = _ray_session(args.num_cpus)
+        from mimirsbrunn_ray.pipelines.late import merge_late_data
+
+        paths = sorted(glob.glob(args.input))
+        summary = merge_late_data(paths, args.out, args.run_id)
+        print(json.dumps(summary))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "query":
+        from mimirsbrunn_ray.query import as_of, lookup_id, status, top_k
+        from mimirsbrunn_ray.state.publish import TierStore
+
+        store = TierStore(args.root)
+        if args.action == "top-k":
+            print(top_k(store, tier=args.tier, k=args.k,
+                        source=args.source).to_json(orient="records"))
+        elif args.action == "lookup":
+            row = lookup_id(store, args.doc_id)
+            print(json.dumps({"found": row is not None,
+                              "doc_id": args.doc_id}))
+        elif args.action == "as-of":
+            hit = as_of(store, args.source, args.ts_us, tier=args.tier)
+            print(json.dumps(hit, default=str))
+        else:
+            print(json.dumps(status(store), default=str))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""Salted two-stage aggregate equals the combiner path; CLI smoke."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_salt_plan():
+    from mimirsbrunn_ray.stages.salt import salt_plan
+
+    plan = salt_plan({"web": 800, "misc": 100, "code": 100}, hot_frac=0.2)
+    assert plan["web"] > 1  # hot source fans out
+    assert plan["misc"] == 1 and plan["code"] == 1
+
+
+def test_salted_rollup_equals_combiner_rollup(ray_session, corpus):
+    import ray.data as rd
+
+    from mimirsbrunn_ray.sources.ingest import validated
+    from mimirsbrunn_ray.stages.rollup import rollup
+    from mimirsbrunn_ray.stages.salt import salt_plan, salted_rollup_1m
+
+    ds = validated(rd.read_parquet(corpus["main_paths"][:2]))
+    plan = salt_plan({"web": 40, "code": 20, "books": 12, "wiki": 8,
+                      "news": 7, "forum": 5, "social": 5, "misc": 3})
+    a = salted_rollup_1m(ds, plan).to_pandas()
+    b = rollup(ds, "1m", from_tier="raw").to_pandas()
+    key = ["source", "bucket"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ("n_rows", "sum_tok", "min_tok", "max_tok"):
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
+
+
+def test_cli_end_to_end(tmp_path):
+    """generate -> tier -> query in subprocesses (fresh Ray sessions)."""
+    corpus = str(tmp_path / "corpus")
+    root = str(tmp_path / "tiers")
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "mimirsbrunn_ray.cli", "--num-cpus", "4", *args],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout.strip().splitlines()[-1]
+
+    meta = json.loads(run("generate", "--out", corpus, "--rows", "3000",
+                          "--files", "2"))
+    assert meta["n_rows_written"] > 0
+    summary = json.loads(run("tier", "--input", f"{corpus}/part-*.parquet",
+                             "--out", root, "--run-id", "cli-run"))
+    assert "compressed" in summary["tiers"]
+    st = json.loads(run("query", "--root", root, "status"))
+    assert st["1d"]["committed"]
