@@ -699,3 +699,104 @@ ORACLES.update(
         # knn_ivf / simhash / minhash: approximate or non-SQL -> rows-only
     }
 )
+
+# ---------------------------------------------------------------------------
+# big-big hash join (J4 graft: the reference's only large-large self-join,
+# OSM ways <- nodes by id) + distinct (set op)
+# ---------------------------------------------------------------------------
+
+
+def q_order_priority_revenue(sf_dir):
+    """lineitem JOIN orders on orderkey (both sides large -> Ray's
+    hash-partitioned Dataset.join), then revenue per order priority."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"].cast(pa.float64()),
+            pc.subtract(pa.scalar(1.0), b["l_discount"].cast(pa.float64())),
+        )
+        t = pa.table({"o_orderpriority": b["o_orderpriority"], "rev": rev})
+        g = t.group_by(["o_orderpriority"]).aggregate(
+            [("rev", "sum"), ([], "count_all")]
+        )
+        g = g.select(["o_orderpriority", "rev_sum", "count_all"])
+        return g.rename_columns(["o_orderpriority", "revenue", "n_items"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_orderpriority"]).aggregate(
+            [("revenue", "sum"), ("n_items", "sum")]
+        )
+        g = g.select(["o_orderpriority", "revenue_sum", "n_items_sum"])
+        return g.rename_columns(["o_orderpriority", "revenue", "n_items"])
+
+    agg = tree_merge(
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None), combine
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "revenue": pc.cast(
+                    pc.round(pc.multiply(b["revenue"].cast(pa.float64()), 100.0),
+                             ndigits=0, round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+                "n_items": b["n_items"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)
+           AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_distinct_sources(sf_dir):
+    """DISTINCT as partial per-batch unique + tree merge (no sort shuffle)."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+
+    def uniq(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source"]).aggregate([])
+        return g.select(["source"])
+
+    return tree_merge(docs.map_batches(uniq, batch_format="pyarrow",
+                                       batch_size=None), uniq)
+
+
+DISTINCT_SQL = "SELECT DISTINCT source FROM documents"
+
+QUERIES.update(
+    {
+        "order_priority_revenue": q_order_priority_revenue,
+        "distinct_sources": q_distinct_sources,
+    }
+)
+ORACLES.update(
+    {
+        "order_priority_revenue": ORDER_PRIORITY_SQL,
+        "distinct_sources": DISTINCT_SQL,
+    }
+)

@@ -68,6 +68,7 @@ def test_every_query_has_an_oracle(registry):
         "dedup_exact_documents", "events_rollup_1h", "orders_per_nation",
         "token_stats", "sessionize_events", "asof_click_error",
         "lineitem_pricing", "knn_bruteforce", "embedding_stats",
+        "order_priority_revenue", "distinct_sources",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
