@@ -98,19 +98,24 @@ def encode_dod(ts: np.ndarray) -> bytes:
     return w.getvalue()
 
 
+def _wrap64(v: int) -> int:
+    """Two's-complement wrap into int64 — deltas between extreme int64
+    timestamps exceed the int64 range; encode and decode both work mod 2^64."""
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def decode_dod(data: bytes) -> np.ndarray:
     r = BitReader(data)
     n = r.read(32)
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out
-    first = r.read(64)
-    out[0] = first - (1 << 64) if first >= (1 << 63) else first
+    out[0] = _wrap64(r.read(64))
     if n == 1:
         return out
-    d0 = r.read(64)
-    delta = d0 - (1 << 64) if d0 >= (1 << 63) else d0
-    out[1] = out[0] + delta
+    delta = _wrap64(r.read(64))
+    out[1] = _wrap64(int(out[0]) + delta)
     for i in range(2, n):
         if r.read(1) == 0:
             dod = 0
@@ -122,14 +127,13 @@ def decode_dod(data: bytes) -> np.ndarray:
             elif r.read(1) == 0:
                 bound, bits = 2047, 12
             else:
-                raw = r.read(64)
-                dod = raw - (1 << 64) if raw >= (1 << 63) else raw
-                delta += dod
-                out[i] = out[i - 1] + delta
+                dod = _wrap64(r.read(64))
+                delta = _wrap64(delta + dod)
+                out[i] = _wrap64(int(out[i - 1]) + delta)
                 continue
             dod = r.read(bits) - bound
-        delta += dod
-        out[i] = out[i - 1] + delta
+        delta = _wrap64(delta + dod)
+        out[i] = _wrap64(int(out[i - 1]) + delta)
     return out
 
 

@@ -800,3 +800,71 @@ ORACLES.update(
         "distinct_sources": DISTINCT_SQL,
     }
 )
+
+# ---------------------------------------------------------------------------
+# config-driven rule classifier (M7 graft) + label formatting (M13 graft)
+# ---------------------------------------------------------------------------
+
+DOC_RULES = [
+    {"category": "long_en", "all": [
+        {"col": "lang", "op": "==", "value": "en"},
+        {"col": "n_chars", "op": ">=", "value": 300},
+    ]},
+    {"category": "cjk", "all": [{"col": "lang", "op": "==", "value": "zh"}]},
+    {"category": "euro", "all": [
+        {"col": "lang", "op": "in", "value": ["de", "fr", "es"]},
+    ]},
+    {"category": "short_en", "all": [{"col": "lang", "op": "==", "value": "en"}]},
+]
+
+
+def q_doc_categories(sf_dir):
+    from mimirsbrunn_ray.stages.classify import classify
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return classify(docs, DOC_RULES, fallback="other").select_columns(
+        ["doc_id", "category"]
+    )
+
+
+CLASSIFY_SQL = """
+SELECT doc_id,
+       CASE WHEN lang = 'en' AND n_chars >= 300 THEN 'long_en'
+            WHEN lang = 'zh' THEN 'cjk'
+            WHEN lang IN ('de', 'fr', 'es') THEN 'euro'
+            WHEN lang = 'en' THEN 'short_en'
+            ELSE 'other' END AS category
+FROM documents
+"""
+
+
+def q_doc_labels(sf_dir):
+    """'{name} ({admin})' label formatting graft
+    (/root/reference/src/labels.rs:7-19): label = 'doc-<id> (<source>, <lang>)'."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    )
+
+    def fmt(b: pa.Table) -> pa.Table:
+        label = pc.binary_join_element_wise(
+            "doc-",
+            pc.cast(b["doc_id"], pa.string()),
+            " (", b["source"], ", ", b["lang"], ")",
+            "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "label": label})
+
+    return docs.map_batches(fmt, batch_format="pyarrow", batch_size=None)
+
+
+LABELS_SQL = """
+SELECT doc_id,
+       'doc-' || CAST(doc_id AS VARCHAR) || ' (' || source || ', ' || lang || ')'
+           AS label
+FROM documents
+"""
+
+QUERIES.update({"doc_categories": q_doc_categories, "doc_labels": q_doc_labels})
+ORACLES.update({"doc_categories": CLASSIFY_SQL, "doc_labels": LABELS_SQL})

@@ -69,6 +69,7 @@ def test_every_query_has_an_oracle(registry):
         "token_stats", "sessionize_events", "asof_click_error",
         "lineitem_pricing", "knn_bruteforce", "embedding_stats",
         "order_priority_revenue", "distinct_sources",
+        "doc_categories", "doc_labels",
     ],
 )
 def test_query_matches_oracle(registry, con, name):

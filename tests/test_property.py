@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis): codec round-trips over arbitrary
+inputs, bucket-math laws, gap-fill invariants, classifier first-match law."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mimirsbrunn_ray.functions.codecs import (
+    decode_dod,
+    decode_gorilla,
+    encode_dod,
+    encode_gorilla,
+)
+from mimirsbrunn_ray.functions.timeutil import BUCKET_US, trunc_us
+
+I64 = st.integers(min_value=-(2**62), max_value=2**62)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(I64, max_size=200))
+def test_dod_roundtrip_any_int64(xs):
+    ts = np.asarray(xs, dtype=np.int64)
+    assert np.array_equal(decode_dod(encode_dod(ts)), ts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64), max_size=200
+    )
+)
+def test_gorilla_roundtrip_any_float64(xs):
+    vals = np.asarray(xs, dtype=np.float64)
+    out = decode_gorilla(encode_gorilla(vals))
+    assert np.array_equal(out.view(np.uint64), vals.view(np.uint64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**62), st.sampled_from(["1m", "1h", "1d"]))
+def test_trunc_is_idempotent_and_aligned(ts, gran):
+    t = np.array([ts], dtype=np.int64)
+    b = trunc_us(t, gran)
+    assert (b % BUCKET_US[gran] == 0).all()
+    assert np.array_equal(trunc_us(b, gran), b)  # idempotent
+    assert (b <= t).all() and (t - b < BUCKET_US[gran]).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 10_000)),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.sampled_from(["locf", "linear"]),
+)
+def test_gapfill_invariants(points, policy):
+    """Filled output: dense bucket grid, original rows unchanged, filled
+    rows flagged with n_rows == 0."""
+    from mimirsbrunn_ray.functions.timeutil import US_PER_MINUTE
+    from mimirsbrunn_ray.stages.gapfill import _fill_series
+
+    points = sorted(points)
+    buckets = np.array([p[0] for p in points], dtype=np.int64) * US_PER_MINUTE
+    vals = np.array([p[1] for p in points], dtype=np.int64)
+    g = pd.DataFrame(
+        {
+            "source": "s",
+            "bucket": pd.to_datetime(buckets, unit="us"),
+            "n_rows": np.ones(len(points), dtype=np.int64),
+            "sum_tok": vals,
+            "min_tok": vals.astype(np.int32),
+            "max_tok": vals.astype(np.int32),
+            "mean_tok": vals.astype(np.float64),
+            "filled": False,
+            "fill_kind": "none",
+        }
+    )
+    out = _fill_series(g.copy(), US_PER_MINUTE, policy)
+    b_us = out["bucket"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    assert np.array_equal(np.diff(b_us), np.full(len(out) - 1, US_PER_MINUTE))
+    orig = out[~out["filled"]]
+    assert len(orig) == len(g)
+    assert np.array_equal(np.sort(orig["sum_tok"].to_numpy()), np.sort(vals))
+    assert (out[out["filled"]]["n_rows"] == 0).all()
+    if policy == "locf" and out["filled"].any():
+        # every filled value equals the nearest preceding real value
+        merged = out.reset_index(drop=True)
+        last = None
+        for _, row in merged.iterrows():
+            if not row["filled"]:
+                last = row["sum_tok"]
+            else:
+                assert row["sum_tok"] == last
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=80), st.text(max_size=80))
+def test_jaccard_bounds_and_symmetry(a, b):
+    from mimirsbrunn_ray.stages.neardup import jaccard
+
+    j = jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == jaccard(b, a)
+    assert jaccard(a, a) == 1.0
