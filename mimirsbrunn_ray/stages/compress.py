@@ -38,8 +38,15 @@ def _compress_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def compress_tier(ds: "rd.Dataset") -> "rd.Dataset":
-    """1m rollup Dataset -> compressed blocks Dataset (COMPRESSED_BLOCK_SCHEMA)."""
+def compress_tier(ds: "rd.Dataset", single_partition: bool = True) -> "rd.Dataset":
+    """1m rollup Dataset -> compressed blocks Dataset (COMPRESSED_BLOCK_SCHEMA).
+
+    ``single_partition=True`` (default): the rollup tier is bounded (one row
+    per (source, bucket) in the run window), so blocks are built by a pandas
+    groupby-apply inside one coalesced task — Ray's sort-based map_groups
+    costs seconds of fixed overhead for the same result. Set False to
+    shuffle by (source, day) for an unbounded tier.
+    """
 
     def add_day(batch: pa.Table) -> pa.Table:
         b = batch["bucket"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -47,8 +54,23 @@ def compress_tier(ds: "rd.Dataset") -> "rd.Dataset":
         return batch.append_column("_day", pa.array(day))
 
     keyed = ds.map_batches(add_day, batch_format="pyarrow", batch_size=None)
-    return keyed.groupby(["source", "_day"]).map_groups(
-        _compress_group, batch_format="pandas"
+    if not single_partition:
+        return keyed.groupby(["source", "_day"]).map_groups(
+            _compress_group, batch_format="pandas"
+        )
+
+    def compress_all(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                columns=["source", "bucket", "ts_dod", "val_gorilla", "n_points"]
+            )
+        parts = [
+            _compress_group(g) for _, g in df.groupby(["source", "_day"], sort=True)
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    return keyed.repartition(1).map_batches(
+        compress_all, batch_format="pandas", batch_size=None
     )
 
 
