@@ -17,8 +17,20 @@ import pyarrow.parquet as pq
 MANIFEST_NAME = "_manifest.json"
 
 
-def partition_stats(run_dir: str) -> tuple[int, int, list[dict]]:
-    """rows/bytes per parquet file from footers — no data re-read."""
+def _crc32_file(path: str) -> str:
+    import zlib
+
+    crc = 0
+    with open(path, "rb") as f:
+        while chunk := f.read(1 << 20):
+            crc = zlib.crc32(chunk, crc)
+    return f"{crc:08x}"
+
+
+def partition_stats(run_dir: str, checksums: bool = True) -> tuple[int, int, list[dict]]:
+    """rows/bytes per parquet file from footers + a crc32 content checksum
+    (FIXTURES.md §5 lineage fields; the checksum lets resume verify that a
+    committed partition wasn't truncated or tampered with)."""
     parts = []
     rows = 0
     size = 0
@@ -30,11 +42,26 @@ def partition_stats(run_dir: str) -> tuple[int, int, list[dict]]:
                 "key": os.path.relpath(f, run_dir),
                 "rows_out": md.num_rows,
                 "bytes_out": st.st_size,
+                "checksum": _crc32_file(f) if checksums else None,
             }
         )
         rows += md.num_rows
         size += st.st_size
     return rows, size, parts
+
+
+def verify_partitions(run_dir: str) -> list[str]:
+    """Return relative paths whose current checksum mismatches the manifest
+    (empty list = intact). Used before trusting a resumed tier."""
+    m = read_manifest(run_dir)
+    bad = []
+    for p in m.get("partitions", []):
+        if not p.get("checksum"):
+            continue
+        f = os.path.join(run_dir, p["key"])
+        if not os.path.exists(f) or _crc32_file(f) != p["checksum"]:
+            bad.append(p["key"])
+    return bad
 
 
 def write_manifest(

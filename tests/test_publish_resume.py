@@ -81,3 +81,20 @@ def test_kill_and_resume_reproduces_committed_tiers(ray_session, corpus, dim_tab
     for tier in ["1h", "1d", "compressed"]:
         man = json.load(open(os.path.join(root, tier, "run=rA", "_manifest.json")))
         assert man["committed"]
+
+
+def test_manifest_checksums_detect_corruption(tmp_path, ray_session):
+    import ray.data as rd
+
+    from mimirsbrunn_ray.state.manifest import verify_partitions
+
+    store = TierStore(str(tmp_path))
+    run_dir = store.publish(rd.range(100), "raw", "r1")
+    assert verify_partitions(run_dir) == []
+    # corrupt one partition
+    part = glob.glob(os.path.join(run_dir, "*.parquet"))[0]
+    with open(part, "r+b") as f:
+        f.seek(10)
+        f.write(b"\xde\xad")
+    bad = verify_partitions(run_dir)
+    assert bad == [os.path.basename(part)]
