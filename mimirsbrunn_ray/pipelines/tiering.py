@@ -38,6 +38,36 @@ from mimirsbrunn_ray.state.publish import TierStore
 TIER_ORDER = ["raw", "1m", "1h", "1d", "compressed"]
 
 
+def _record_boundaries(tier_ds, run_dir: str) -> None:
+    """Append each source's last (bucket, sum_tok) to the tier manifest —
+    the LOCF boundary carry of FIXTURES.md §5 (``boundary_last_value``): a
+    follow-up run whose window starts after this one seeds its gap-fill
+    from these rows instead of re-reading the tier."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    last: dict = {}
+    for b in tier_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        src = b["source"].to_pylist()
+        buck = b["bucket"].cast(pa.int64()).to_pylist()
+        sums = b["sum_tok"].to_pylist()
+        for s, bk, sm in zip(src, buck, sums):
+            if s not in last or bk > last[s][0]:
+                last[s] = (bk, sm)
+    mpath = os.path.join(run_dir, "_manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["boundaries"] = {
+        s: {"bucket_us": bk, "boundary_last_value": sm} for s, (bk, sm) in last.items()
+    }
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, mpath)
+
+
 def run_tiering_job(
     input_paths,
     out_root: str,
@@ -48,12 +78,16 @@ def run_tiering_job(
     stop_after: str | None = None,
     dedup_buckets: int = 64,
     max_dropped: int | None = None,
+    verify_resume: bool = False,
 ) -> dict:
     """Run (or resume) the full tier chain; returns a per-tier summary.
 
     ``resume=True`` skips every tier whose run_id is already committed in
     the store (the alias-swap / ghost-cleanup graft); ``stop_after``
     simulates a kill after a given tier (used by the resume tests).
+    ``verify_resume=True`` additionally re-hashes a committed tier's
+    partitions against the manifest checksums before trusting it (pays one
+    read of the tier's bytes — worth it after an unclean shutdown).
     """
     import os
     import sys
@@ -75,6 +109,13 @@ def run_tiering_job(
 
     def done(tier: str) -> bool:
         if resume and store.is_run_committed(tier, run_id):
+            if verify_resume:
+                from mimirsbrunn_ray.state.manifest import verify_partitions
+
+                bad = verify_partitions(store.run_dir(tier, run_id))
+                if bad:
+                    summary["tiers"][tier] = {"recomputed": f"corrupt: {bad}"}
+                    return False
             summary["tiers"][tier] = {"skipped": "already committed"}
             return True
         return False
@@ -148,6 +189,7 @@ def run_tiering_job(
             input_paths=[store.latest_run_dir(prev)],
             counters=counters,
         )
+        _record_boundaries(t, run_dir)
         summary["tiers"][gran] = {"run_dir": run_dir}
         _mark(gran)
         if gran == "1m":

@@ -98,3 +98,13 @@ def test_manifest_checksums_detect_corruption(tmp_path, ray_session):
         f.write(b"\xde\xad")
     bad = verify_partitions(run_dir)
     assert bad == [os.path.basename(part)]
+
+
+def test_boundaries_recorded_in_rollup_manifests(tier_root):
+    for tier in ["1m", "1h", "1d"]:
+        man = json.load(
+            open(os.path.join(tier_root, tier, "run=test-run", "_manifest.json"))
+        )
+        assert "boundaries" in man and "web" in man["boundaries"]
+        b = man["boundaries"]["web"]
+        assert b["bucket_us"] > 0 and b["boundary_last_value"] >= 0
