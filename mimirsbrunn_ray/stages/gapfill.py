@@ -29,7 +29,25 @@ from mimirsbrunn_ray.functions.timeutil import BUCKET_US
 VALUE_COLS = ["sum_tok", "min_tok", "max_tok", "mean_tok"]
 
 
-def _fill_series(g: pd.DataFrame, width_us: int, policy: str) -> pd.DataFrame:
+# (value_cols, int64 casts, int32 casts) for the two tier layouts
+SEQ_SPEC = (["sum_tok", "min_tok", "max_tok", "mean_tok"],
+            ("sum_tok",), ("min_tok", "max_tok"))
+GENERIC_SPEC = (["sum_val", "min_val", "max_val", "mean_val"], (), ())
+
+
+def _fill_series(
+    g: pd.DataFrame,
+    width_us: int,
+    policy: str,
+    key_col: str = "source",
+    spec=SEQ_SPEC,
+) -> pd.DataFrame:
+    value_cols, int64_cols, int32_cols = spec
+    if "filled" not in g.columns or "fill_kind" not in g.columns:
+        raise ValueError(
+            "gap-fill input must carry filled/fill_kind columns "
+            "(they define the output schema; add them before filling)"
+        )
     g = g.sort_values("bucket").reset_index(drop=True)
     if len(g) <= 1:
         return g
@@ -39,30 +57,31 @@ def _fill_series(g: pd.DataFrame, width_us: int, policy: str) -> pd.DataFrame:
     if len(full) == len(g):
         return g
     out = pd.DataFrame({"bucket": full.astype("datetime64[us]")})
-    out["source"] = g["source"].iloc[0]
-    merged = out.merge(g, on=["bucket", "source"], how="left")
+    out[key_col] = g[key_col].iloc[0]
+    merged = out.merge(g, on=["bucket", key_col], how="left")
     missing = merged["n_rows"].isna()
     merged["n_rows"] = merged["n_rows"].fillna(0).astype(np.int64)
     if policy == "locf":
-        for c in VALUE_COLS:
+        for c in value_cols:
             merged[c] = merged[c].ffill()
     elif policy == "linear":
         present_us = b_us.to_numpy()
         miss_us = full[missing.to_numpy()]
-        for c in VALUE_COLS:
+        for c in value_cols:
             vals = g[c].to_numpy(dtype=np.float64)
             interp = np.interp(miss_us, present_us, vals)
             col = merged[c].to_numpy(dtype=np.float64)
             col[missing.to_numpy()] = interp
             merged[c] = col
         # integer value columns round to nearest int after interpolation
-        for c in ("sum_tok", "min_tok", "max_tok"):
+        for c in (*int64_cols, *int32_cols):
             merged[c] = np.rint(merged[c]).astype(np.int64)
     else:
         raise ValueError(f"unknown gap-fill policy {policy!r}")
-    merged["sum_tok"] = merged["sum_tok"].astype(np.int64)
-    merged["min_tok"] = merged["min_tok"].astype(np.int32)
-    merged["max_tok"] = merged["max_tok"].astype(np.int32)
+    for c in int64_cols:
+        merged[c] = merged[c].astype(np.int64)
+    for c in int32_cols:
+        merged[c] = merged[c].astype(np.int32)
     merged["filled"] = missing.to_numpy()
     merged["fill_kind"] = np.where(missing, policy, "none")
     return merged[g.columns]
@@ -74,6 +93,8 @@ def gapfill(
     policy: str = "locf",
     counters=None,
     single_partition: bool = True,
+    key_col: str = "source",
+    spec=None,
 ) -> "rd.Dataset":
     """Fill missing buckets per source between its first and last bucket.
 
@@ -85,21 +106,22 @@ def gapfill(
     shuffles by source (with the per-(source, year) chaining + manifest
     boundary carry described above).
     """
+    spec = spec or SEQ_SPEC
     width = BUCKET_US[granularity]
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        out = _fill_series(g, width, policy)
+        out = _fill_series(g, width, policy, key_col=key_col, spec=spec)
         if counters is not None and len(out) != len(g):
             counters.inc.remote({"rows_gap_filled": int(len(out) - len(g))})
         return out
 
     if not single_partition:
-        return ds.groupby("source").map_groups(fn, batch_format="pandas")
+        return ds.groupby(key_col).map_groups(fn, batch_format="pandas")
 
     def fill_all(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return df
-        parts = [fn(g) for _, g in df.groupby("source", sort=True)]
+        parts = [fn(g) for _, g in df.groupby(key_col, sort=True)]
         return pd.concat(parts, ignore_index=True)
 
     return ds.repartition(1).map_batches(
