@@ -46,10 +46,11 @@ def main(argv=None) -> int:
     g.add_argument("--seed", type=int, default=42)
 
     t = sub.add_parser("tier", help="run the full tier chain (resumable)")
-    t.add_argument("--input", required=True, help="parquet path or glob")
-    t.add_argument("--out", required=True)
-    t.add_argument("--run-id", required=True)
-    t.add_argument("--gap-policy", default="locf", choices=["locf", "linear"])
+    t.add_argument("--config", help="job TOML (defaults <- file <- flags)")
+    t.add_argument("--input", help="parquet path or glob")
+    t.add_argument("--out")
+    t.add_argument("--run-id")
+    t.add_argument("--gap-policy", default=None, choices=["locf", "linear"])
     t.add_argument("--max-dropped", type=int, default=None)
 
     m = sub.add_parser("merge-late", help="fold late rows into published tiers")
@@ -80,13 +81,29 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "tier":
+        if args.config:
+            from mimirsbrunn_ray.config import load_job_config
+
+            job = load_job_config(
+                args.config, input=args.input, out_root=args.out,
+                run_id=args.run_id, gap_policy=args.gap_policy,
+                max_dropped=args.max_dropped,
+            )
+        else:
+            if not (args.input and args.out and args.run_id):
+                p.error("tier requires --config or --input/--out/--run-id")
+            job = {"input": args.input, "out_root": args.out,
+                   "run_id": args.run_id,
+                   "gap_policy": args.gap_policy or "locf",
+                   "max_dropped": args.max_dropped, "verify_resume": False}
         ray = _ray_session(args.num_cpus)
         from mimirsbrunn_ray.pipelines.tiering import run_tiering_job
 
-        paths = sorted(glob.glob(args.input))
-        summary = run_tiering_job(paths, args.out, args.run_id,
-                                  gap_policy=args.gap_policy,
-                                  max_dropped=args.max_dropped)
+        paths = sorted(glob.glob(job["input"]))
+        summary = run_tiering_job(paths, job["out_root"], job["run_id"],
+                                  gap_policy=job["gap_policy"],
+                                  max_dropped=job["max_dropped"],
+                                  verify_resume=job["verify_resume"])
         print(json.dumps(summary))
         ray.shutdown()
         return 0

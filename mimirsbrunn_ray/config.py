@@ -1,0 +1,55 @@
+"""TOML job configuration — the reference's layered config graft.
+
+The reference layers defaults <- config file <- CLI flags
+(/root/reference/src/settings/osm2mimir.rs:68-175) and drives POI rules,
+street exclusions, and query weights from pure data. Here a job TOML
+configures the tier chain:
+
+    [job]
+    input = "/data/seq/part-*.parquet"
+    out_root = "/data/tiers"
+    run_id = "2026-01-01"
+    gap_policy = "locf"          # or "linear"
+    max_dropped = 1000           # error budget (absent = unlimited)
+    verify_resume = false
+
+    [classify]                   # optional rule classifier config
+    fallback = "other"
+    [[classify.rules]]
+    category = "long_en"
+    all = [{col = "lang", op = "==", value = "en"},
+           {col = "n_chars", op = ">=", value = 300}]
+
+Defaults <- file <- explicit kwargs, in that order.
+"""
+
+from __future__ import annotations
+
+import tomllib
+
+DEFAULTS = {
+    "gap_policy": "locf",
+    "max_dropped": None,
+    "verify_resume": False,
+}
+
+
+def load_job_config(path: str, **overrides) -> dict:
+    with open(path, "rb") as f:
+        raw = tomllib.load(f)
+    job = dict(DEFAULTS)
+    job.update(raw.get("job", {}))
+    job.update({k: v for k, v in overrides.items() if v is not None})
+    for required in ("input", "out_root", "run_id"):
+        if not job.get(required):
+            raise ValueError(f"job config missing required key: {required}")
+    if job["gap_policy"] not in ("locf", "linear"):
+        raise ValueError(f"unknown gap_policy {job['gap_policy']!r}")
+    if "classify" in raw:
+        from mimirsbrunn_ray.stages.classify import validate_rules
+
+        rules = raw["classify"].get("rules", [])
+        fallback = raw["classify"].get("fallback", "other")
+        validate_rules(rules, fallback)
+        job["classify"] = {"rules": rules, "fallback": fallback}
+    return job

@@ -58,3 +58,37 @@ def test_cli_end_to_end(tmp_path):
     assert "compressed" in summary["tiers"]
     st = json.loads(run("query", "--root", root, "status"))
     assert st["1d"]["committed"]
+
+
+def test_job_config_layering(tmp_path):
+    import pytest as _pytest
+
+    from mimirsbrunn_ray.config import load_job_config
+
+    cfg = tmp_path / "job.toml"
+    cfg.write_text(
+        """
+[job]
+input = "/data/part-*.parquet"
+out_root = "/data/tiers"
+run_id = "r1"
+gap_policy = "linear"
+
+[classify]
+fallback = "other"
+[[classify.rules]]
+category = "big"
+all = [{col = "n_chars", op = ">=", value = 300}]
+"""
+    )
+    job = load_job_config(str(cfg))
+    assert job["gap_policy"] == "linear" and job["max_dropped"] is None
+    assert job["classify"]["rules"][0]["category"] == "big"
+    # explicit overrides win over the file
+    job2 = load_job_config(str(cfg), gap_policy="locf", run_id="r2")
+    assert job2["gap_policy"] == "locf" and job2["run_id"] == "r2"
+    # validation failures are loud
+    bad = tmp_path / "bad.toml"
+    bad.write_text("[job]\ninput='x'\n")
+    with _pytest.raises(ValueError, match="missing required"):
+        load_job_config(str(bad))
