@@ -4,6 +4,9 @@ inputs, bucket-math laws, gap-fill invariants, classifier first-match law."""
 import numpy as np
 import pandas as pd
 from hypothesis import given, settings
+
+settings.register_profile("ci", derandomize=True, deadline=None)
+settings.load_profile("ci")
 from hypothesis import strategies as st
 
 from mimirsbrunn_ray.functions.codecs import (
