@@ -152,6 +152,8 @@ def _gen_shard(
     meta = {
         "n_rows_written": 0,
         "n_dirty": 0,
+        "n_dirty_main": 0,
+        "n_dirty_late": 0,
         "n_duplicates": int(dup_sel.sum()),
         "n_late": int(late_sel.sum()),
         "n_gap_dropped": n_gap_dropped,
@@ -160,7 +162,7 @@ def _gen_shard(
     pq.write_table(tbl, os.path.join(out_dir, f"part-{shard_id:05d}.parquet"),
                    compression="zstd", compression_level=3)
     meta["n_rows_written"] += tbl.num_rows
-    meta["n_dirty"] += int(dirty.sum())
+    meta["n_dirty_main"] += int(dirty.sum())
     if len(late_idx):
         late_dirty = (
             _row_hash(late_idx, seed, 4).astype(np.float64) / 2.0**64
@@ -171,7 +173,8 @@ def _gen_shard(
             compression="zstd", compression_level=3,
         )
         meta["n_rows_written"] += lt.num_rows
-        meta["n_dirty"] += int(late_dirty.sum())
+        meta["n_dirty_late"] += int(late_dirty.sum())
+    meta["n_dirty"] = meta["n_dirty_main"] + meta["n_dirty_late"]
     return meta
 
 
@@ -216,8 +219,8 @@ def generate_sequences(
         metas = [_gen_shard(*a) for a in args]
 
     meta = {
-        "n_rows_written": 0, "n_dirty": 0, "n_duplicates": 0,
-        "n_late": 0, "n_gap_dropped": 0,
+        "n_rows_written": 0, "n_dirty": 0, "n_dirty_main": 0,
+        "n_dirty_late": 0, "n_duplicates": 0, "n_late": 0, "n_gap_dropped": 0,
     }
     for m in metas:
         for k in meta:

@@ -31,6 +31,7 @@ def test_generator_is_deterministic(tmp_path, corpus):
     t2 = pq.read_table(str(tmp_path / "again" / "part-00000.parquet"))
     assert t1.equals(t2)
     assert meta2["n_dirty"] == corpus["n_dirty"]
+    assert meta2["n_dirty_main"] == corpus["n_dirty_main"]
 
 
 def test_parse_doc_index():

@@ -38,8 +38,8 @@ def test_raw_tier_row_count_and_manifest(tier_root, corpus, clean):
     # (both copies), so rows_deduped <= planted duplicates; the exact
     # identity is rows_in - dirty - deduped == clean rows.
     c = man["counters"]
-    assert c["rows_dropped_dirty"] == corpus["n_dirty"]
-    assert c["rows_in"] == len(clean) + corpus["n_dirty"] + c["rows_deduped"]
+    assert c["rows_dropped_dirty"] == corpus["n_dirty_main"]
+    assert c["rows_in"] == len(clean) + corpus["n_dirty_main"] + c["rows_deduped"]
     assert 0 < c["rows_deduped"] <= corpus["n_duplicates"]
 
 
