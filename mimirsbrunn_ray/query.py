@@ -34,15 +34,27 @@ def top_k(
     k: int = 10,
     source: str | None = None,
     descending: bool = True,
+    fallback_unfiltered: bool = True,
 ) -> pd.DataFrame:
     """Top-k buckets by a metric (default page size 10 like bragi's
-    autocomplete limit, /root/reference/libs/bragi/src/routes/autocomplete.rs:56-58)."""
-    filt = pc.field("filled") == False  # noqa: E712 — pushdown expression
-    if source is not None:
-        filt = filt & (pc.field("source") == source)
-    tbl = _tier_dataset(store, tier).to_table(
-        columns=["source", "bucket", metric, "n_rows"], filter=filt
-    )
+    autocomplete limit, /root/reference/libs/bragi/src/routes/autocomplete.rs:56-58).
+
+    Two-pass orchestration graft (query.rs:667-714: exact prefix first,
+    fuzzy fallback iff ZERO results): when the source-filtered scan returns
+    nothing and ``fallback_unfiltered``, retry without the source filter.
+    """
+
+    def scan(src):
+        filt = pc.field("filled") == False  # noqa: E712 — pushdown expression
+        if src is not None:
+            filt = filt & (pc.field("source") == src)
+        return _tier_dataset(store, tier).to_table(
+            columns=["source", "bucket", metric, "n_rows"], filter=filt
+        )
+
+    tbl = scan(source)
+    if tbl.num_rows == 0 and source is not None and fallback_unfiltered:
+        tbl = scan(None)  # pass 2: relaxed
     df = tbl.to_pandas().sort_values(
         [metric, "source", "bucket"], ascending=[not descending, True, True]
     )

@@ -133,3 +133,32 @@ def test_multimodal_plumbing(ray_session):
     assert f1 == f2
     with pytest.raises(NotImplementedError):
         MediaDecoder(impl="pillow")
+
+
+def test_top_k_two_pass_fallback(store):
+    from mimirsbrunn_ray.query import top_k
+
+    # unknown source -> zero exact hits -> relaxed second pass (bragi's
+    # prefix-then-fuzzy orchestration)
+    df = top_k(store, tier="1m", k=3, source="no-such-source")
+    assert len(df) == 3
+    strict = top_k(store, tier="1m", k=3, source="no-such-source",
+                   fallback_unfiltered=False)
+    assert len(strict) == 0
+
+
+def test_scoring_functions():
+    import numpy as np
+
+    from mimirsbrunn_ray.functions.scoring import blend_weight, clamp01, zoom_decay
+
+    assert np.array_equal(clamp01(np.array([-1.0, 0.5, 2.0])), [0.0, 0.5, 1.0])
+    b = blend_weight(np.array([1.0]), np.array([1.0]))
+    assert np.allclose(b, [1.0])
+    assert blend_weight(np.array([0.0]), np.array([0.0]))[0] == 0.0
+    # monotone in both args
+    lo = blend_weight(np.array([0.2]), np.array([0.1]))[0]
+    hi = blend_weight(np.array([0.4]), np.array([0.5]))[0]
+    assert hi > lo
+    z = zoom_decay(np.array([0.0, 1.0, 100.0]))
+    assert z[0] == 1.0 and z[0] > z[1] > z[2] > 0.0
