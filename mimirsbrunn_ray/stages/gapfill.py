@@ -127,3 +127,46 @@ def gapfill(
     return ds.repartition(1).map_batches(
         fill_all, batch_format="pandas", batch_size=None
     )
+
+
+def fill_continuation(
+    boundaries: dict,
+    new_rollup: pd.DataFrame,
+    granularity: str,
+    policy: str = "locf",
+    key_col: str = "source",
+    spec=None,
+) -> pd.DataFrame:
+    """Window-chained gap-fill: seed each key's series with the PREVIOUS
+    window's boundary row (``boundaries`` = the ``boundaries`` dict a tier
+    manifest records: key -> {bucket_us, boundary_last_value}), so the gap
+    between the old window's last bucket and the new window's first bucket
+    is filled without re-reading the published tier — the cross-partition
+    LOCF carry of SURVEY.md §7.6 / FIXTURES.md §5.
+
+    Returns only NEW rows (the seed row is dropped after filling).
+    """
+    spec = spec or SEQ_SPEC
+    width = BUCKET_US[granularity]
+    out = []
+    for key, grp in new_rollup.groupby(key_col, sort=True):
+        b = boundaries.get(key)
+        if b is not None:
+            seed = grp.iloc[0:1].copy()
+            seed["bucket"] = pd.to_datetime(int(b["bucket_us"]), unit="us")
+            seed["n_rows"] = np.int64(0)
+            for c in spec[0]:
+                seed[c] = b["boundary_last_value"]
+            for c in spec[1]:
+                seed[c] = np.int64(b["boundary_last_value"])
+            for c in spec[2]:
+                seed[c] = np.int32(b["boundary_last_value"])
+            seed["filled"] = False
+            seed["fill_kind"] = "none"
+            grp = pd.concat([seed, grp], ignore_index=True)
+        filled = _fill_series(grp, width, policy, key_col=key_col, spec=spec)
+        if b is not None:
+            b_ts = pd.to_datetime(int(b["bucket_us"]), unit="us")
+            filled = filled[filled["bucket"] > b_ts]
+        out.append(filled)
+    return pd.concat(out, ignore_index=True) if out else new_rollup

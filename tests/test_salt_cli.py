@@ -92,3 +92,25 @@ all = [{col = "n_chars", op = ">=", value = 300}]
     bad.write_text("[job]\ninput='x'\n")
     with _pytest.raises(ValueError, match="missing required"):
         load_job_config(str(bad))
+
+
+def test_cli_merge_late(tmp_path):
+    corpus = str(tmp_path / "corpus")
+    root = str(tmp_path / "tiers")
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "mimirsbrunn_ray.cli", "--num-cpus", "4", *args],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout.strip().splitlines()[-1]
+
+    run("generate", "--out", corpus, "--rows", "3000", "--files", "2")
+    run("tier", "--input", f"{corpus}/part-*.parquet", "--out", root,
+        "--run-id", "base")
+    summary = json.loads(run("merge-late", "--input", f"{corpus}/late/*.parquet",
+                             "--out", root, "--run-id", "late1"))
+    assert summary["late_rows_merged"] > 0
+    st = json.loads(run("query", "--root", root, "status"))
+    assert st["1m"]["run_id"] == "late1"

@@ -86,3 +86,23 @@ def test_gapfill_no_gaps_is_identity():
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), src, check_dtype=False
     )
+
+
+def test_fill_continuation_bridges_window_gap():
+    """A new window starting 3 buckets after the previous window's boundary
+    gets the bridge buckets LOCF-filled from boundary_last_value, without
+    touching the published tier."""
+    from mimirsbrunn_ray.functions.timeutil import US_PER_MINUTE
+    from mimirsbrunn_ray.stages.gapfill import fill_continuation
+
+    boundaries = {"s": {"bucket_us": 0, "boundary_last_value": 99}}
+    new = _series([4 * US_PER_MINUTE, 5 * US_PER_MINUTE], [10, 20])
+    out = fill_continuation(boundaries, new, "1m", policy="locf")
+    # buckets 1..3 bridged with the boundary value, 4..5 are the new rows
+    assert len(out) == 5
+    assert out["sum_tok"].tolist() == [99, 99, 99, 10, 20]
+    assert out["filled"].tolist() == [True, True, True, False, False]
+    assert (out["n_rows"].tolist() == [0, 0, 0, 1, 1])
+    # no boundary for an unseen key -> plain fill
+    out2 = fill_continuation({}, new, "1m")
+    assert len(out2) == 2
