@@ -868,3 +868,20 @@ FROM documents
 
 QUERIES.update({"doc_categories": q_doc_categories, "doc_labels": q_doc_labels})
 ORACLES.update({"doc_categories": CLASSIFY_SQL, "doc_labels": LABELS_SQL})
+
+# ---------------------------------------------------------------------------
+# approximate distinct (HyperLogLog sketch) — mergeable-aggregate pattern
+# ---------------------------------------------------------------------------
+
+
+def q_approx_distinct_tokens(sf_dir):
+    """Approximate distinct token values per source (HLL p=12, ~1.6% err);
+    pytest verifies accuracy vs exact — rows-only for the driver."""
+    from mimirsbrunn_ray.stages.sketch import approx_distinct_per_key, token_values_fn
+
+    seq = sequences_from_documents(sf_dir, with_tokens=True)
+    return approx_distinct_per_key(seq, "source", token_values_fn, p=12)
+
+
+QUERIES.update({"approx_distinct_tokens": q_approx_distinct_tokens})
+# no oracle: SQL cannot reproduce the synthetic token stream
