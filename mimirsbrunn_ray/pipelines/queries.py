@@ -885,3 +885,16 @@ def q_approx_distinct_tokens(sf_dir):
 
 QUERIES.update({"approx_distinct_tokens": q_approx_distinct_tokens})
 # no oracle: SQL cannot reproduce the synthetic token stream
+
+
+def q_bpeish_token_counts(sf_dir):
+    """GPT-2-style pretokenizer counts (regex not SQL-expressible for the
+    contraction/run classes -> rows-only; whitespace column cross-checked
+    against token_stats in pytest)."""
+    from mimirsbrunn_ray.stages.text import bpeish_token_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bpeish_token_counts(docs)
+
+
+QUERIES.update({"bpeish_token_counts": q_bpeish_token_counts})

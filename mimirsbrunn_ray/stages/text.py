@@ -115,6 +115,49 @@ class LangIdQuality:
         )
 
 
+class BpeishTokenCounter:
+    """Actor-pool stage: token counts under a GPT-2-style pretokenizer.
+
+    The public GPT-2 pretokenizer splits on contractions, letter runs,
+    digit runs, punctuation runs, and whitespace; this is the ASCII-class
+    approximation (Python ``re`` lacks \\p{L}), compiled once per actor.
+    Output: doc_id, n_ws_tokens (plain whitespace), n_bpe_tokens.
+    """
+
+    def __init__(self):
+        import re
+
+        self.pat = re.compile(
+            r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+"
+            r"| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ws = np.array([len((t or "").split()) for t in texts], dtype=np.int64)
+        bpe = np.array(
+            [len(self.pat.findall(t or "")) for t in texts], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ws_tokens": pa.array(ws),
+                "n_bpe_tokens": pa.array(bpe),
+            }
+        )
+
+
+def bpeish_token_counts(ds: "rd.Dataset", concurrency=None) -> "rd.Dataset":
+    from mimirsbrunn_ray.context import pool_size
+
+    return ds.map_batches(
+        BpeishTokenCounter,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency if concurrency is not None else (1, pool_size()),
+    )
+
+
 def text_features(ds: "rd.Dataset", concurrency=None) -> "rd.Dataset":
     from mimirsbrunn_ray.context import pool_size
 

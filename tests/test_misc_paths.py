@@ -109,3 +109,22 @@ def test_error_budget_in_tiering(ray_session, corpus, tmp_path):
     with pytest.raises(ErrorBudgetExceeded):
         run_tiering_job(corpus["main_paths"], str(tmp_path / "t"), "rX",
                         max_dropped=0)  # corpus plants dirty rows -> abort
+
+
+def test_bpeish_token_counter(ray_session):
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.text import BpeishTokenCounter
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["it's a test-case with 42 tokens", "", "hello   world"],
+        }
+    )
+    out = BpeishTokenCounter()(t)
+    ws = out["n_ws_tokens"].to_pylist()
+    bpe = out["n_bpe_tokens"].to_pylist()
+    assert ws == [6, 0, 2]
+    assert bpe[0] > ws[0]  # pretokenizer splits contraction + hyphen
+    assert bpe[1] == 0
