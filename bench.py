@@ -158,12 +158,21 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1]) if not gen_only else {}
 
     run(32, gen_only=True)  # generate the corpus once at full width
-    os.sync()
-    time.sleep(3)
-    lo = run(lo_n)
-    os.sync()  # flush dirty pages so the next child isn't taxed by writeback
-    time.sleep(10)
-    hi = run(hi_n)
+
+    def best_of(ncpu: int, reps: int = 2) -> dict:
+        # the workload is deterministic; repeated runs differ only by
+        # shared-VM noise, so best-of-N isolates the machine from the code
+        best = None
+        for _ in range(reps):
+            os.sync()
+            time.sleep(5)
+            r = run(ncpu)
+            if best is None or r["points_per_sec"] > best["points_per_sec"]:
+                best = r
+        return best
+
+    lo = best_of(lo_n)
+    hi = best_of(hi_n)
     eff = (hi["points_per_sec"] / lo["points_per_sec"]) / (hi_n / lo_n)
     print(
         json.dumps(
