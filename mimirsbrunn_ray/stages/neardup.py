@@ -5,9 +5,16 @@ dedup (stages/dedup.py; D1 graft). All follow the same scale shape:
   vectorized per-batch signatures (map_batches)
     -> explode to (bucket, signature, doc_id) candidate rows
     -> ONE hash shuffle on a small int bucket column
-    -> vectorized within-bucket candidate pairing + exact verification
-    -> min-label connected components (iterated label propagation or a
-       driver-side union-find when the candidate pair set is provably small)
+    -> vectorized within-bucket candidate pairing
+    -> DISTRIBUTED exact verification of candidate pairs
+    -> min-label clustering over the (small) verified pair list, joined
+       back into the corpus as a broadcast map — the corpus itself is never
+       materialized on the driver.
+
+Driver-side state is bounded by the NEAR-DUP COUNT, never the corpus size:
+the candidate pair list, the candidate shingle map, and the cluster map are
+all O(duplicates). The deterministic keep-min winner rule matches the
+reference's street dedup (/root/reference/src/osm_reader/street.rs:202-246).
 
 Public algorithm provenance: MinHash/LSH banding per Broder (1997) and the
 standard b-bands x r-rows construction; SimHash per Charikar (2002).
@@ -20,23 +27,76 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 MERSENNE = (1 << 61) - 1
 
+# polynomial rolling-hash constants (FNV prime base + murmur-style finalizer)
+_POLY_BASE = np.uint64(1099511628211)
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Murmur3-style avalanche of a uint64 array (whitens poly-hash bytes)."""
+    h = h ^ (h >> np.uint64(33))
+    h = h * _MIX1
+    h = h ^ (h >> np.uint64(33))
+    h = h * _MIX2
+    return h ^ (h >> np.uint64(33))
+
+
+def _batch_shingle_hashes(texts, k: int = 5):
+    """Vectorized char-k-shingle hashes for a WHOLE batch of texts.
+
+    One Horner pass over the concatenated UTF-8 bytes (k wrapping
+    multiply-adds on a flat uint64 array), then a compaction that drops the
+    windows crossing document boundaries — no per-document or per-shingle
+    Python loop. Texts shorter than k are NUL-padded so every document has
+    at least one shingle (deterministic).
+
+    Returns (values uint64[n_shingles], offsets int64[n_docs]): document d's
+    shingles are ``values[offsets[d] : offsets[d] + counts[d]]`` with
+    contiguous segments (counts implied by the next offset / array end).
+    """
+    encs = [(t or "").encode("utf-8", "ignore") for t in texts]
+    encs = [e if len(e) >= k else e.ljust(k, b"\x00") for e in encs]
+    lens = np.asarray([len(e) for e in encs], dtype=np.int64)
+    flat = np.frombuffer(b"".join(encs), dtype=np.uint8)
+    n_win = len(flat) - k + 1
+    h = np.zeros(n_win, dtype=np.uint64)
+    for j in range(k):  # Horner: h = h*B + byte (k tiny vector ops, not a row loop)
+        h = h * _POLY_BASE + flat[j : j + n_win].astype(np.uint64) + np.uint64(1)
+    h = _mix64(h)
+    # valid windows per doc are a contiguous prefix of its byte range
+    doc_ends = np.cumsum(lens)
+    starts = doc_ends - lens
+    counts = lens - (k - 1)  # >= 1 after padding
+    delta = np.zeros(n_win + 1, dtype=np.int64)
+    np.add.at(delta, starts, 1)
+    np.add.at(delta, starts + counts, -1)
+    mask = np.cumsum(delta[:n_win]) > 0
+    vals = h[mask]
+    offsets = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    return vals, offsets
+
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Character k-shingle crc32 hashes (deterministic across processes)."""
-    if not text or len(text) < k:
-        return np.array([zlib.crc32((text or "").encode())], dtype=np.uint64)
-    enc = text.encode("utf-8", "ignore")
-    out = {zlib.crc32(enc[i : i + k]) for i in range(len(enc) - k + 1)}
-    return np.fromiter(out, dtype=np.uint64, count=len(out))
+    """Single-document shingle hashes (same family as the batch kernel)."""
+    vals, _ = _batch_shingle_hashes([text], k)
+    return np.unique(vals)
 
 
 class MinHasher:
-    """Actor-pool stage: 128-perm MinHash signature per doc, exploded into
-    ``bands`` LSH band rows (band_id, band_hash, doc_id)."""
+    """Actor-pool stage: ``num_perm``-perm MinHash signature per doc,
+    exploded into ``bands`` LSH band rows (band_id, band_hash, doc_id).
+
+    Fully vectorized: one flat shingle array for the whole batch (see
+    ``_batch_shingle_hashes``), then ``np.minimum.reduceat`` per permutation.
+    Duplicate shingles never change a min, so no per-doc dedup is needed.
+    """
 
     def __init__(self, num_perm: int = 128, bands: int = 16, k: int = 5, seed: int = 7):
         rng = np.random.default_rng(seed)
@@ -48,17 +108,15 @@ class MinHasher:
         self.k = k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
-        # multiply-shift permutation family (wrapping uint64 multiply) —
-        # no modulo, ~2x faster than the Mersenne form with the same
-        # collision behavior for hashing purposes
+        sh, _ = _batch_shingle_hashes([text], self.k)
+        # multiply-shift permutation family (wrapping uint64 multiply)
         vals = (sh[None, :] * self.a[:, None]) + self.b[:, None]
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        ids = batch["doc_id"]
         texts = batch["text"].to_pylist()
-        n = len(ids)
+        n = len(texts)
         if n == 0:
             return pa.table(
                 {
@@ -67,15 +125,7 @@ class MinHasher:
                     "doc_id": pa.array([], type=batch.schema.field("doc_id").type),
                 }
             )
-        # one concatenated shingle array for the WHOLE batch + reduceat per
-        # permutation: vectorized across documents, no per-doc matrices
-        per_doc = [_shingle_hashes(t, self.k) for t in texts]
-        lengths = np.asarray([len(s) for s in per_doc], dtype=np.int64)
-        all_sh = (
-            np.concatenate(per_doc) if per_doc else np.array([], dtype=np.uint64)
-        )
-        offsets = np.zeros(n, dtype=np.int64)
-        np.cumsum(lengths[:-1], out=offsets[1:])
+        all_sh, offsets = _batch_shingle_hashes(texts, self.k)
         sigs = np.empty((self.num_perm, n), dtype=np.uint64)
         for p in range(self.num_perm):
             v = all_sh * self.a[p] + self.b[p]
@@ -86,23 +136,26 @@ class MinHasher:
             folded = (folded * np.uint64(1099511628211)) ^ bh[:, r, :]
         band_ids = np.repeat(np.arange(self.bands, dtype=np.int32), n)
         band_hashes = (folded & np.uint64((1 << 63) - 1)).astype(np.int64).ravel()
-        out_ids = np.tile(np.asarray(ids, dtype=object), self.bands)
+        id_chunks = [ids] * self.bands
         return pa.table(
             {
                 "band_id": pa.array(band_ids),
                 "band_hash": pa.array(band_hashes),
-                "doc_id": pa.array(list(out_ids)),
+                "doc_id": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                     for c in id_chunks]
+                ),
             }
         )
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     """Exact character-k-shingle Jaccard (the verification predicate)."""
-    a = set(_shingle_hashes(text_a, k).tolist())
-    b = set(_shingle_hashes(text_b, k).tolist())
-    if not a and not b:
-        return 1.0
-    return len(a & b) / max(1, len(a | b))
+    a = np.unique(_batch_shingle_hashes([text_a], k)[0])
+    b = np.unique(_batch_shingle_hashes([text_b], k)[0])
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    uni = len(a) + len(b) - inter
+    return inter / max(1, uni)
 
 
 def _candidate_pairs_from_bands(band_rows: "rd.Dataset", num_buckets: int = 32):
@@ -132,46 +185,66 @@ def _candidate_pairs_from_bands(band_rows: "rd.Dataset", num_buckets: int = 32):
     )
 
 
-def minhash_lsh_dedup(
-    docs: "rd.Dataset",
-    threshold: float = 0.8,
-    num_perm: int = 128,
-    bands: int = 16,
-    k: int = 5,
-    concurrency=None,
-) -> pd.DataFrame:
-    """MinHash-LSH near-dup clustering.
+class _CandidateShingles:
+    """Shipped-instance stage: emit (doc_id, shingles) for CANDIDATE docs
+    only. The candidate-id set (bounded by the near-dup count) travels once
+    with the task spec (Ray broadcasts the fn via the object store); the
+    corpus streams through and non-candidates are filtered out with a
+    vectorized ``is_in`` — no driver-side corpus scan."""
 
-    Returns a pandas DataFrame (doc_id, cluster) where cluster is the min
-    doc_id of the near-dup group (the deterministic keep-min winner rule,
-    /root/reference/src/osm_reader/street.rs:202-234). Candidate pairs are
-    verified with exact shingle Jaccard >= threshold before clustering.
-    Union-find runs on the driver — valid while candidate pairs ~ O(dups);
-    for adversarial corpora switch to iterated min-label propagation.
-    """
-    from mimirsbrunn_ray.context import pool_size
+    def __init__(self, cand: pa.Array, k: int):
+        self.cand = cand
+        self.k = k
 
-    docs_small = docs.select_columns(["doc_id", "text"])
-    band_rows = docs_small.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=concurrency if concurrency is not None else (1, pool_size()),
-    )
-    cand = _candidate_pairs_from_bands(band_rows).to_pandas().drop_duplicates()
+    def __call__(self, b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.is_in(b["doc_id"], value_set=self.cand), False)
+        b = b.filter(keep)
+        texts = b["text"].to_pylist()
+        if not texts:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "shingles": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        vals, offsets = _batch_shingle_hashes(texts, self.k)
+        splits = np.split(vals.view(np.int64), offsets[1:])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "shingles": pa.array(
+                    [np.unique(s) for s in splits], type=pa.list_(pa.int64())
+                ),
+            }
+        )
 
-    # verification needs the candidate docs' shingle sets: compute once per
-    # involved doc (sorted uint64 arrays), then vectorized intersections
-    need = set(cand["a"]) | set(cand["b"])
-    shingles: dict = {}
-    for b in docs_small.iter_batches(batch_format="pyarrow", batch_size=8192):
-        ids = b["doc_id"].to_pylist()
-        txt = b["text"].to_pylist()
-        for i, d in enumerate(ids):
-            if d in need:
-                shingles[d] = np.unique(_shingle_hashes(txt[i], k))
 
+class _VerifyPairs:
+    """Shipped-instance stage over the candidate-pair dataset: exact
+    Jaccard against the broadcast candidate-shingle map, keep pairs >=
+    threshold."""
+
+    def __init__(self, shingles: dict, threshold: float):
+        self.shingles = shingles  # {doc_id: sorted int64 array}
+        self.threshold = threshold
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        a_ids = b["a"].to_pylist()
+        b_ids = b["b"].to_pylist()
+        empty = np.array([], dtype=np.int64)
+        keep = np.zeros(len(a_ids), dtype=bool)
+        for i, (x, y) in enumerate(zip(a_ids, b_ids)):
+            sa = self.shingles.get(x, empty)
+            sb = self.shingles.get(y, empty)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            uni = len(sa) + len(sb) - inter
+            keep[i] = bool(uni) and inter / uni >= self.threshold
+        return b.filter(pa.array(keep))
+
+
+def _cluster_pairs(pairs_a, pairs_b) -> dict:
+    """Union-find over the VERIFIED pair list only (O(near-dups), never the
+    corpus): doc_id -> min-id cluster representative."""
     parent: dict = {}
 
     def find(x):
@@ -180,22 +253,110 @@ def minhash_lsh_dedup(
             x = parent[x]
         return x
 
-    def union(x, y):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            lo, hi = (rx, ry) if str(rx) <= str(ry) else (ry, rx)
+    for a, b in zip(pairs_a, pairs_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
             parent[hi] = lo
+    return {x: find(x) for x in parent}
 
-    empty = np.array([], dtype=np.uint64)
-    for a, b in zip(cand["a"], cand["b"]):
-        sa, sb = shingles.get(a, empty), shingles.get(b, empty)
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        uni = len(sa) + len(sb) - inter
-        if uni and inter / uni >= threshold:
-            union(a, b)
 
-    ids = docs_small.select_columns(["doc_id"]).to_pandas()["doc_id"]
-    return pd.DataFrame({"doc_id": ids, "cluster": [find(d) for d in ids]})
+def minhash_lsh_dedup(
+    docs: "rd.Dataset",
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 16,
+    k: int = 5,
+    concurrency=None,
+) -> "rd.Dataset":
+    """MinHash-LSH near-dup clustering, fully distributed.
+
+    Returns a Dataset (doc_id, cluster) where cluster is the min doc_id of
+    the near-dup group (the deterministic keep-min winner rule,
+    /root/reference/src/osm_reader/street.rs:202-234).
+
+    Scale shape: signatures/banding shuffle once; candidate pairs are
+    verified with exact shingle Jaccard in an actor pool against a
+    broadcast candidate-shingle map; the final labeling is a broadcast-map
+    join over the streaming corpus. Driver memory is bounded by the
+    candidate-pair count (O(near-dups)); the corpus is never pulled to the
+    driver. For adversarial corpora where the verified pair list itself is
+    huge, replace ``_cluster_pairs`` with iterated min-label propagation
+    over a (pair -> min-label) Dataset — the surrounding stages already
+    stream.
+    """
+    import ray
+
+    from mimirsbrunn_ray.context import pool_size
+    from mimirsbrunn_ray.stages.join import broadcast_join
+
+    pool = concurrency if concurrency is not None else (1, pool_size())
+    docs_small = docs.select_columns(["doc_id", "text"])
+    # MinHasher state (two uint64 arrays) is tiny + immutable: ship the
+    # instance once with the task spec instead of paying actor-pool startup
+    band_rows = docs_small.map_batches(
+        MinHasher(num_perm=num_perm, bands=bands, k=k),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    # candidate pairs: bounded by the near-dup count -> driver-safe
+    cand = _candidate_pairs_from_bands(band_rows).to_pandas().drop_duplicates()
+
+    schema = docs_small.schema()
+    arrow_schema = getattr(schema, "base_schema", schema)
+    id_type = arrow_schema.field("doc_id").type
+    if len(cand) == 0:
+        return docs_small.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"], "cluster": b["doc_id"]}),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    cand_ids = pd.unique(pd.concat([cand["a"], cand["b"]], ignore_index=True))
+
+    # shingles for candidate docs, computed IN the stream (corpus never
+    # leaves the workers); collected result is O(candidates)
+    cand_shingles = docs_small.map_batches(
+        _CandidateShingles(pa.array(cand_ids, type=id_type), k),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
+    shingle_map = {
+        r["doc_id"]: np.asarray(r["shingles"], dtype=np.int64)
+        for r in cand_shingles
+    }
+
+    # distributed exact verification of the pair list
+    pairs_ds = rd.from_arrow(pa.Table.from_pandas(cand, preserve_index=False))
+    verified = pairs_ds.map_batches(
+        _VerifyPairs(shingle_map, threshold),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
+
+    cluster_map = _cluster_pairs(
+        [r["a"] for r in verified], [r["b"] for r in verified]
+    )
+    lookup_ref = ray.put(dict(cluster_map))
+
+    labeled = broadcast_join(
+        docs_small.select_columns(["doc_id"]),
+        lookup_ref,
+        key_col="doc_id",
+        out_col="cluster",
+        out_type=id_type,
+        concurrency=pool,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "cluster": pc.coalesce(b["cluster"], b["doc_id"]),
+            }
+        )
+
+    return labeled.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -204,49 +365,92 @@ def minhash_lsh_dedup(
 # distance <= 3.
 # ---------------------------------------------------------------------------
 
+_SHIFTS64 = np.arange(64, dtype=np.uint64)
+_POW2_64 = np.uint64(1) << _SHIFTS64
+
 
 class SimHasher:
+    """Batch-vectorized SimHash: per-word crc32 hashes (memoized per actor —
+    vocabularies are tiny vs token counts), then ONE bit-unpack
+    ``(hashes[:,None] >> shifts) & 1`` and ``np.add.reduceat`` per document.
+    Signatures are bit-identical to the per-word formulation."""
+
+    # bound the (words x 64) int32 workspace to ~64 MiB per chunk
+    _MAX_CHUNK_WORDS = 1 << 18
+
     def __init__(self):
         import re
 
         self.word_re = re.compile(r"\w+", flags=0)
+        self._memo: dict = {}
 
-    def simhash64(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for w in self.word_re.findall((text or "").lower()):
-            h = np.uint64(
-                zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
-            )
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
+    def _word_hashes(self, words: list) -> np.ndarray:
+        memo = self._memo
+        crc = zlib.crc32
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = memo.get(w)
+            if h is None:
+                h = crc(w.encode()) | (crc(w[::-1].encode()) << 32)
+                memo[w] = h
+            out[i] = h
         return out
 
+    def _sig_batch(self, texts: list) -> np.ndarray:
+        n = len(texts)
+        words_per_doc = [
+            self.word_re.findall((t or "").lower()) for t in texts
+        ]
+        counts = np.asarray([len(w) for w in words_per_doc], dtype=np.int64)
+        out = np.zeros(n, dtype=np.uint64)
+        # chunk docs so the bit matrix stays small
+        start = 0
+        while start < n:
+            end = start
+            tot = 0
+            while end < n and (tot == 0 or tot + counts[end] <= self._MAX_CHUNK_WORDS):
+                tot += counts[end]
+                end += 1
+            chunk_counts = counts[start:end]
+            flat = [w for doc in words_per_doc[start:end] for w in doc]
+            if flat:
+                h = self._word_hashes(flat)
+                bits = ((h[:, None] >> _SHIFTS64) & np.uint64(1)).astype(np.int32)
+                contrib = 2 * bits - 1  # (n_words, 64) of +/-1
+                nz = chunk_counts > 0
+                offs = np.zeros(len(chunk_counts), dtype=np.int64)
+                np.cumsum(chunk_counts[:-1], out=offs[1:])
+                acc = np.add.reduceat(contrib, offs[nz], axis=0)
+                sigs = (acc > 0).astype(np.uint64) @ _POW2_64
+                sub = out[start:end]
+                sub[nz] = sigs
+                out[start:end] = sub
+            start = end
+        return out
+
+    def simhash64(self, text: str) -> int:
+        return int(self._sig_batch([text])[0])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        sigs = [self.simhash64(t) for t in batch["text"].to_pylist()]
+        sigs = self._sig_batch(batch["text"].to_pylist())
         return pa.table(
             {
-                "doc_id": pa.array(ids),
-                "simhash": pa.array(
-                    np.array(sigs, dtype=np.uint64).view(np.int64)
-                ),
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(sigs.view(np.int64)),
             }
         )
 
 
 def simhash_signatures(docs: "rd.Dataset", concurrency=None) -> "rd.Dataset":
-    from mimirsbrunn_ray.context import pool_size
-
+    # task-pool stage with a shipped instance: SimHasher state is one
+    # compiled regex (+ a per-process word-hash memo); actor-pool startup
+    # would dominate at small scale and buys nothing at large scale
+    kwargs = {"concurrency": concurrency} if concurrency is not None else {}
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher,
+        SimHasher(),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=concurrency if concurrency is not None else (1, pool_size()),
+        **kwargs,
     )
 
 

@@ -148,22 +148,24 @@ class BpeishTokenCounter:
 
 
 def bpeish_token_counts(ds: "rd.Dataset", concurrency=None) -> "rd.Dataset":
-    from mimirsbrunn_ray.context import pool_size
-
+    # shipped-instance task pool: the stage state is ONE compiled regex —
+    # actor-pool startup costs more than the state build saves (see
+    # stages/neardup.py for the same trade); the task pool also scales
+    # elastically with the upstream read instead of a fixed actor count
+    kwargs = {"concurrency": concurrency} if concurrency is not None else {}
     return ds.map_batches(
-        BpeishTokenCounter,
+        BpeishTokenCounter(),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=concurrency if concurrency is not None else (1, pool_size()),
+        **kwargs,
     )
 
 
 def text_features(ds: "rd.Dataset", concurrency=None) -> "rd.Dataset":
-    from mimirsbrunn_ray.context import pool_size
-
+    kwargs = {"concurrency": concurrency} if concurrency is not None else {}
     return ds.map_batches(
-        LangIdQuality,
+        LangIdQuality(),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=concurrency if concurrency is not None else (1, pool_size()),
+        **kwargs,
     )

@@ -57,10 +57,95 @@ def test_minhash_finds_planted_near_dup(ray_session):
         {"doc_id": 4, "text": base},  # exact dup of 1
     ]
     ds = rd.from_arrow(pa.Table.from_pylist(rows))
-    out = minhash_lsh_dedup(ds, threshold=0.7)
+    out = minhash_lsh_dedup(ds, threshold=0.7).to_pandas()
     clusters = dict(zip(out["doc_id"], out["cluster"]))
     assert clusters[1] == clusters[2] == clusters[4] == 1
     assert clusters[3] == 3
+
+
+def test_simhash_golden_signatures():
+    """Vectorized SimHash must stay bit-identical to the per-word
+    formulation (golden values captured from the round-1 implementation)."""
+    from mimirsbrunn_ray.stages.neardup import SimHasher
+
+    sh = SimHasher()
+    golden = {
+        "the quick brown fox jumps over the lazy dog": 5410956323903597908,
+        "Hello, World! 123 foo_bar baz": 8111060728872444370,
+        "": 0,
+        "a": 16769080936413773379,
+        "一些中文 words mixed 42": 4545559306898054272,
+        "repeat repeat repeat repeat": 8911304363106350016,
+    }
+    for text, want in golden.items():
+        assert sh.simhash64(text) == want
+    # batch path == scalar path, including interleaved empty docs
+    texts = list(golden) + ["", "x y z"]
+    for text, sig in zip(texts, sh._sig_batch(texts)):
+        assert int(sig) == sh.simhash64(text)
+
+
+def test_minhash_driver_state_is_bounded_by_dup_count(ray_session):
+    """~5% planted near-dups in a 2k-doc corpus: every driver-side
+    materialization inside minhash_lsh_dedup must be O(dups), never
+    O(corpus) — the distributed-verification requirement (VERDICT r1 #1)."""
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages import neardup
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i:03d}" for i in range(400)]
+    rows = []
+    n_base, n_dup = 1900, 100
+    for i in range(n_base):
+        text = " ".join(rng.choice(words, size=40))
+        rows.append({"doc_id": i, "text": text})
+    for j in range(n_dup):  # near-dup of doc j
+        rows.append({"doc_id": n_base + j, "text": rows[j]["text"] + " tail"})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+
+    pulls = []
+    orig_to_pandas = rd.Dataset.to_pandas
+    orig_take_all = rd.Dataset.take_all
+
+    def spy_to_pandas(self, *a, **kw):
+        out = orig_to_pandas(self, *a, **kw)
+        pulls.append(len(out))
+        return out
+
+    def spy_take_all(self, *a, **kw):
+        out = orig_take_all(self, *a, **kw)
+        pulls.append(len(out))
+        return out
+
+    orig_iter_batches = rd.Dataset.iter_batches
+
+    def guard_iter_batches(self, *a, **kw):
+        # Ray internals (to_pandas, map_groups) use iter_batches legally;
+        # only a DIRECT call from the dedup operator is the anti-pattern.
+        import sys
+
+        caller = sys._getframe(1).f_code.co_filename
+        assert "neardup" not in caller, "driver-side iter_batches in neardup"
+        return orig_iter_batches(self, *a, **kw)
+
+    rd.Dataset.to_pandas = spy_to_pandas
+    rd.Dataset.take_all = spy_take_all
+    rd.Dataset.iter_batches = guard_iter_batches
+    try:
+        labeled = neardup.minhash_lsh_dedup(ds, threshold=0.7)
+    finally:
+        rd.Dataset.to_pandas = orig_to_pandas
+        rd.Dataset.take_all = orig_take_all
+        rd.Dataset.iter_batches = orig_iter_batches
+    # candidate pairs / candidate shingles / verified pairs: all O(dups)
+    assert pulls, "expected bounded driver pulls for pair clustering"
+    assert max(pulls) <= 20 * n_dup, pulls
+    out = labeled.to_pandas()
+    assert len(out) == n_base + n_dup
+    clusters = dict(zip(out["doc_id"], out["cluster"]))
+    hits = sum(1 for j in range(n_dup) if clusters[n_base + j] == clusters[j])
+    assert hits >= int(0.9 * n_dup), f"only {hits}/{n_dup} planted dups found"
 
 
 def test_simhash_near_pairs(ray_session):
