@@ -22,9 +22,9 @@ from __future__ import annotations
 
 import ray.data as rd
 
-from mimirsbrunn_ray.sources.ingest import num_blocks_for, read_sequences, validated
+from mimirsbrunn_ray.sources.ingest import read_sequences, validated
 from mimirsbrunn_ray.stages.compress import compress_tier
-from mimirsbrunn_ray.stages.dedup import scan_duplicate_keys
+from mimirsbrunn_ray.stages.dedup import dedup_exact
 from mimirsbrunn_ray.stages.gapfill import gapfill
 from mimirsbrunn_ray.stages.rollup import (
     _combine_rollup_partials,
@@ -43,115 +43,132 @@ def merge_late_data(
     run_id: str,
     gap_policy: str = "locf",
 ) -> dict:
-    """Fold late rows into all published tiers under a new run id."""
+    """Fold late rows into all published tiers under a new run id.
+
+    Idempotent: if ``run_id`` is already the committed raw run, the merge
+    already happened (a crash between tier publishes re-runs the job) and
+    re-anti-joining the late rows against their own published segment would
+    silently delete them — so the raw step is skipped and only the
+    derived tiers are (re)computed from the published raw tier.
+    """
     store = TierStore(out_root)
     late_paths = list(late_paths) if isinstance(late_paths, (list, tuple)) else [late_paths]
     summary: dict = {"run_id": run_id, "tiers": {}}
 
-    # ---- raw: union published files + validated late rows ---------------
-    counters = new_counters()
-    published_raw = store.latest_data_paths("raw")
-    late = validated(read_sequences(late_paths), counters=counters)
-
-    # dedup late rows against themselves AND against published ids: the
-    # published raw tier is already unique, so only late ids that collide
-    # with published ids (or each other) need dropping — an anti-join by
-    # key hash against the published key set (SURVEY.md §2.5 semi/anti).
-    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from mimirsbrunn_ray.stages.dedup import _hash64
+    raw_done = store.is_run_committed("raw", run_id)
+    if raw_done:
+        # resume path: late rows are already a published raw segment
+        summary["tiers"]["raw"] = {"skipped": "already committed"}
+        late_clean = rd.read_parquet(
+            [p for p in store.latest_data_paths("raw")
+             if store.run_dir("raw", run_id) in p]
+        ).materialize()
+        summary["late_rows_merged"] = late_clean.count()
+    else:
+        # ---- raw: union published files + validated late rows -----------
+        counters = new_counters()
+        published_raw = store.latest_data_paths("raw")
+        late = validated(read_sequences(late_paths), counters=counters).materialize()
+        n_late = late.count()
 
-    pub_ids = rd.read_parquet(published_raw, columns=["doc_id"])
+        # dedup late rows against themselves AND against published ids.
+        # In-late duplicates: the deterministic keep-first hash-bucket dedup.
+        # Against published ids: a PARTITIONED key-only anti-join — both
+        # sides' doc_id columns hash-shuffle into a distributed inner join
+        # whose output is just the COLLIDING keys (token payloads never
+        # enter the shuffle; no node or the driver ever holds the published
+        # key set — replaces the old driver-side concatenate-all-published-
+        # hashes build). The collision set is bounded by the late batch
+        # size, so broadcasting it back as a filter is safe.
+        from mimirsbrunn_ray.context import pool_size
 
-    def hash_batch(b: pa.Table) -> pa.Table:
-        return pa.table({"h": _hash64(b["doc_id"]).view(np.int64)})
-
-    pub_hashes = np.sort(
-        np.concatenate(
-            [
-                b["h"].to_numpy(zero_copy_only=False)
-                for b in pub_ids.map_batches(
-                    hash_batch, batch_format="pyarrow", batch_size=None
-                ).iter_batches(batch_format="pyarrow", batch_size=1 << 20)
-            ]
+        deduped = dedup_exact(late, key="doc_id", num_buckets=16)
+        pub_ids = rd.read_parquet(published_raw, columns=["doc_id"])
+        collisions = (
+            deduped.select_columns(["doc_id"])
+            .join(
+                pub_ids,
+                join_type="inner",
+                num_partitions=max(8, pool_size()),
+                on=("doc_id",),
+            )
+            .take_all()
         )
-    )
-    late_dups = scan_duplicate_keys(late_paths, key="doc_id")
+        if collisions:
+            collide_arr = pa.array(
+                [r["doc_id"] for r in collisions]
+            )
+            late_clean = deduped.map_batches(
+                lambda b: b.filter(
+                    pc.invert(
+                        pc.fill_null(
+                            pc.is_in(b["doc_id"], value_set=collide_arr), False
+                        )
+                    )
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            ).materialize()
+        else:
+            late_clean = deduped.materialize()
+        n_clean = late_clean.count()
+        counters.inc.remote({"rows_deduped": n_late - n_clean})
+        summary["late_rows_merged"] = n_clean
 
-    import ray
-
-    pub_ref = ray.put(pub_hashes)
-
-    class DropSeen:
-        def __init__(self):
-            self.pub = ray.get(pub_ref)
-            self.seen: set = set()  # in-late duplicates (late sets are small)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            h = _hash64(b["doc_id"]).view(np.int64)
-            pos = np.clip(np.searchsorted(self.pub, h), 0, max(0, len(self.pub) - 1))
-            dup_pub = (self.pub[pos] == h) if len(self.pub) else np.zeros(len(h), bool)
-            keep = ~dup_pub
-            if len(late_dups):
-                ids = b["doc_id"].to_pylist()
-                for i, d in enumerate(ids):
-                    if keep[i] and d in self.seen:
-                        keep[i] = False
-                    elif keep[i]:
-                        self.seen.add(d)
-            n_drop = int((~keep).sum())
-            if n_drop and counters is not None:
-                counters.inc.remote({"rows_deduped": n_drop})
-            return b.filter(pa.array(keep))
-
-    late_clean = late.map_batches(
-        DropSeen, batch_format="pyarrow", batch_size=None, concurrency=1
-    ).materialize()
-    summary["late_rows_merged"] = late_clean.count()
-
-    # append-only segment: ONLY the late rows are written; the petabyte-scale
-    # published raw files are referenced, never rewritten
-    run_dir = store.publish(late_clean, "raw", run_id, input_paths=late_paths,
-                            counters=counters, append_segment=True)
-    summary["tiers"]["raw"] = {"run_dir": run_dir}
+        # append-only segment: ONLY the late rows are written; the
+        # petabyte-scale published raw files are referenced, never rewritten
+        run_dir = store.publish(late_clean, "raw", run_id,
+                                input_paths=late_paths,
+                                counters=counters, append_segment=True)
+        summary["tiers"]["raw"] = {"run_dir": run_dir}
 
     # ---- 1m: associative combine of published partials + late partials --
-    counters = new_counters()
-    pub_1m = rd.read_parquet(store.latest_data_paths("1m"))
+    if store.is_run_committed("1m", run_id):
+        summary["tiers"]["1m"] = {"skipped": "already committed"}
+        t1m = rd.read_parquet(store.latest_data_paths("1m")).materialize()
+    else:
+        counters = new_counters()
+        pub_1m = rd.read_parquet(store.latest_data_paths("1m"))
 
-    def pub_to_partials(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.fill_null(pc.invert(b["filled"]), True))
-        return pa.table(
-            {
-                "source": b["source"],
-                "bucket": b["bucket"],
-                "n_rows": b["n_rows"].cast(pa.int64()),
-                "sum_tok": b["sum_tok"].cast(pa.int64()),
-                "min_tok": b["min_tok"].cast(pa.int64()),
-                "max_tok": b["max_tok"].cast(pa.int64()),
-            }
+        def pub_to_partials(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.fill_null(pc.invert(b["filled"]), True))
+            return pa.table(
+                {
+                    "source": b["source"],
+                    "bucket": b["bucket"],
+                    "n_rows": b["n_rows"].cast(pa.int64()),
+                    "sum_tok": b["sum_tok"].cast(pa.int64()),
+                    "min_tok": b["min_tok"].cast(pa.int64()),
+                    "max_tok": b["max_tok"].cast(pa.int64()),
+                }
+            )
+
+        late_partials = late_clean.map_batches(
+            lambda b: _partial_from_raw(b, "1m"), batch_format="pyarrow",
+            batch_size=None,
         )
-
-    late_partials = late_clean.map_batches(
-        lambda b: _partial_from_raw(b, "1m"), batch_format="pyarrow", batch_size=None
-    )
-    all_partials = pub_1m.map_batches(
-        pub_to_partials, batch_format="pyarrow", batch_size=None
-    ).union(late_partials)
-    t1m = tree_merge(all_partials, _combine_rollup_partials).map_batches(
-        _finish, batch_format="pyarrow", batch_size=None
-    )
-    t1m = gapfill(t1m, "1m", policy=gap_policy, counters=counters).materialize()
-    run_dir = store.publish(t1m, "1m", run_id,
-                            input_paths=[store.latest_run_dir("raw")],
-                            counters=counters)
-    summary["tiers"]["1m"] = {"run_dir": run_dir}
+        all_partials = pub_1m.map_batches(
+            pub_to_partials, batch_format="pyarrow", batch_size=None
+        ).union(late_partials)
+        t1m = tree_merge(all_partials, _combine_rollup_partials).map_batches(
+            _finish, batch_format="pyarrow", batch_size=None
+        )
+        t1m = gapfill(t1m, "1m", policy=gap_policy, counters=counters).materialize()
+        run_dir = store.publish(t1m, "1m", run_id,
+                                input_paths=[store.latest_run_dir("raw")],
+                                counters=counters)
+        summary["tiers"]["1m"] = {"run_dir": run_dir}
 
     # ---- 1h / 1d / compressed re-derive from the small 1m tier ----------
     prev = t1m
     for gran, src_gran in (("1h", "1m"), ("1d", "1h")):
+        if store.is_run_committed(gran, run_id):
+            summary["tiers"][gran] = {"skipped": "already committed"}
+            prev = rd.read_parquet(store.latest_data_paths(gran)).materialize()
+            continue
         counters = new_counters()
         t = gapfill(
             rollup(prev, gran, from_tier=src_gran), gran,
@@ -163,8 +180,13 @@ def merge_late_data(
         summary["tiers"][gran] = {"run_dir": run_dir}
         prev = t
 
-    blocks = compress_tier(t1m.select_columns(["source", "bucket", "sum_tok"]))
-    run_dir = store.publish(blocks, "compressed", run_id,
-                            input_paths=[store.latest_run_dir("1m")])
-    summary["tiers"]["compressed"] = {"run_dir": run_dir}
+    if store.is_run_committed("compressed", run_id):
+        summary["tiers"]["compressed"] = {"skipped": "already committed"}
+    else:
+        blocks = compress_tier(
+            t1m.select_columns(["source", "bucket", "sum_tok"])
+        )
+        run_dir = store.publish(blocks, "compressed", run_id,
+                                input_paths=[store.latest_run_dir("1m")])
+        summary["tiers"]["compressed"] = {"run_dir": run_dir}
     return summary

@@ -79,6 +79,7 @@ def run_tiering_job(
     dedup_buckets: int = 64,
     max_dropped: int | None = None,
     verify_resume: bool = False,
+    assume_identical_dups: bool = True,
 ) -> dict:
     """Run (or resume) the full tier chain; returns a per-tier summary.
 
@@ -88,6 +89,15 @@ def run_tiering_job(
     ``verify_resume=True`` additionally re-hashes a committed tier's
     partitions against the manifest checksums before trusting it (pays one
     read of the tier's bytes — worth it after an unclean shutdown).
+
+    ``assume_identical_dups``: the fast claim-based sparse dedup keeps an
+    arbitrary physical copy per duplicate key, which is only deterministic
+    when duplicate payloads are byte-identical (the synth generator's
+    contract, FIXTURES.md §2). Set False for untrusted inputs whose
+    duplicate doc_ids may carry DIFFERENT payloads: the chain then always
+    uses the full-shuffle ``dedup_exact`` with its sorted keep-first
+    winner (the deterministic-winner rule of
+    /root/reference/src/osm_reader/street.rs:202-234).
     """
     import os
     import sys
@@ -114,6 +124,13 @@ def run_tiering_job(
 
                 bad = verify_partitions(store.run_dir(tier, run_id))
                 if bad:
+                    # the tier's bytes are provably corrupt: remove the dir
+                    # now so the rewrite isn't blocked by publish()'s
+                    # live-segment guard (readers were already broken)
+                    import shutil
+
+                    shutil.rmtree(store.run_dir(tier, run_id),
+                                  ignore_errors=True)
                     summary["tiers"][tier] = {"recomputed": f"corrupt: {bad}"}
                     return False
             summary["tiers"][tier] = {"skipped": "already committed"}
@@ -129,7 +146,7 @@ def run_tiering_job(
         from mimirsbrunn_ray.stages.raw_stage import raw_tier
 
         ds = read_sequences(input_paths)
-        if len(dup_keys) <= 5_000_000:
+        if assume_identical_dups and len(dup_keys) <= 5_000_000:
             # fused validate+enrich+claim-dedup: one pass, 2 block hops
             ds = raw_tier(
                 ds,

@@ -55,15 +55,18 @@ def num_blocks_for(paths, target_bytes: int = 128 << 20) -> int:
 
 
 def parse_doc_index(doc_id: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Vectorized parse of the trailing fixed-width index of
-    ``doc-{source}-{i:010d}``.
+    """Vectorized parse of the trailing index of ``doc-{source}-{i:010d}``.
+
+    The suffix AFTER THE LAST '-' is captured (not a fixed-width slice:
+    Python's ``:010d`` grows past 10 digits at i >= 10^10, and a fixed
+    ``[-10:]`` slice would silently truncate the high digits into wrong
+    timestamps and colliding indices at that scale).
 
     Returns int64 indices; unparseable ids become -1 (dropped as dirty).
     """
-    tail = pc.utf8_slice_codeunits(doc_id, start=-10)
-    is_num = pc.fill_null(pc.match_substring_regex(tail, r"^[0-9]+$"), False)
-    guarded = pc.if_else(is_num, tail, "-1")
-    return pc.cast(guarded, pa.int64()).to_numpy(zero_copy_only=False)
+    ext = pc.extract_regex(doc_id, pattern=r"-(?P<idx>[0-9]+)$")
+    idx_str = pc.fill_null(pc.struct_field(ext, "idx"), "-1")
+    return pc.cast(idx_str, pa.int64()).to_numpy(zero_copy_only=False)
 
 
 class ValidateAndDerive:

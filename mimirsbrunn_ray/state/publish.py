@@ -92,6 +92,7 @@ class TierStore:
         max_dropped: int | None = None,
         keep_runs: int = 2,
         append_segment: bool = False,
+        allow_overwrite_live: bool = False,
     ) -> str:
         """Write ds -> run dir, commit manifest, swap LATEST atomically.
 
@@ -102,8 +103,17 @@ class TierStore:
         from mimirsbrunn_ray.state.metrics import ErrorBudgetExceeded, totals
 
         run_dir = self.run_dir(tier, run_id)
-        if os.path.exists(run_dir):  # ghost from a killed run — rewrite it
-            shutil.rmtree(run_dir)
+        if os.path.exists(run_dir):
+            # a LIVE segment (still referenced by LATEST) must never be
+            # clobbered: rewriting it would delete committed rows readers
+            # depend on — callers must use a fresh run_id (or skip, the
+            # is_run_committed resume path)
+            if run_dir in self.latest_segments(tier) and not allow_overwrite_live:
+                raise ValueError(
+                    f"refusing to overwrite live run dir {run_dir!r} "
+                    f"(still referenced by {tier}/LATEST.json)"
+                )
+            shutil.rmtree(run_dir)  # ghost from a killed run — rewrite it
         kwargs = {}
         if partition_cols:
             kwargs["partition_cols"] = partition_cols
@@ -133,7 +143,9 @@ class TierStore:
         )
         segments = [run_dir]
         if append_segment:
-            segments = self.latest_segments(tier) + [run_dir]
+            segments = [
+                s for s in self.latest_segments(tier) if s != run_dir
+            ] + [run_dir]
         self._swap_latest(tier, run_id, run_dir, segments)
         self.cleanup_ghosts(tier, keep_runs=keep_runs)
         return run_dir
@@ -166,10 +178,24 @@ class TierStore:
         latest = self.latest(tier)
         latest_dir = latest["run_dir"] if latest else None
         protected = set(self.latest_segments(tier))  # segments stay live
+
+        def commit_time(d: str) -> float:
+            """Order runs by COMMIT time (manifest mtime), not by name —
+            'run=r10' sorts lexicographically before 'run=r9' and name
+            order would retire the newer run."""
+            m = os.path.join(tier_dir, d, "_manifest.json")
+            try:
+                return os.path.getmtime(m)
+            except OSError:
+                return 0.0
+
         runs = sorted(
-            d
-            for d in os.listdir(tier_dir)
-            if d.startswith("run=") and os.path.isdir(os.path.join(tier_dir, d))
+            (
+                d
+                for d in os.listdir(tier_dir)
+                if d.startswith("run=") and os.path.isdir(os.path.join(tier_dir, d))
+            ),
+            key=commit_time,
         )
         removed = []
         committed = []

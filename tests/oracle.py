@@ -30,7 +30,9 @@ def load_clean(paths) -> pd.DataFrame:
         frames.append(df)
     df = pd.concat(frames, ignore_index=True)
     df = df[df["n_tok"] == df["true_len"]].copy()
-    idx = df["doc_id"].str[-10:].astype(np.int64)
+    # suffix after the last '-' (NOT a fixed-width slice: {i:010d} grows
+    # past 10 digits at i >= 10^10 — same rule as sources/ingest.py)
+    idx = df["doc_id"].str.rsplit("-", n=1).str[-1].astype(np.int64)
     df["ts_us"] = ts_from_index(idx.to_numpy())
     df = df.drop_duplicates("doc_id", keep="first")
     return df

@@ -111,6 +111,41 @@ def test_late_merge_is_exact_and_append_only(ray_session, corpus, tmp_path):
             got[c].to_numpy().astype(np.int64), exp[c].to_numpy().astype(np.int64)
         ), c
 
+    # idempotency: re-running the merge with the SAME run_id (the natural
+    # crash-recovery move) must not delete the committed late rows — the
+    # raw step skips, segments stay deduped, the 1m tier is unchanged
+    raw_rows_before = sum(
+        pq.read_metadata(f).num_rows for f in store.latest_data_paths("raw")
+    )
+    summary2 = merge_late_data(late_paths, root, "r1")
+    assert summary2["tiers"]["raw"] == {"skipped": "already committed"}
+    assert len(store.latest_segments("raw")) == 2  # no duplicate segment
+    raw_rows_after = sum(
+        pq.read_metadata(f).num_rows for f in store.latest_data_paths("raw")
+    )
+    assert raw_rows_after == raw_rows_before
+    got2 = pd.concat(
+        pq.read_table(f).to_pandas()
+        for f in glob.glob(os.path.join(store.latest_run_dir("1m"), "*.parquet"))
+    )
+    assert len(got2[~got2["filled"]]) == len(exp)
+
+
+def test_publish_refuses_to_overwrite_live_segment(ray_session, tmp_path):
+    """A run dir still referenced by LATEST must never be rmtree'd by a
+    re-publish under the same run_id (ADVICE r1: committed rows would be
+    silently deleted while readers hold the segment list)."""
+    import pytest
+    import ray.data as rd
+
+    store = TierStore(str(tmp_path))
+    store.publish(rd.range(10), "raw", "base")
+    store.publish(rd.range(5), "raw", "late", append_segment=True)
+    with pytest.raises(ValueError, match="live run dir"):
+        store.publish(rd.range(3), "raw", "late", append_segment=True)
+    # both segments intact
+    assert len(store.latest_segments("raw")) == 2
+
 
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
