@@ -898,3 +898,109 @@ def q_bpeish_token_counts(sf_dir):
 
 
 QUERIES.update({"bpeish_token_counts": q_bpeish_token_counts})
+
+# ---------------------------------------------------------------------------
+# J2 graft: parent-chain hierarchy closure over the region<-nation<-customer
+# dimension tree (/root/reference/src/bin/cosmogony2mimir.rs:127-145)
+# ---------------------------------------------------------------------------
+
+
+def q_customer_region_chain(sf_dir):
+    """Each customer's full ancestor chain customer -> nation -> region,
+    resolved by iterated broadcast-map lookup (never a per-row walk)."""
+    from mimirsbrunn_ray.stages.hierarchy import ancestor_chain
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey"])
+    n_ids = pc.binary_join_element_wise(
+        "n", pc.cast(nation["n_nationkey"], pa.string()), ""
+    ).to_pylist()
+    n_parents = pc.binary_join_element_wise(
+        "r", pc.cast(nation["n_regionkey"], pa.string()), ""
+    ).to_pylist()
+    r_ids = pc.binary_join_element_wise(
+        "r", pc.cast(region["r_regionkey"], pa.string()), ""
+    ).to_pylist()
+    edge_ids = n_ids + r_ids
+    edge_parents = n_parents + [None] * len(r_ids)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": pc.binary_join_element_wise(
+                    "c", pc.cast(b["c_custkey"], pa.string()), ""
+                ),
+                "parent_id": pc.binary_join_element_wise(
+                    "n", pc.cast(b["c_nationkey"], pa.string()), ""
+                ),
+            }
+        )
+
+    nodes = cust.map_batches(to_nodes, batch_format="pyarrow", batch_size=None)
+    out = ancestor_chain(nodes, edge_ids, edge_parents)
+    return out.select_columns(["node_id", "chain", "depth", "root_id"])
+
+
+CHAIN_SQL = """
+WITH RECURSIVE nodes AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node_id,
+         'n' || CAST(c_nationkey AS VARCHAR) AS parent_id
+  FROM customer),
+edges AS (
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS id,
+         'r' || CAST(n_regionkey AS VARCHAR) AS parent FROM nation
+  UNION ALL
+  SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS id, NULL AS parent FROM region),
+walk AS (
+  SELECT node_id, parent_id AS cur, node_id AS chain,
+         CAST(1 AS BIGINT) AS depth, node_id AS root_id
+  FROM nodes
+  UNION ALL
+  SELECT w.node_id, e.parent, w.chain || '/' || w.cur, w.depth + 1, w.cur
+  FROM walk w JOIN edges e ON e.id = w.cur)
+SELECT node_id, chain, depth, root_id FROM walk WHERE cur IS NULL
+"""
+
+# ---------------------------------------------------------------------------
+# bragi autocomplete graft: prefix pass + paging (fuzzy fallback in pytest)
+# ---------------------------------------------------------------------------
+
+
+def q_prefix_search_docs(sf_dir):
+    """Exact-prefix search with importance scoring and from/size paging
+    (/root/reference/libs/bragi/src/query.rs:667-714 pass 1 +
+    routes/autocomplete.rs:56-73)."""
+    from mimirsbrunn_ray.stages.search import prefix_search
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return prefix_search(docs, "the ", k=10, offset=2)
+
+
+PREFIX_SQL = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS score
+FROM documents
+WHERE text LIKE 'the %'
+ORDER BY score DESC, doc_id
+LIMIT 10 OFFSET 2
+"""
+
+QUERIES.update(
+    {
+        "customer_region_chain": q_customer_region_chain,
+        "prefix_search_docs": q_prefix_search_docs,
+    }
+)
+ORACLES.update(
+    {
+        "customer_region_chain": CHAIN_SQL,
+        "prefix_search_docs": PREFIX_SQL,
+    }
+)

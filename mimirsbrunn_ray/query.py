@@ -32,12 +32,14 @@ def top_k(
     tier: str = "1m",
     metric: str = "sum_tok",
     k: int = 10,
+    offset: int = 0,
     source: str | None = None,
     descending: bool = True,
     fallback_unfiltered: bool = True,
 ) -> pd.DataFrame:
     """Top-k buckets by a metric (default page size 10 like bragi's
-    autocomplete limit, /root/reference/libs/bragi/src/routes/autocomplete.rs:56-58).
+    autocomplete limit, /root/reference/libs/bragi/src/routes/autocomplete.rs:56-58;
+    ``offset`` grafts bragi's from/size paging, same file :71-73).
 
     Two-pass orchestration graft (query.rs:667-714: exact prefix first,
     fuzzy fallback iff ZERO results): when the source-filtered scan returns
@@ -58,7 +60,7 @@ def top_k(
     df = tbl.to_pandas().sort_values(
         [metric, "source", "bucket"], ascending=[not descending, True, True]
     )
-    return df.head(k).reset_index(drop=True)
+    return df.iloc[offset : offset + k].reset_index(drop=True)
 
 
 def lookup_id(store: TierStore, doc_id: str) -> dict | None:

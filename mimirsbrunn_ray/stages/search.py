@@ -1,0 +1,159 @@
+"""Prefix / fuzzy text search — the bragi autocomplete graft.
+
+Two-pass orchestration exactly like the reference
+(/root/reference/libs/bragi/src/query.rs:667-714): an exact PREFIX pass
+first; iff it returns ZERO hits, a trigram-fuzzy fallback (the edge-ngram /
+3-gram analyzers of config/addr_settings.json re-expressed as character
+trigram Jaccard), with importance-blended scoring via
+``functions/scoring.blend_weight``. Paging via ``k``/``offset`` grafts
+bragi's from/size (libs/bragi/src/routes/autocomplete.rs:56-73).
+
+Scale shape: both passes are map_batches with per-batch PARTIAL top-(k+offset)
+followed by a tree merge — no global sort shuffle; the fuzzy pass computes
+trigram Jaccard fully vectorized (joint (doc, trigram) unique + bincounts),
+never a per-row loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from mimirsbrunn_ray.stages.neardup import _batch_shingle_hashes
+
+
+def _partial_topk(score_cols, k: int):
+    """A combine fn keeping the best k rows per block (desc score, asc id)."""
+
+    def combine(b: pa.Table) -> pa.Table:
+        return b.sort_by(score_cols).slice(0, k)
+
+    return combine
+
+
+def prefix_search(
+    docs: "rd.Dataset",
+    query: str,
+    k: int = 10,
+    offset: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> "rd.Dataset":
+    """Exact-prefix pass: rows whose text starts with ``query``, scored by
+    importance (``weight_col``), top-k with paging offset."""
+    need = k + offset
+
+    def match(b: pa.Table) -> pa.Table:
+        hit = pc.fill_null(pc.starts_with(b[text_col], pattern=query), False)
+        b = b.filter(hit)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "score": b[weight_col].cast(pa.int64()),
+            }
+        )
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    score_cols = [("score", "descending"), (id_col, "ascending")]
+    partials = docs.map_batches(match, batch_format="pyarrow", batch_size=None)
+    merged = tree_merge(partials, _partial_topk(score_cols, need))
+
+    def page(b: pa.Table) -> pa.Table:
+        return b.sort_by(score_cols).slice(offset, k)
+
+    return merged.map_batches(page, batch_format="pyarrow", batch_size=None)
+
+
+class _TrigramScorer:
+    """Shipped-instance stage: trigram Jaccard(text, query) blended with
+    the doc's importance weight; emits per-batch rows with score > 0."""
+
+    def __init__(self, query: str, text_col: str, id_col: str,
+                 weight_col: str, weight_scale: float):
+        q_vals, _ = _batch_shingle_hashes([query.lower()], k=3)
+        self.q_tri = np.unique(q_vals)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.weight_col = weight_col
+        self.weight_scale = weight_scale
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from mimirsbrunn_ray.functions.scoring import blend_weight
+
+        n = b.num_rows
+        if n == 0:
+            return pa.table(
+                {self.id_col: b[self.id_col],
+                 "score": pa.array([], type=pa.float64())}
+            )
+        texts = [t.lower() if t else "" for t in b[self.text_col].to_pylist()]
+        vals, offsets = _batch_shingle_hashes(texts, k=3)
+        counts = np.diff(np.append(offsets, len(vals)))
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        # joint unique over (doc, trigram): vectorized per-doc set semantics
+        pair = np.unique(np.stack([doc_idx, vals.view(np.int64)]), axis=1)
+        u_idx, u_vals = pair[0], pair[1].view(np.uint64)
+        n_tri = np.bincount(u_idx, minlength=n)
+        inter = np.bincount(
+            u_idx[np.isin(u_vals, self.q_tri)], minlength=n
+        )
+        union = n_tri + len(self.q_tri) - inter
+        jac = inter / np.maximum(union, 1)
+        w = b[self.weight_col].cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        ) / self.weight_scale
+        score = jac * (0.5 + 0.5 * blend_weight(w, w))
+        keep = score > 0
+        return pa.table(
+            {
+                self.id_col: b[self.id_col].filter(pa.array(keep)),
+                "score": pa.array(np.round(score[keep], 6)),
+            }
+        )
+
+
+def fuzzy_search(
+    docs: "rd.Dataset",
+    query: str,
+    k: int = 10,
+    offset: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    weight_scale: float = 500.0,
+) -> "rd.Dataset":
+    """Trigram-fuzzy pass: character-3-gram Jaccard x importance blend."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    need = k + offset
+    scored = docs.map_batches(
+        _TrigramScorer(query, text_col, id_col, weight_col, weight_scale),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    score_cols = [("score", "descending"), (id_col, "ascending")]
+    merged = tree_merge(scored, _partial_topk(score_cols, need))
+
+    def page(b: pa.Table) -> pa.Table:
+        return b.sort_by(score_cols).slice(offset, k)
+
+    return merged.map_batches(page, batch_format="pyarrow", batch_size=None)
+
+
+def autocomplete(
+    docs: "rd.Dataset",
+    query: str,
+    k: int = 10,
+    offset: int = 0,
+    **kwargs,
+):
+    """The two-pass orchestration: exact prefix first; trigram-fuzzy
+    fallback IFF the prefix pass returns zero rows (query.rs:667-714)."""
+    first = prefix_search(docs, query, k=k, offset=offset, **kwargs).materialize()
+    if first.count() > 0:
+        return first
+    return fuzzy_search(docs, query, k=k, offset=offset, **kwargs)

@@ -1,0 +1,126 @@
+"""J2 ancestor-chain closure, prefix/fuzzy autocomplete, human sort, paging."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_ancestor_chain_ragged_depths(ray_session):
+    """Roots, mid-level nodes, deep nodes and unknown parents in one batch
+    (the cosmogony parent-walk semantics incl. orphan handling,
+    /root/reference/src/admin_geofinder.rs:430-470 orphan test)."""
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.hierarchy import ancestor_chain
+
+    # hierarchy: a -> b -> c (root); x -> ghost (unknown parent)
+    edge_ids = ["a", "b", "c"]
+    edge_parents = ["b", "c", None]
+    rows = [
+        {"node_id": "a", "parent_id": "b"},
+        {"node_id": "b", "parent_id": "c"},
+        {"node_id": "c", "parent_id": None},
+        {"node_id": "x", "parent_id": "ghost"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = ancestor_chain(ds, edge_ids, edge_parents).to_pandas()
+    got = {r.node_id: (r.chain, r.depth, r.root_id) for r in out.itertuples()}
+    assert got["a"] == ("a/b/c", 3, "c")
+    assert got["b"] == ("b/c", 2, "c")
+    assert got["c"] == ("c", 1, "c")
+    # unknown parent: chain stops at the dangling edge (orphan keeps it)
+    assert got["x"] == ("x/ghost", 2, "ghost")
+
+
+def test_ancestor_chain_cycle_is_cut(ray_session):
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.hierarchy import ancestor_chain
+
+    ds = rd.from_arrow(
+        pa.Table.from_pylist([{"node_id": "p", "parent_id": "q"}])
+    )
+    out = ancestor_chain(
+        ds, ["p", "q"], ["q", "p"], max_depth=6
+    ).to_pandas()
+    assert out["depth"].iloc[0] == 7  # self + 6 capped levels, no hang
+
+
+def test_autocomplete_prefix_then_fuzzy_fallback(ray_session):
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.search import autocomplete
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma", "n_chars": 16},
+        {"doc_id": 2, "text": "alpha delta", "n_chars": 11},
+        {"doc_id": 3, "text": "beta gamma delta", "n_chars": 16},
+        {"doc_id": 4, "text": "unrelated words here", "n_chars": 20},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+
+    # pass 1 hits: prefix match only, importance-ordered
+    out = autocomplete(ds, "alpha", k=10).to_pandas()
+    assert out["doc_id"].tolist() == [1, 2]  # n_chars 16 > 11
+
+    # a longer prefix still hits pass 1 (no fallback when hits exist)
+    out = autocomplete(ds, "alpha beta gamm", k=10).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+
+    # zero prefix hits -> trigram fuzzy fallback finds the close docs
+    out = autocomplete(ds, "beta gamma alph", k=2).to_pandas()
+    assert len(out) == 2
+    assert out["doc_id"].iloc[0] in (1, 3)  # most trigram-similar wins
+    assert 4 not in out["doc_id"].tolist()
+
+
+def test_prefix_search_paging(ray_session):
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.search import prefix_search
+
+    rows = [
+        {"doc_id": i, "text": f"page test {i}", "n_chars": 100 - i}
+        for i in range(8)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    p1 = prefix_search(ds, "page", k=3, offset=0).to_pandas()
+    p2 = prefix_search(ds, "page", k=3, offset=3).to_pandas()
+    assert p1["doc_id"].tolist() == [0, 1, 2]  # score = n_chars desc
+    assert p2["doc_id"].tolist() == [3, 4, 5]
+
+
+def test_human_sort():
+    from mimirsbrunn_ray.functions.humansort import human_sorted
+
+    # the ntfs2mimir line-sort semantics: "3" < "11", numbers before text
+    assert human_sorted(["11", "3", "A1", "2B", "a"]) == [
+        "2B", "3", "11", "A1", "a",
+    ]
+    assert human_sorted(["line10", "line2", "line1"]) == [
+        "line1", "line2", "line10",
+    ]
+
+
+def test_topk_paging_offset(ray_session, tmp_path):
+    import ray.data as rd
+
+    from mimirsbrunn_ray import query
+    from mimirsbrunn_ray.state.publish import TierStore
+
+    store = TierStore(str(tmp_path))
+    tbl = pa.table(
+        {
+            "source": ["s"] * 6,
+            "bucket": pa.array(
+                np.arange(6) * 60_000_000, type=pa.timestamp("us")
+            ),
+            "sum_tok": pa.array([60, 50, 40, 30, 20, 10], type=pa.int64()),
+            "n_rows": pa.array([1] * 6, type=pa.int64()),
+            "filled": pa.array([False] * 6),
+        }
+    )
+    store.publish(rd.from_arrow(tbl), "1m", "r0")
+    page1 = query.top_k(store, k=2, offset=0)
+    page2 = query.top_k(store, k=2, offset=2)
+    assert page1["sum_tok"].tolist() == [60, 50]
+    assert page2["sum_tok"].tolist() == [40, 30]
