@@ -80,6 +80,8 @@ def run_tiering_job(
     max_dropped: int | None = None,
     verify_resume: bool = False,
     assume_identical_dups: bool = True,
+    single_partition: bool = True,
+    dedup_scan_shards: int = 1,
 ) -> dict:
     """Run (or resume) the full tier chain; returns a per-tier summary.
 
@@ -98,6 +100,15 @@ def run_tiering_job(
     uses the full-shuffle ``dedup_exact`` with its sorted keep-first
     winner (the deterministic-winner rule of
     /root/reference/src/osm_reader/street.rs:202-234).
+
+    ``single_partition``: True (default) runs gap-fill / compression in one
+    coalesced task — correct and fastest while a run's rollup tier is
+    bounded (one row per (source, bucket) in the ingest window). False
+    routes them through per-key ``groupby().map_groups`` shuffles for
+    unbounded tiers (multi-year windows, unbounded source cardinality);
+    output is identical (pytest-asserted). ``dedup_scan_shards`` > 1
+    shards the duplicate-key scan's final combine by hash range for key
+    spaces beyond one worker.
     """
     import os
     import sys
@@ -141,7 +152,9 @@ def run_tiering_job(
     if not done("raw"):
         counters = new_counters()
         # pass 0: column-pruned duplicate-key scan (keys move, payloads don't)
-        dup_keys = scan_duplicate_keys(input_paths, key="doc_id")
+        dup_keys = scan_duplicate_keys(
+            input_paths, key="doc_id", final_shards=dedup_scan_shards
+        )
         _mark("dup-scan")
         from mimirsbrunn_ray.stages.raw_stage import raw_tier
 
@@ -200,7 +213,8 @@ def run_tiering_job(
             continue
         counters = new_counters()
         t = rollup(_fine(prev), gran, from_tier=prev)
-        t = gapfill(t, gran, policy=gap_policy, counters=counters).materialize()
+        t = gapfill(t, gran, policy=gap_policy, counters=counters,
+                    single_partition=single_partition).materialize()
         run_dir = store.publish(
             t, gran, run_id,
             input_paths=[store.latest_run_dir(prev)],
@@ -222,7 +236,7 @@ def run_tiering_job(
         except (NameError, UnboundLocalError):
             t1m = rd.read_parquet(store.latest_data_paths("1m"),
                                   columns=["source", "bucket", "sum_tok"])
-        blocks = compress_tier(t1m)
+        blocks = compress_tier(t1m, single_partition=single_partition)
         run_dir = store.publish(
             blocks, "compressed", run_id,
             input_paths=[store.latest_run_dir("1m")],

@@ -81,7 +81,9 @@ def dedup_exact(
     return bucketed.groupby(_BUCKET).map_groups(fn, batch_format="pyarrow")
 
 
-def scan_duplicate_keys(paths, key: str = "doc_id") -> np.ndarray:
+def scan_duplicate_keys(
+    paths, key: str = "doc_id", final_shards: int = 1
+) -> np.ndarray:
     """Column-pruned parquet scan -> sorted int64 hashes of keys seen > once.
 
     Only the key column leaves storage (the "prune at the read" rule), and
@@ -91,6 +93,12 @@ def scan_duplicate_keys(paths, key: str = "doc_id") -> np.ndarray:
     on REAL keys (each distinct key gets its own grant). At 10^12-row scale
     the returned exact array generalizes to a Bloom filter with the same
     false-positives-are-safe property.
+
+    ``final_shards``: 1 (default) tree-merges into ONE final combine — the
+    fastest shape while distinct keys fit one worker (~10^8). For larger
+    key spaces set >1: the final combine is SHARDED by hash range (each
+    shard merges and filters its own slice; only the duplicate hashes —
+    tiny by construction — ever reach the driver).
     """
     import ray.data as rd
 
@@ -109,20 +117,32 @@ def scan_duplicate_keys(paths, key: str = "doc_id") -> np.ndarray:
         g = b.group_by(["h"]).aggregate([("n", "sum")])
         return g.rename_columns(["h", "n"])
 
-    from mimirsbrunn_ray.stages.rollup import tree_merge
-
-    partials = ds.map_batches(key_partials, batch_format="pyarrow", batch_size=None)
-    # tree-merge: the final combine holds one row per distinct key hash —
-    # fine up to ~10^8 keys on one worker; beyond that shard the final
-    # combine by hash range (or accept a Bloom filter's false positives)
-    counts = tree_merge(partials, combine)
-
     def only_dups(b: pa.Table) -> pa.Table:
         return b.filter(pc.greater(b["n"], 1)).select(["h"])
 
-    dup_rows = counts.map_batches(
-        only_dups, batch_format="pyarrow", batch_size=None
-    ).take_all()
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    partials = ds.map_batches(key_partials, batch_format="pyarrow", batch_size=None)
+    if final_shards <= 1:
+        counts = tree_merge(partials, combine)
+        dups = counts.map_batches(
+            only_dups, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        def add_shard(b: pa.Table) -> pa.Table:
+            h = b["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+            return b.append_column(
+                "_s", pa.array((h % np.uint64(final_shards)).astype(np.int32))
+            )
+
+        sharded = partials.map_batches(
+            add_shard, batch_format="pyarrow", batch_size=None
+        )
+        dups = sharded.groupby("_s").map_groups(
+            lambda g: only_dups(combine(g.drop_columns(["_s"]))),
+            batch_format="pyarrow",
+        )
+    dup_rows = dups.take_all()
     return np.sort(np.asarray([r["h"] for r in dup_rows], dtype=np.int64))
 
 

@@ -27,24 +27,41 @@ def sessionize(
     key: str = "user_id",
     ts_col: str = "ts",
     gap: pd.Timedelta = pd.Timedelta(minutes=30),
+    num_buckets: int = 64,
 ) -> "rd.Dataset":
     """Per key: count gap-delimited sessions and events.
 
     Output: key, n_sessions (int64), n_events (int64).
+
+    Scale shape: keys are HASH-BUCKETED into ``num_buckets`` coarse
+    partitions (one shuffle on a small int column), then each bucket is
+    sessionized VECTORIZED — one sort by (key, ts) plus a diff, never one
+    pandas group per key (millions of tiny groups is the exact anti-pattern
+    stages/dedup.py documents; this is the same fix).
     """
+    from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
+
+    bucketed = ds.map_batches(
+        lambda b: add_bucket(b, key, num_buckets),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g[ts_col].sort_values()
-        new_session = ts.diff().isna() | (ts.diff() > gap)
-        return pd.DataFrame(
-            {
-                key: [g[key].iloc[0]],
-                "n_sessions": np.array([int(new_session.sum())], dtype=np.int64),
-                "n_events": np.array([len(g)], dtype=np.int64),
-            }
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        key_change = g[key].ne(g[key].shift())
+        new_session = key_change | (g[ts_col].diff() > gap)
+        out = (
+            g.assign(_ns=new_session)
+            .groupby(key, sort=True)
+            .agg(n_sessions=("_ns", "sum"), n_events=(key, "size"))
+            .reset_index()
         )
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
 
-    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+    return bucketed.groupby(_BUCKET).map_groups(fn, batch_format="pandas")
 
 
 def asof_join(
