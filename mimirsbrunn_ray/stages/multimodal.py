@@ -6,19 +6,106 @@ frame-sample run as actor-pool ``map_batches`` stages with SMALL batch
 sizes (payload bytes dominate block size — the "very wide rows" rule,
 SURVEY.md §7.6).
 
-The sandbox ships no image/audio codecs, so the decode kernel is STUBBED:
-``decode_media(..., impl="fake")`` produces deterministic pseudo-features
-from the payload bytes (real plumbing, fake math); ``impl="pillow"`` etc.
-raises NotImplementedError until a codec library is present. Everything
-around the kernel — schema, batching, actor signature, output layout — is
-real and tested.
+Decode kernels (all pure numpy, no codec libraries needed):
+  * ``impl="real"`` — REAL decoders for two standard uncompressed
+    formats: 24-bit BMP (BITMAPINFOHEADER, bottom-up BGR rows with 4-byte
+    padding) and PCM16 WAV (RIFF fmt/data chunks). Features are computed
+    from the DECODED pixels/samples.
+  * ``impl="fake"`` — deterministic pseudo-features straight from payload
+    bytes (kept for synthetic corpora without headers).
+  * ``impl="pillow"`` etc. still raise NotImplementedError (no codec libs
+    in this container).
 """
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy codecs: 24-bit BMP and PCM16 WAV (public formats; layouts per
+# the published Windows BITMAP structures / RIFF WAVE spec)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP bytes."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # bottom-up rows, BGR order, each row padded to 4 bytes
+    bgr = pixels[::-1, :, ::-1]
+    rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    body = rows.tobytes()
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    (hdr_size, w, h, _planes, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=pixel_offset
+    ).reshape(h, stride)[:, :row_bytes]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if flip else img
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """int16 mono samples -> PCM16 WAV bytes."""
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+    out += b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """PCM16 WAV bytes -> (sample_rate, int16 samples)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, _ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: format={audio_fmt} bits={bits}"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype=np.int16)
+        pos += 8 + size + (size % 2)
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, samples
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -56,23 +143,76 @@ def synth_media_table(n: int, seed: int = 21) -> pa.Table:
     )
 
 
+def synth_real_media_table(n: int, seed: int = 23) -> pa.Table:
+    """Deterministic corpus of REAL media payloads: alternating 24-bit BMP
+    images and PCM16 WAV clips, encodable/decodable byte-exactly."""
+    rng = np.random.default_rng(seed)
+    ids, types, payloads, ws, hs = [], [], [], [], []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(img))
+            types.append("image/bmp")
+            ws.append(w)
+            hs.append(h)
+        else:
+            n_samp = int(rng.integers(64, 512))
+            samples = rng.integers(
+                -32768, 32768, size=n_samp, dtype=np.int16
+            )
+            payloads.append(encode_wav(samples))
+            types.append("audio/wav")
+            ws.append(n_samp)
+            hs.append(1)
+        ids.append(f"media-{i:06d}")
+    return pa.table(
+        {
+            "media_id": ids,
+            "media_type": types,
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+        }
+    )
+
+
 class MediaDecoder:
     """Actor-pool stage: payload -> fixed-dim feature vector.
 
-    ``impl="fake"``: deterministic features = normalized byte-histogram
-    moments (pure function of payload bytes). Real decoders slot in here —
-    setup (model / codec init) belongs in __init__, per the actor rule.
+    ``impl="real"``: decode BMP pixels / WAV samples with the pure-numpy
+    codecs above (dispatch on media_type), features = 32-bin histogram of
+    the DECODED data. ``impl="fake"``: deterministic features straight
+    from payload bytes. Setup belongs in __init__, per the actor rule.
     """
 
     def __init__(self, impl: str = "fake"):
-        if impl != "fake":
+        if impl not in ("fake", "real"):
             raise NotImplementedError(
                 f"media decode impl {impl!r}: no codec libraries in this "
-                "container; the 'fake' impl exercises the full pipeline."
+                "container; use 'real' (numpy BMP/WAV) or 'fake'."
             )
         self.impl = impl
 
-    def _features(self, payload: bytes) -> np.ndarray:
+    def _features(self, payload: bytes, media_type: str) -> np.ndarray:
+        if self.impl == "real":
+            if media_type == "image/bmp":
+                img = decode_bmp(payload)
+                hist = np.bincount(
+                    (img.reshape(-1) >> 3), minlength=FEATURE_DIM
+                )[:FEATURE_DIM]
+                return (hist / max(1, img.size)).astype(np.float64)
+            if media_type == "audio/wav":
+                _rate, samples = decode_wav(payload)
+                if len(samples) == 0:
+                    return np.zeros(FEATURE_DIM)
+                # 16-bit samples -> 32 equal-width amplitude bins
+                bins = ((samples.astype(np.int32) + 32768) >> 11).clip(
+                    0, FEATURE_DIM - 1
+                )
+                hist = np.bincount(bins, minlength=FEATURE_DIM)[:FEATURE_DIM]
+                return (hist / len(samples)).astype(np.float64)
+            raise ValueError(f"no real decoder for media_type {media_type!r}")
         arr = np.frombuffer(payload[4:], dtype=np.uint8)
         if len(arr) == 0:
             return np.zeros(FEATURE_DIM)
@@ -80,7 +220,12 @@ class MediaDecoder:
         return (hist / max(1, len(arr))).astype(np.float64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._features(p) for p in batch["payload"].to_pylist()]
+        feats = [
+            self._features(p, t)
+            for p, t in zip(
+                batch["payload"].to_pylist(), batch["media_type"].to_pylist()
+            )
+        ]
         return pa.table(
             {
                 "media_id": batch["media_id"],
