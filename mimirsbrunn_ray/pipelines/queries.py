@@ -1058,3 +1058,61 @@ ORACLES.update(
         "prefix_search_docs": PREFIX_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# D3: cross-run merge with set-union of list-valued fields
+# (/root/reference/src/stops.rs:151-187 merge_collection/merge_stops)
+# ---------------------------------------------------------------------------
+
+
+def q_merge_event_type_sets(sf_dir):
+    """Merge all event rows per user: sorted set-union of the list-valued
+    ``event_types`` field (each source row carries a one-element list, as
+    each dataset's stop carries its own codes) plus first-seen-wins scalar
+    ``first_value`` under a deterministic (ts, event_id) tiebreak — the
+    BTreeSet determinism of the reference's merge_collection."""
+    import numpy as np
+
+    from mimirsbrunn_ray.stages.merge import merge_list_union
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "value", "event_id"],
+    )
+
+    def to_lists(b: pa.Table) -> pa.Table:
+        et = b["event_type"].combine_chunks()
+        offsets = pa.array(np.arange(len(b) + 1, dtype=np.int32))
+        return b.drop_columns(["event_type"]).append_column(
+            "event_types", pa.ListArray.from_arrays(offsets, et)
+        )
+
+    merged = merge_list_union(
+        ev.map_batches(to_lists, batch_format="pyarrow"),
+        key="user_id",
+        list_cols=["event_types"],
+        scalar_cols=["value"],
+        tiebreak=["ts", "event_id"],
+    )
+
+    def project(df):
+        df = df.rename(columns={"value": "first_value"})
+        df["event_types"] = [",".join(v) for v in df["event_types"]]
+        return df[["user_id", "event_types", "first_value"]]
+
+    return merged.map_batches(project, batch_format="pandas").sort("user_id")
+
+
+MERGE_SETS_SQL = """
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',')
+           AS event_types,
+       (array_agg(value ORDER BY ts, event_id))[1] AS first_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES["merge_event_type_sets"] = q_merge_event_type_sets
+ORACLES["merge_event_type_sets"] = MERGE_SETS_SQL

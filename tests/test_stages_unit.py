@@ -106,3 +106,54 @@ def test_fill_continuation_bridges_window_gap():
     # no boundary for an unseen key -> plain fill
     out2 = fill_continuation({}, new, "1m")
     assert len(out2) == 2
+
+
+def test_merge_list_union_cross_run(ray_session):
+    """D3 graft (/root/reference/src/stops.rs:151-187): rows sharing a key
+    merge to one row — list fields set-unioned and SORTED (BTreeSet
+    determinism), scalars first-seen-wins under the tiebreak sort."""
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.merge import merge_list_union
+
+    # two "runs" of stops with overlapping ids and list-valued codes
+    run_a = pd.DataFrame(
+        {
+            "stop_id": ["s1", "s2", "s3"],
+            "codes": [["nav:1", "osm:9"], ["nav:2"], []],
+            "name": ["Alpha", "Beta", "Gamma"],
+            "run": [0, 0, 0],
+        }
+    )
+    run_b = pd.DataFrame(
+        {
+            "stop_id": ["s2", "s1", "s4"],
+            "codes": [["gtfs:7", "nav:2"], ["nav:1", "gtfs:5"], None],
+            "name": ["Beta-late", "Alpha-late", "Delta"],
+            "run": [1, 1, 1],
+        }
+    )
+    ds = rd.from_pandas(pd.concat([run_a, run_b], ignore_index=True))
+    out = (
+        merge_list_union(
+            ds,
+            key="stop_id",
+            list_cols=["codes"],
+            scalar_cols=["name"],
+            tiebreak=["run"],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("stop_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["stop_id"]) == ["s1", "s2", "s3", "s4"]
+    # first-seen scalar: run 0 wins where present
+    assert list(out["name"]) == ["Alpha", "Beta", "Gamma", "Delta"]
+    # sorted set-union of list values; empty/None -> []
+    assert list(out["codes"]) == [
+        ["gtfs:5", "nav:1", "osm:9"],
+        ["gtfs:7", "nav:2"],
+        [],
+        [],
+    ]
