@@ -47,7 +47,7 @@ def main(argv=None) -> int:
 
     t = sub.add_parser("tier", help="run the full tier chain (resumable)")
     t.add_argument("--config", help="job TOML (defaults <- file <- flags)")
-    t.add_argument("--input", help="parquet path or glob")
+    t.add_argument("--input", help="input path or glob: parquet, csv[.gz], tsv, jsonl")
     t.add_argument("--out")
     t.add_argument("--run-id")
     t.add_argument("--gap-policy", default=None, choices=["locf", "linear"])

@@ -1,0 +1,165 @@
+"""S1–S3/S6–S8 graft: multi-format file sources (CSV, CSV.gz, JSONL, parquet).
+
+The reference ingests flat files in several formats — plain and gzipped
+CSV with a streaming deserializer (/root/reference/src/addr_reader.rs:115-159,
+``import_addresses_from_input_path`` dispatching on extension) and
+JSON-lines/structured drops for the NTFS/GTFS shapes. Here one entry point,
+``read_table``, dispatches on file extension to the matching Ray Data
+reader so every downstream stage sees the same Arrow schema regardless of
+the on-disk format:
+
+  * ``.parquet``          -> ``read_parquet`` (column-pruned, byte-sized blocks)
+  * ``.csv`` / ``.tsv``   -> ``read_csv`` (column-pruned via ConvertOptions)
+  * ``.csv.gz`` etc.      -> same, gzip-decompressed in the read tasks
+  * ``.jsonl`` / ``.json``-> ``read_json`` (+ ``select_columns`` after — JSON
+                             has no reader-side projection)
+
+Directories are expanded non-recursively; globs are expanded here so the
+format can be decided before the Ray reader sees the paths. Decompression
+happens inside the distributed read tasks (arrow_open_stream_args), never
+on the driver.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import ray.data as rd
+
+_CSV_EXTS = {".csv", ".tsv"}
+_JSON_EXTS = {".json", ".jsonl", ".ndjson"}
+
+
+def _expand(paths) -> list[str]:
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [paths]
+    out: list[str] = []
+    for p in paths:
+        p = os.fspath(p)
+        if os.path.isdir(p):
+            out.extend(
+                sorted(
+                    os.path.join(p, f)
+                    for f in os.listdir(p)
+                    if not f.startswith((".", "_"))
+                )
+            )
+        elif any(ch in p for ch in "*?["):
+            out.extend(sorted(glob.glob(p)))
+        else:
+            out.append(p)
+    return out
+
+
+def detect_format(path: str) -> tuple[str, bool]:
+    """-> (format, gzipped). Format is 'parquet' | 'csv' | 'json'."""
+    base = path.lower()
+    gz = base.endswith(".gz")
+    if gz:
+        base = base[: -len(".gz")]
+    ext = os.path.splitext(base)[1]
+    if ext == ".parquet":
+        return "parquet", gz
+    if ext in _CSV_EXTS:
+        return "csv", gz
+    if ext in _JSON_EXTS:
+        return "json", gz
+    raise ValueError(f"unsupported input format: {path!r}")
+
+
+def read_table(paths, columns=None, fmt: str | None = None) -> "rd.Dataset":
+    """Read a table from parquet / CSV(.gz) / JSONL files into one Dataset.
+
+    ``fmt`` overrides extension sniffing. All files of one call must share
+    a format (the reference's per-drop rule); mixed drops should be read
+    per-format and ``union``-ed by the caller.
+    """
+    files = _expand(paths)
+    if not files:
+        raise FileNotFoundError(f"no input files match {paths!r}")
+    detected = {detect_format(f) for f in files}
+    kinds = {k for k, _ in detected}
+    if fmt is None:
+        if len(kinds) > 1:
+            raise ValueError(
+                f"mixed input formats {sorted(kinds)} in one read: {paths!r}"
+            )
+        fmt = next(iter(kinds))
+    gz = any(g for _, g in detected)
+
+    if fmt == "parquet":
+        from mimirsbrunn_ray.sources.ingest import num_blocks_for
+
+        return rd.read_parquet(
+            files, columns=columns, override_num_blocks=num_blocks_for(files)
+        )
+
+    open_args = {"compression": "gzip"} if gz else None
+    if fmt == "csv":
+        from pyarrow import csv as pacsv
+
+        delim = "\t" if any(".tsv" in f.lower() for f in files) else ","
+        kwargs = {
+            "parse_options": pacsv.ParseOptions(delimiter=delim),
+        }
+        if columns:
+            # reader-side projection: unneeded columns never leave the
+            # parse buffer (the CSV analog of parquet column pruning)
+            kwargs["convert_options"] = pacsv.ConvertOptions(
+                include_columns=list(columns)
+            )
+        if open_args:
+            kwargs["arrow_open_stream_args"] = open_args
+        return rd.read_csv(files, **kwargs)
+
+    if fmt == "json":
+        kwargs = {}
+        if open_args:
+            kwargs["arrow_open_stream_args"] = open_args
+        ds = rd.read_json(files, **kwargs)
+        if columns:
+            ds = ds.select_columns(list(columns))
+        return ds
+
+    raise ValueError(f"unsupported format {fmt!r}")
+
+
+def normalize_sequences_batch(batch):
+    """M8/M11 converter graft: coerce a CSV/JSONL-read batch to
+    SEQUENCES_SCHEMA types (the reference parses each CSV record into its
+    typed document, warn-and-skip on failure — type coercion here, the
+    row-level drops stay in ValidateAndDerive).
+
+    * ``tokens`` as a string (CSV: space-separated ints) -> list<int32>;
+      empty/whitespace-only -> [] (missing collection = empty, the
+      reference's serde default).
+    * ``tokens`` as list<int64> (JSONL inference) -> list<int32>.
+    * ``n_tok`` -> int32, ids -> string.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from mimirsbrunn_ray.schemas import SEQUENCES_SCHEMA
+
+    cols = {}
+    for field in SEQUENCES_SCHEMA:
+        col = batch[field.name]
+        if field.name == "tokens" and pa.types.is_string(col.type):
+            trimmed = pc.utf8_trim_whitespace(col)
+            nulled = pc.if_else(
+                pc.equal(trimmed, ""), pa.scalar(None, pa.string()), trimmed
+            )
+            lists = pc.cast(
+                pc.split_pattern_regex(nulled, r"\s+"), field.type
+            )
+            empty = pa.ListArray.from_arrays(
+                pa.array(np.zeros(batch.num_rows + 1, np.int32)),
+                pa.array([], type=field.type.value_type),
+            )
+            col = pc.coalesce(lists, empty)
+        elif col.type != field.type:
+            col = pc.cast(col, field.type)
+        cols[field.name] = col
+    return pa.table(cols)

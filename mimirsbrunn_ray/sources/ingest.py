@@ -23,15 +23,32 @@ from mimirsbrunn_ray.schemas import SEQUENCES_SCHEMA, validate_schema
 
 
 def read_sequences(paths, columns=None) -> "rd.Dataset":
-    """Column-pruned parquet scan of a sequences corpus.
+    """Column-pruned scan of a sequences corpus in any supported format.
 
-    Block count is sized by bytes (~128 MiB target, floor = cluster CPUs):
-    Ray's default heuristic targets ~200 blocks regardless of input size,
-    which at small-corpus scale means thousands of tiny blocks whose
-    per-task scheduling overhead dwarfs the UDF work (measured 2x win).
+    Parquet is the fast path (byte-sized blocks, reader-side projection);
+    CSV/CSV.gz/JSONL drops (the reference's raw ingest formats,
+    src/addr_reader.rs:115-159) go through ``sources.formats.read_table``
+    plus a vectorized type-coercion stage to SEQUENCES_SCHEMA.
+
+    Block count for parquet is sized by bytes (~128 MiB target, floor =
+    cluster CPUs): Ray's default heuristic targets ~200 blocks regardless
+    of input size, which at small-corpus scale means thousands of tiny
+    blocks whose per-task scheduling overhead dwarfs the UDF work
+    (measured 2x win).
     """
-    return rd.read_parquet(paths, columns=columns,
-                           override_num_blocks=num_blocks_for(paths))
+    from mimirsbrunn_ray.sources.formats import (
+        _expand,
+        detect_format,
+        normalize_sequences_batch,
+        read_table,
+    )
+
+    files = _expand(paths)
+    if files and all(detect_format(f)[0] == "parquet" for f in files):
+        return rd.read_parquet(files, columns=columns,
+                               override_num_blocks=num_blocks_for(files))
+    ds = read_table(files, columns=columns)
+    return ds.map_batches(normalize_sequences_batch, batch_format="pyarrow")
 
 
 def num_blocks_for(paths, target_bytes: int = 128 << 20) -> int:

@@ -102,11 +102,17 @@ def scan_duplicate_keys(
     """
     import ray.data as rd
 
+    from mimirsbrunn_ray.sources.formats import detect_format, _expand, read_table
     from mimirsbrunn_ray.sources.ingest import num_blocks_for
 
-    # the key column is ~2% of row bytes -> aim for proportionally fewer blocks
-    nb = num_blocks_for(paths, target_bytes=2 << 30)
-    ds = rd.read_parquet(paths, columns=[key], override_num_blocks=nb)
+    files = _expand(paths)
+    if all(detect_format(f)[0] == "parquet" for f in files):
+        # the key column is ~2% of row bytes -> proportionally fewer blocks
+        nb = num_blocks_for(files, target_bytes=2 << 30)
+        ds = rd.read_parquet(files, columns=[key], override_num_blocks=nb)
+    else:
+        # CSV/JSONL drops: same key-only projection via the format reader
+        ds = read_table(files, columns=[key])
 
     def key_partials(batch: pa.Table) -> pa.Table:
         h = _hash64(batch[key]).view(np.int64)

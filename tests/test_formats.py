@@ -1,0 +1,131 @@
+"""Multi-format sources (S1–S3/S6–S8 graft): CSV, CSV.gz, JSONL readers
+produce the same rows as the parquet fast path, including the typed
+sequences ingest (/root/reference/src/addr_reader.rs:115-159)."""
+
+import gzip
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mimirsbrunn_ray.sources.formats import detect_format, read_table
+
+SF = "/root/testdata/sf0.001"
+OUT = "/tmp/mimirsbrunn_ray_test_formats"
+
+
+def test_detect_format():
+    assert detect_format("a/b.parquet") == ("parquet", False)
+    assert detect_format("x.csv") == ("csv", False)
+    assert detect_format("x.CSV.GZ") == ("csv", True)
+    assert detect_format("x.tsv") == ("csv", False)
+    assert detect_format("x.jsonl") == ("json", False)
+    assert detect_format("x.ndjson.gz") == ("json", True)
+    with pytest.raises(ValueError):
+        detect_format("x.xml")
+
+
+@pytest.fixture(scope="module")
+def format_dir():
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT)
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    docs.to_csv(f"{OUT}/documents.csv", index=False)
+    with open(f"{OUT}/documents.csv", "rb") as f:
+        with gzip.open(f"{OUT}/documents.csv.gz", "wb") as g:
+            g.write(f.read())
+    docs.to_json(f"{OUT}/documents.jsonl", orient="records", lines=True)
+    return docs
+
+
+def _roundtrip(ray_session, path, docs, **kw):
+    out = (
+        read_table(path, **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = docs.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+def test_read_csv_matches_parquet(ray_session, format_dir):
+    _roundtrip(ray_session, f"{OUT}/documents.csv", format_dir)
+
+
+def test_read_csv_gz_matches_parquet(ray_session, format_dir):
+    _roundtrip(ray_session, f"{OUT}/documents.csv.gz", format_dir)
+
+
+def test_read_jsonl_matches_parquet(ray_session, format_dir):
+    _roundtrip(ray_session, f"{OUT}/documents.jsonl", format_dir)
+
+
+def test_read_csv_column_pruning(ray_session, format_dir):
+    out = read_table(
+        f"{OUT}/documents.csv", columns=["doc_id", "lang"]
+    ).to_pandas()
+    assert sorted(out.columns) == ["doc_id", "lang"]
+    assert len(out) == len(format_dir)
+
+
+def test_mixed_formats_rejected(ray_session, format_dir):
+    with pytest.raises(ValueError, match="mixed input formats"):
+        read_table([f"{OUT}/documents.csv", f"{OUT}/documents.jsonl"])
+
+
+def test_sequences_ingest_from_csv_and_jsonl(ray_session, corpus):
+    """The full typed ingest (string tokens -> list<int32>, validation,
+    ts derivation) gives identical rows from a CSV or JSONL drop as from
+    the parquet original."""
+    from mimirsbrunn_ray.sources.ingest import read_sequences, validated
+
+    src = corpus["main_paths"][0]
+    seq = pq.read_table(src).to_pandas()
+    csv_df = seq.copy()
+    csv_df["tokens"] = [" ".join(map(str, t)) for t in csv_df["tokens"]]
+    csv_path = f"{OUT}/seq.csv"
+    jsonl_path = f"{OUT}/seq.jsonl"
+    os.makedirs(OUT, exist_ok=True)
+    csv_df.to_csv(csv_path, index=False)
+    seq_json = seq.copy()
+    seq_json["tokens"] = [list(map(int, t)) for t in seq_json["tokens"]]
+    seq_json.to_json(jsonl_path, orient="records", lines=True)
+
+    def run(path):
+        df = validated(read_sequences(path)).to_pandas()
+        df["tokens"] = df["tokens"].apply(lambda t: list(map(int, t)))
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    want = run(src)
+    for alt in (csv_path, jsonl_path):
+        got = run(alt)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(want) > 0
+
+
+def test_sequences_csv_empty_tokens(ray_session):
+    """Empty/whitespace tokens fields coerce to [] and survive or drop by
+    the n_tok invariant, not by a parse crash."""
+    import ray.data as rd
+
+    from mimirsbrunn_ray.sources.formats import normalize_sequences_batch
+
+    tbl = pa.table(
+        {
+            "doc_id": ["doc-web-0000000001", "doc-web-0000000002"],
+            "tokens": ["", "7 8"],
+            "n_tok": [0, 2],
+            "source": ["web", "web"],
+        }
+    )
+    out = rd.from_arrow(tbl).map_batches(
+        normalize_sequences_batch, batch_format="pyarrow"
+    ).to_pandas()
+    assert list(out["tokens"].apply(len)) == [0, 2]
+    assert out["n_tok"].tolist() == [0, 2]
