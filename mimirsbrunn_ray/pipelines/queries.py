@@ -1116,3 +1116,102 @@ ORDER BY user_id
 
 QUERIES["merge_event_type_sets"] = q_merge_event_type_sets
 ORACLES["merge_event_type_sets"] = MERGE_SETS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup join (prefix filtering — see stages/simjoin)
+# ---------------------------------------------------------------------------
+
+JACCARD_T = 0.6
+
+
+def q_ngram_jaccard_pairs(sf_dir):
+    """EXACT word-3-gram Jaccard similarity self-join over documents:
+    every pair with J >= 0.6 plus its exact Jaccard — the oracle-checkable
+    counterpart of the approximate MinHash-LSH path."""
+    from mimirsbrunn_ray.stages.simjoin import ngram_jaccard_join
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ngram_jaccard_join(docs, threshold=JACCARD_T, n=3)
+
+    def rounder(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("jaccard"),
+            "jaccard",
+            pc.round(b["jaccard"], ndigits=6),
+        )
+
+    return out.map_batches(rounder, batch_format="pyarrow").sort(
+        ["doc_a", "doc_b"]
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM toks WHERE len(ws) >= 3
+), sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id da, b.doc_id db, count(*) i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["ngram_jaccard_pairs"] = q_ngram_jaccard_pairs
+ORACLES["ngram_jaccard_pairs"] = NGRAM_JACCARD_SQL
+
+
+# ---------------------------------------------------------------------------
+# Exact embedding-cosine near-dup pairs (stages/similarity.cosine_pairs)
+# ---------------------------------------------------------------------------
+
+COSINE_PAIR_T = 0.42
+
+
+def q_embedding_neardup_pairs(sf_dir):
+    """Every embedding pair with cosine >= 0.42 (the corpus has no planted
+    high-cosine dups; 0.42 exercises the threshold machinery on real pairs) — the exact counterpart of
+    the LSH-bucketed near-dup path (stages/neardup.embedding_near_dups)."""
+    from mimirsbrunn_ray.stages.similarity import cosine_pairs
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = cosine_pairs(emb, threshold=COSINE_PAIR_T)
+
+    def rounder(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("cosine"),
+            "cosine",
+            pc.round(b["cosine"], ndigits=4),
+        )
+
+    return out.map_batches(rounder, batch_format="pyarrow").sort(
+        ["vec_a", "vec_b"]
+    )
+
+
+COSINE_PAIRS_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
+           AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_PAIR_T}
+ORDER BY vec_a, vec_b
+"""
+
+QUERIES["embedding_neardup_pairs"] = q_embedding_neardup_pairs
+ORACLES["embedding_neardup_pairs"] = COSINE_PAIRS_SQL

@@ -184,3 +184,56 @@ def knn_ivf(
     out = tree_merge(partials, merge_topk).to_pandas()
     out["cosine"] = np.round(out["cosine"], 6)
     return out.reset_index(drop=True)
+
+
+def cosine_pairs(
+    emb: "rd.Dataset",
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=None,
+) -> "rd.Dataset":
+    """EXACT embedding near-dup pairs: every (a, b) with cosine >= threshold.
+
+    Shape: the full unit-normalized matrix is broadcast once (ray.put,
+    resolved per actor); each batch matmuls its rows against it and keeps
+    pairs with id_a < id_b. Work is O(N^2 / batches) per task but streams —
+    nothing quadratic materializes. This is the exact arbiter; at 100-TB
+    scale the LSH-bucketed variant (stages/neardup.py:embedding_near_dups)
+    generates candidates and THIS kernel verifies them bucket-locally.
+    """
+    import ray
+
+    from mimirsbrunn_ray.context import pool_size
+
+    ref_tbl = pa.concat_tables(
+        list(emb.iter_batches(batch_format="pyarrow"))
+    )
+    all_ids = ref_tbl[id_col].to_numpy(zero_copy_only=False)
+    all_unit = _unit(_to_matrix(ref_tbl[vec_col]))
+    mat_ref = ray.put((all_ids, all_unit))
+
+    class PairsAgainstAll:
+        def __init__(self):
+            self.ids, self.mat = ray.get(mat_ref)  # once per actor
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vecs = _unit(_to_matrix(b[vec_col]))
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            sims = vecs @ self.mat.T  # (batch, N)
+            rr, cc = np.nonzero(
+                (sims >= threshold) & (ids[:, None] < self.ids[None, :])
+            )
+            return pa.table(
+                {
+                    "vec_a": pa.array(ids[rr]),
+                    "vec_b": pa.array(self.ids[cc]),
+                    "cosine": pa.array(sims[rr, cc].astype(np.float64)),
+                }
+            )
+
+    return emb.map_batches(
+        PairsAgainstAll,
+        batch_format="pyarrow",
+        concurrency=concurrency if concurrency is not None else (1, pool_size()),
+    )

@@ -1,0 +1,320 @@
+"""Exact n-gram Jaccard similarity self-join via prefix filtering.
+
+The AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al., WWW'08 —
+public algorithms) makes an exact threshold similarity join scale without
+comparing every pair: under ANY consistent total order on tokens, two sets
+with Jaccard >= t must share at least one token among each set's first
+``m - ceil(t*m) + 1`` tokens (the prefix). Only pairs sharing a prefix
+token are candidates; everything else is provably below threshold.
+
+Distributed shape (all stages stream; nothing corpus-sized on the driver):
+  1. gram stage (``map_batches``): per doc, distinct word-n-gram hashes in
+     hash order (the consistent total order), emit (gram, doc_id, size)
+     rows for the PREFIX grams only — fully vectorized (one lexsort per
+     batch, no per-doc loop).
+  2. candidate stage: hash-bucket by gram, within-bucket group by gram and
+     emit id pairs passing the length filter (min_size >= t * max_size —
+     J <= min/max).
+  3. dedup + verify: pair rows bucket on the pair key, drop duplicates,
+     then exact Jaccard against a gram-set map built from a second,
+     candidate-filtered corpus pass (the bounded-broadcast pattern of
+     stages/neardup.py — candidates ~ near-dup count, not corpus size; the
+     unbounded path is two ``Dataset.join``s of the pair list against the
+     gram-set table).
+
+Scale note: hash order is a correct but unoptimized prefix order; the
+classic df-ascending order (rare grams first) shrinks candidates further
+at the cost of one extra groupby + join to learn document frequencies —
+that is the 100-TB tuning knob, not a correctness change.
+
+Reference analog: the deterministic in-pipeline dedup of
+/root/reference/src/osm_reader/street.rs:202-246 generalized from exact
+keys to a similarity predicate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_B1 = np.uint64(0x9E3779B97F4A7C15)
+_B2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xFF51AFD7ED558CCD)
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xC4CEB9FE1A85EC53)
+    return h ^ (h >> np.uint64(33))
+
+
+def word_ngram_hashes(texts: pa.Array, n: int = 3):
+    """Vectorized word-n-gram hashing for a whole batch.
+
+    Matches the oracle's gram construction: lowercase, split on single
+    spaces, windows of ``n`` consecutive words. Docs with < n words get no
+    grams. Returns (gram uint64[], doc_index int64[]) — NOT deduplicated.
+    """
+    lowered = pc.utf8_lower(texts)
+    words = pc.split_pattern(pc.fill_null(lowered, ""), " ")
+    flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    offsets = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    wvals = flat.values
+    # deterministic 64-bit word hashes, vectorized over the flat word array
+    wh = pd.util.hash_pandas_object(
+        pd.Series(wvals.to_pandas()), index=False
+    ).to_numpy()
+    counts = np.diff(offsets)
+    n_docs = len(counts)
+    if len(wh) < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    # gram over every window of the flat array, then mask windows that
+    # cross document boundaries
+    g = wh[: len(wh) - n + 1].copy()
+    for j in range(1, n):
+        g = g * _B1 + wh[j : len(wh) - n + 1 + j] * _B2
+    g = _mix64(g)
+    starts = offsets[:-1]
+    gram_counts = np.maximum(counts - (n - 1), 0)
+    delta = np.zeros(len(g) + 1, dtype=np.int64)
+    valid_starts = starts[gram_counts > 0]
+    valid_counts = gram_counts[gram_counts > 0]
+    np.add.at(delta, valid_starts, 1)
+    np.add.at(delta, valid_starts + valid_counts, -1)
+    mask = np.cumsum(delta[:-1]) > 0
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), gram_counts)
+    return g[mask], doc_idx
+
+
+def _distinct_sorted_per_doc(grams: np.ndarray, doc_idx: np.ndarray):
+    """One lexsort: per-doc distinct grams in ascending hash order.
+    Returns (grams, doc_idx, seg_rank, seg_size) over the deduped rows."""
+    order = np.lexsort((grams, doc_idx))
+    g, d = grams[order], doc_idx[order]
+    keep = np.ones(len(g), dtype=bool)
+    keep[1:] = (g[1:] != g[:-1]) | (d[1:] != d[:-1])
+    g, d = g[keep], d[keep]
+    # per-doc segment rank and size
+    new_seg = np.ones(len(d), dtype=bool)
+    new_seg[1:] = d[1:] != d[:-1]
+    seg_starts = np.flatnonzero(new_seg)
+    seg_sizes = np.diff(np.append(seg_starts, len(d)))
+    rank = np.arange(len(d)) - np.repeat(seg_starts, seg_sizes)
+    size = np.repeat(seg_sizes, seg_sizes)
+    return g, d, rank, size
+
+
+class _PrefixGrams:
+    """map_batches stage: (doc_id, text) -> prefix rows (gram, doc_id, size)."""
+
+    def __init__(self, threshold: float, n: int):
+        self.t = threshold
+        self.n = n
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        grams, doc_idx = word_ngram_hashes(b["text"], self.n)
+        ids = b["doc_id"].combine_chunks() if isinstance(
+            b["doc_id"], pa.ChunkedArray
+        ) else b["doc_id"]
+        if len(grams) == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], ids.type),
+                    "size": pa.array([], pa.int32()),
+                }
+            )
+        g, d, rank, size = _distinct_sorted_per_doc(grams, doc_idx)
+        # prefix filter: first m - ceil(t*m) + 1 grams of each doc
+        p = size - np.ceil(self.t * size).astype(np.int64) + 1
+        keep = rank < p
+        return pa.table(
+            {
+                "gram": pa.array(g[keep].view(np.int64)),
+                "doc_id": ids.take(pa.array(d[keep])),
+                "size": pa.array(size[keep].astype(np.int32)),
+            }
+        )
+
+
+def _pairs_in_bucket(threshold: float):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("gram", sort=False):
+            ids = grp["doc_id"].to_numpy()
+            sizes = grp["size"].to_numpy()
+            u, first = np.unique(ids, return_index=True)
+            if len(u) < 2:
+                continue
+            sz = sizes[first]
+            ii, jj = np.triu_indices(len(u), 1)
+            lo = np.minimum(sz[ii], sz[jj])
+            hi = np.maximum(sz[ii], sz[jj])
+            ok = lo >= threshold * hi  # J <= min/max length filter
+            if ok.any():
+                out.append(
+                    pd.DataFrame({"a": u[ii[ok]], "b": u[jj[ok]]})
+                )
+        if not out:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return fn
+
+
+class _GramSets:
+    """Candidate-filtered corpus pass -> (doc_id, gram set) rows."""
+
+    def __init__(self, cand: pa.Array, n: int):
+        self.cand = cand
+        self.n = n
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.is_in(b["doc_id"], value_set=self.cand), False)
+        b = b.filter(keep)
+        grams, doc_idx = word_ngram_hashes(b["text"], self.n)
+        sets = [np.empty(0, np.int64)] * b.num_rows
+        if len(grams):
+            order = np.lexsort((grams, doc_idx))
+            g, d = grams[order], doc_idx[order]
+            bounds = np.flatnonzero(np.diff(d)) + 1
+            for di, seg in zip(
+                np.unique(d), np.split(g.view(np.int64), bounds)
+            ):
+                sets[di] = np.unique(seg)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "grams": pa.array([s for s in sets], type=pa.list_(pa.int64())),
+            }
+        )
+
+
+class _VerifyJaccard:
+    def __init__(self, gram_map: dict, threshold: float):
+        self.gram_map = gram_map
+        self.t = threshold
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        a_ids = b["a"].to_pylist()
+        b_ids = b["b"].to_pylist()
+        empty = np.empty(0, np.int64)
+        jac = np.zeros(len(a_ids))
+        for i, (x, y) in enumerate(zip(a_ids, b_ids)):
+            sa = self.gram_map.get(x, empty)
+            sb = self.gram_map.get(y, empty)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            uni = len(sa) + len(sb) - inter
+            jac[i] = inter / uni if uni else 0.0
+        keep = jac >= self.t
+        return pa.table(
+            {
+                "doc_a": b["a"].filter(pa.array(keep)),
+                "doc_b": b["b"].filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+
+def ngram_jaccard_join(
+    docs: "rd.Dataset",
+    threshold: float = 0.6,
+    n: int = 3,
+    num_buckets: int = 32,
+    concurrency=None,
+) -> "rd.Dataset":
+    """EXACT all-pairs word-n-gram Jaccard join: every pair with
+    J >= threshold, with its exact Jaccard value. See module docstring."""
+    from mimirsbrunn_ray.context import pool_size
+
+    conc = concurrency if concurrency is not None else (1, pool_size())
+    prefix = docs.map_batches(
+        _PrefixGrams,
+        fn_constructor_kwargs={"threshold": threshold, "n": n},
+        batch_format="pyarrow",
+        concurrency=conc,
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        h = b["gram"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return b.append_column(
+            "_b", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    cand_pairs = (
+        prefix.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(_pairs_in_bucket(threshold), batch_format="pandas")
+    )
+
+    def pair_dedup(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        packed = a.astype(np.uint64) * _B1 + bb.astype(np.uint64)
+        _, first = np.unique(packed, return_index=True)
+        return b.take(pa.array(np.sort(first)))
+
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        h = _mix64(a.astype(np.uint64) * _B1 + bb.astype(np.uint64))
+        return b.append_column(
+            "_pb", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    pairs = (
+        cand_pairs.map_batches(pair_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_pb")
+        .map_groups(
+            lambda g: pair_dedup(g.drop_columns(["_pb"])),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    # candidate ids: bounded by the candidate-pair count (near-dup scale,
+    # not corpus scale) — same bounded-broadcast rule as stages/neardup.py;
+    # beyond that budget, swap for two Dataset.joins against the gram table
+    cand_tbl = pa.concat_tables(
+        list(pairs.iter_batches(batch_format="pyarrow"))
+        or [pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})]
+    )
+    cand_ids = pa.compute.unique(
+        pa.concat_arrays(
+            [cand_tbl["a"].combine_chunks(), cand_tbl["b"].combine_chunks()]
+        )
+    )
+    if len(cand_ids) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    gram_rows = docs.map_batches(
+        _GramSets,
+        fn_constructor_kwargs={"cand": cand_ids, "n": n},
+        batch_format="pyarrow",
+        concurrency=conc,
+    )
+    gram_map = {}
+    for bt in gram_rows.iter_batches(batch_format="pyarrow"):
+        for did, gs in zip(
+            bt["doc_id"].to_pylist(), bt["grams"].to_pylist()
+        ):
+            gram_map[did] = np.asarray(gs, dtype=np.int64)
+
+    return pairs.map_batches(
+        _VerifyJaccard,
+        fn_constructor_kwargs={"gram_map": gram_map, "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=conc,
+    )
