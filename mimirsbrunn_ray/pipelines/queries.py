@@ -9,6 +9,7 @@ converts). None of them calls ray.init().
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -1215,3 +1216,199 @@ ORDER BY vec_a, vec_b
 
 QUERIES["embedding_neardup_pairs"] = q_embedding_neardup_pairs
 ORACLES["embedding_neardup_pairs"] = COSINE_PAIRS_SQL
+
+
+# ---------------------------------------------------------------------------
+# M14/M15 + J3: hierarchical selectors, code-list utilities, keyed override
+# ---------------------------------------------------------------------------
+
+
+def q_customer_geo_codes(sf_dir):
+    """Per-customer geo labeling with the reference's selector semantics:
+    deepest-level-with-value (nation name counts as "missing" for negative
+    balances, falling back to the region level — utils.rs:37-53), a keyed
+    conditional override for territories 0-4 (J3, bano2mimir.rs:88-93),
+    and the split-trim-sort code-list parse (with planted empties and
+    whitespace) over a packed segment;name code string
+    (admin.rs:211-222)."""
+    from mimirsbrunn_ray.functions.selectors import (
+        deepest_with_value,
+        parse_code_list,
+    )
+    from mimirsbrunn_ray.stages.join import conditional_override
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey")
+    nation_ref = make_lookup_ref_arrays(
+        dim["n_nationkey"].to_numpy(zero_copy_only=False),
+        dim["n_name"].to_numpy(zero_copy_only=False),
+    )
+    region_ref = make_lookup_ref_arrays(
+        dim["n_nationkey"].to_numpy(zero_copy_only=False),
+        dim["r_name"].to_numpy(zero_copy_only=False),
+    )
+    territory = dim.filter(pc.less_equal(dim["n_nationkey"], 4))
+    override_ref = make_lookup_ref_arrays(
+        territory["n_nationkey"].to_numpy(zero_copy_only=False),
+        np.array(
+            ["TERRITORY-" + str(k) for k in
+             territory["n_nationkey"].to_pylist()], dtype=object,
+        ),
+    )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal", "c_name",
+                 "c_mktsegment"],
+    )
+    cust = broadcast_join(cust, nation_ref, key_col="c_nationkey",
+                          out_col="n_name", out_type=pa.string())
+    cust = broadcast_join(cust, region_ref, key_col="c_nationkey",
+                          out_col="r_name", out_type=pa.string())
+
+    def derive(b: pa.Table) -> pa.Table:
+        # "nation level has no value" for negative balances
+        nat = pc.if_else(
+            pc.greater_equal(b["c_acctbal"], 0.0),
+            b["n_name"],
+            pa.scalar(None, pa.string()),
+        )
+        geo = deepest_with_value(nat, b["r_name"])
+        packed_src = pc.binary_join_element_wise(
+            b["c_mktsegment"], "; ", b["c_name"], " ;;", ""
+        )
+        codes = parse_code_list(packed_src, sep=";")
+        packed = pc.binary_join(pc.cast(codes, pa.list_(pa.string())), ";")
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_nationkey": b["c_nationkey"],
+                "geo": geo,
+                "phone_codes": packed,
+            }
+        )
+
+    derived = cust.map_batches(derive, batch_format="pyarrow")
+    out = conditional_override(
+        derived, override_ref, key_col="c_nationkey", target_col="geo"
+    )
+    return out.drop_columns(["c_nationkey"]).sort("c_custkey")
+
+
+GEO_CODES_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_nationkey <= 4 THEN 'TERRITORY-' || CAST(c_nationkey AS VARCHAR)
+            WHEN c_acctbal >= 0 THEN n_name
+            ELSE r_name END AS geo,
+       array_to_string(
+         list_sort(list_filter(
+           list_transform(string_split(c_mktsegment || '; ' || c_name || ' ;;', ';'),
+                          x -> trim(x)),
+           x -> x <> '')), ';') AS phone_codes
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+ORDER BY c_custkey
+"""
+
+
+def q_nation_zip_ranges(sf_dir):
+    """Per-nation zip-range label "name (lo-hi)" (admin.rs:199-209) over
+    synthetic per-customer zips (10000 + c_custkey % 90000): partial
+    per-batch dedup of (nation, zip), bounded groups (<= |zip space|), then
+    the vectorized range_label."""
+    from mimirsbrunn_ray.functions.selectors import range_label
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nation_ref = make_lookup_ref_arrays(
+        nation["n_nationkey"].to_numpy(zero_copy_only=False),
+        nation["n_name"].to_numpy(zero_copy_only=False),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def zips(b: pa.Table) -> pa.Table:
+        z = pc.add(pc.cast(
+            pc.subtract(b["c_custkey"],
+                        pc.multiply(pc.divide(b["c_custkey"], 90000), 90000)),
+            pa.int64()), 10000)
+        t = pa.table({"c_nationkey": b["c_nationkey"], "zip": z})
+        # partial dedup per batch: shrink before the shuffle
+        import numpy as _np
+
+        key = (t["c_nationkey"].to_numpy(zero_copy_only=False).astype(_np.int64)
+               * 1_000_000 + t["zip"].to_numpy(zero_copy_only=False))
+        _, first = _np.unique(key, return_index=True)
+        return t.take(pa.array(_np.sort(first)))
+
+    def per_nation(g):
+        import pandas as _pd
+
+        z = g["zip"].drop_duplicates()
+        return _pd.DataFrame(
+            {
+                "c_nationkey": [g["c_nationkey"].iloc[0]],
+                "zip_lo": [int(z.min())],
+                "zip_hi": [int(z.max())],
+                "n_zips": [int(z.nunique())],
+            }
+        )
+
+    agg = (
+        cust.map_batches(zips, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .map_groups(per_nation, batch_format="pandas")
+    )
+    named = broadcast_join(agg, nation_ref, key_col="c_nationkey",
+                           out_col="n_name", out_type=pa.string())
+
+    def label(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": b["n_name"],
+                "zip_label": range_label(
+                    b["n_name"], b["zip_lo"], b["zip_hi"], b["n_zips"]
+                ),
+            }
+        )
+
+    return named.map_batches(label, batch_format="pyarrow").sort("n_name")
+
+
+ZIP_RANGES_SQL = """
+WITH z AS (
+  SELECT c_nationkey, 10000 + c_custkey % 90000 AS zip FROM customer
+), agg AS (
+  SELECT c_nationkey, min(zip) lo, max(zip) hi, count(DISTINCT zip) n
+  FROM z GROUP BY c_nationkey
+)
+SELECT n_name,
+       CASE WHEN n > 1 THEN n_name || ' (' || CAST(lo AS VARCHAR) || '-'
+                 || CAST(hi AS VARCHAR) || ')'
+            WHEN n = 1 THEN n_name || ' (' || CAST(lo AS VARCHAR) || ')'
+            ELSE n_name END AS zip_label
+FROM agg JOIN nation ON c_nationkey = n_nationkey
+ORDER BY n_name
+"""
+
+QUERIES.update(
+    {
+        "customer_geo_codes": q_customer_geo_codes,
+        "nation_zip_ranges": q_nation_zip_ranges,
+    }
+)
+ORACLES.update(
+    {
+        "customer_geo_codes": GEO_CODES_SQL,
+        "nation_zip_ranges": ZIP_RANGES_SQL,
+    }
+)

@@ -89,3 +89,45 @@ def broadcast_join(
         batch_size=batch_size,
         concurrency=concurrency if concurrency is not None else (1, pool_size()),
     )
+
+
+def conditional_override(
+    ds: "rd.Dataset",
+    lookup_ref,
+    key_col: str,
+    target_col: str,
+    batch_size: int = 32_768,
+    concurrency=None,
+) -> "rd.Dataset":
+    """J3 graft: keyed conditional REPLACE, not just miss-default fill.
+
+    Where ``key_col`` hits the broadcast map, ``target_col`` is replaced by
+    the mapped value; rows that miss keep their existing value — the
+    reference's INSEE admin override: a matching INSEE code substitutes the
+    keyed admin for the geofinder's answer, everything else passes through
+    (/root/reference/src/bin/bano2mimir.rs:88-93).
+    """
+    import pyarrow.compute as pc
+
+    from mimirsbrunn_ray.context import pool_size
+
+    tmp = f"__override_{target_col}"
+
+    class OverrideStage(BroadcastJoiner):
+        def __init__(self):
+            super().__init__(lookup_ref, key_col, tmp, default=None)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_type = batch.schema.field(target_col).type
+            self.out_type = out_type
+            batch = super().__call__(batch)
+            merged = pc.coalesce(batch[tmp], batch[target_col])
+            idx = batch.schema.get_field_index(target_col)
+            return batch.set_column(idx, target_col, merged).drop_columns([tmp])
+
+    return ds.map_batches(
+        OverrideStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else (1, pool_size()),
+    )

@@ -157,3 +157,56 @@ def test_merge_list_union_cross_run(ray_session):
         [],
         [],
     ]
+
+
+def test_selectors_unit():
+    """M14/M15 grafts: deepest-with-value, range label branches, code-list
+    parse (split/trim/drop-empty/sort)."""
+    from mimirsbrunn_ray.functions.selectors import (
+        deepest_with_value,
+        parse_code_list,
+        range_label,
+    )
+
+    deep = pa.array(["75001", None, "", None])
+    mid = pa.array([None, "69000", "31000", None])
+    shallow = pa.array(["FR", "FR", "FR", None])
+    assert deepest_with_value(deep, mid, shallow).to_pylist() == [
+        "75001", "69000", "31000", None,
+    ]
+
+    names = pa.array(["Paris", "Lyon", "Nowhere"])
+    lo = pa.array([75000, 69000, 0])
+    hi = pa.array([75116, 69000, 0])
+    cnt = pa.array([5, 1, 0])
+    assert range_label(names, lo, hi, cnt).to_pylist() == [
+        "Paris (75000-75116)", "Lyon (69000)", "Nowhere",
+    ]
+
+    parsed = parse_code_list(pa.array(["75116; 75000 ;;75008", "", None, "x"]))
+    assert parsed.to_pylist() == [["75000", "75008", "75116"], [], [], ["x"]]
+
+
+def test_conditional_override(ray_session):
+    """J3 graft: matched keys REPLACE the column; misses keep their value."""
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.join import (
+        conditional_override,
+        make_lookup_ref_arrays,
+    )
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"insee": [10, 20, 30, 40], "admin": ["a", "b", "c", "d"]}
+        )
+    )
+    ref = make_lookup_ref_arrays(
+        np.array([20, 40]), np.array(["B!", "D!"], dtype=object)
+    )
+    out = (
+        conditional_override(ds, ref, key_col="insee", target_col="admin")
+        .to_pandas()
+        .sort_values("insee")
+    )
+    assert list(out["admin"]) == ["a", "B!", "c", "D!"]
