@@ -87,8 +87,24 @@ def merge_late_data(
 
         deduped = dedup_exact(late, key="doc_id", num_buckets=16)
         pub_ids = rd.read_parquet(published_raw, columns=["doc_id"])
+
+        def key_only(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "doc_id" not in b.schema.names:
+                return pa.table({"doc_id": pa.array([], pa.string())})
+            return pa.table({"doc_id": b["doc_id"]})
+
+        # the repartition squashes the SCHEMA-LESS empty blocks that
+        # hash-bucketed map_groups emits for empty bucket partitions —
+        # Ray forwards those around map_batches UDFs, and a schema-less
+        # block reaching a shuffle-join partition crashes its
+        # pa.Table.join ("no match for key field"). Key-only rows are
+        # 8-byte-per-row bounded by the late batch, so the reshuffle is
+        # cheap at any scale.
         collisions = (
-            deduped.select_columns(["doc_id"])
+            deduped.map_batches(
+                key_only, batch_format="pyarrow", batch_size=None
+            )
+            .repartition(max(2, pool_size()))
             .join(
                 pub_ids,
                 join_type="inner",

@@ -81,7 +81,7 @@ def run_tiering_job(
     verify_resume: bool = False,
     assume_identical_dups: bool = True,
     single_partition: bool = True,
-    dedup_scan_shards: int = 1,
+    dedup_scan_shards: int | None = None,
 ) -> dict:
     """Run (or resume) the full tier chain; returns a per-tier summary.
 

@@ -82,7 +82,7 @@ def dedup_exact(
 
 
 def scan_duplicate_keys(
-    paths, key: str = "doc_id", final_shards: int = 1
+    paths, key: str = "doc_id", final_shards: int | None = None
 ) -> np.ndarray:
     """Column-pruned parquet scan -> sorted int64 hashes of keys seen > once.
 
@@ -94,11 +94,14 @@ def scan_duplicate_keys(
     the returned exact array generalizes to a Bloom filter with the same
     false-positives-are-safe property.
 
-    ``final_shards``: 1 (default) tree-merges into ONE final combine — the
-    fastest shape while distinct keys fit one worker (~10^8). For larger
-    key spaces set >1: the final combine is SHARDED by hash range (each
-    shard merges and filters its own slice; only the duplicate hashes —
-    tiny by construction — ever reach the driver).
+    ``final_shards``: the combine is SHARDED by hash range — each shard
+    merges and filters its own slice in parallel; only the duplicate
+    hashes (tiny by construction) ever reach the driver. Default (None)
+    auto-sizes to the CPU pool: the partial tables hold ~one row per
+    distinct key, so a single final combine is a serial wall that grows
+    with the corpus (measured ~4 s per 16M keys) while the sharded shape
+    scales with workers. Pass 1 explicitly for tiny corpora where the
+    shuffle overhead exceeds the combine.
     """
     import ray.data as rd
 
@@ -126,7 +129,11 @@ def scan_duplicate_keys(
     def only_dups(b: pa.Table) -> pa.Table:
         return b.filter(pc.greater(b["n"], 1)).select(["h"])
 
+    from mimirsbrunn_ray.context import pool_size
     from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    if final_shards is None:
+        final_shards = max(4, pool_size())
 
     partials = ds.map_batches(key_partials, batch_format="pyarrow", batch_size=None)
     if final_shards <= 1:
@@ -148,8 +155,14 @@ def scan_duplicate_keys(
             lambda g: only_dups(combine(g.drop_columns(["_s"]))),
             batch_format="pyarrow",
         )
-    dup_rows = dups.take_all()
-    return np.sort(np.asarray([r["h"] for r in dup_rows], dtype=np.int64))
+    # vectorized driver pull — bounded by the dup count, no per-row dicts
+    chunks = [
+        b["h"].to_numpy(zero_copy_only=False)
+        for b in dups.iter_batches(batch_format="pyarrow")
+    ]
+    if not chunks:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(chunks).astype(np.int64, copy=False))
 
 
 class ClaimActor:
