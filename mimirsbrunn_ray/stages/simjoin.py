@@ -108,12 +108,110 @@ def _distinct_sorted_per_doc(grams: np.ndarray, doc_idx: np.ndarray):
     return g, d, rank, size
 
 
-class _PrefixGrams:
-    """map_batches stage: (doc_id, text) -> prefix rows (gram, doc_id, size)."""
+class _GramDf:
+    """map_batches stage: per-batch PARTIAL document frequencies of the
+    distinct grams (one (gram, n) row per distinct gram per batch)."""
 
-    def __init__(self, threshold: float, n: int):
+    def __init__(self, n: int):
+        self.n = n
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        grams, doc_idx = word_ngram_hashes(b["text"], self.n)
+        if len(grams) == 0:
+            return pa.table(
+                {"gram": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        g, d, _rank, _size = _distinct_sorted_per_doc(grams, doc_idx)
+        uniq, counts = np.unique(g, return_counts=True)
+        return pa.table(
+            {"gram": pa.array(uniq.view(np.int64)),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+
+def _shared_grams(docs: "rd.Dataset", n: int, conc) -> np.ndarray:
+    """Sorted uint64 array of grams with document frequency >= 2.
+
+    The classic AllPairs df-ascending optimization needs each gram's df;
+    here only *whether df >= 2* is needed for pruning plus df for
+    ordering — and a gram with df == 1 can NEVER witness a candidate
+    pair, so the broadcast side is bounded by the SHARED-gram count (the
+    near-dup scale), not the gram space. Falls back conceptually to a
+    gram-keyed shuffle join beyond broadcast budget.
+    Returns the shared grams sorted by (df ascending, gram) — their RANK
+    in this array is the global prefix order.
+    """
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    partials = docs.map_batches(
+        _GramDf, fn_constructor_kwargs={"n": n},
+        batch_format="pyarrow", concurrency=conc,
+    )
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["gram"]).aggregate([("n", "sum")])
+        return g.rename_columns(["gram", "n"])
+
+    def only_shared(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["n"], 1))
+
+    counts = tree_merge(partials, combine).map_batches(
+        only_shared, batch_format="pyarrow", batch_size=None
+    )
+    chunks_g, chunks_n = [], []
+    for bt in counts.iter_batches(batch_format="pyarrow"):
+        chunks_g.append(bt["gram"].to_numpy(zero_copy_only=False))
+        chunks_n.append(bt["n"].to_numpy(zero_copy_only=False))
+    if not chunks_g:
+        return np.empty(0, np.uint64)
+    g = np.concatenate(chunks_g).view(np.uint64)
+    n_arr = np.concatenate(chunks_n)
+    order = np.lexsort((g, n_arr))  # df ascending, gram tiebreak
+    return g[order]
+
+
+class _PrefixGrams:
+    """map_batches stage: (doc_id, text) -> prefix rows (gram, doc_id, size).
+
+    Gram order is df-ASCENDING over the broadcast shared-gram rank (grams
+    absent from it have df == 1 and sort AFTER every shared gram, mutually
+    ordered by hash) — any consistent total order keeps the prefix filter
+    exact; rare-first minimizes candidates (Bayardo et al.). Prefix
+    entries whose gram is unshared are dropped outright: df == 1 grams
+    cannot witness a pair.
+    """
+
+    def __init__(self, threshold: float, n: int, shared_ref=None):
+        import ray
+
         self.t = threshold
         self.n = n
+        # sorted-by-(df,gram) shared grams; resolved once per actor
+        self.shared = (
+            ray.get(shared_ref) if shared_ref is not None
+            else np.empty(0, np.uint64)
+        )
+        # searchsorted needs a sorted-BY-VALUE copy + each value's df-rank
+        order = np.argsort(self.shared, kind="stable")
+        self.val_sorted = self.shared[order]
+        self.val_rank = np.argsort(order)
+
+    def _order_key(self, grams: np.ndarray) -> np.ndarray:
+        """Global order key: shared grams get their df-rank (< 2^32);
+        unshared grams get 2^32 + hash-derived offset (after all shared)."""
+        pos = np.searchsorted(self.val_sorted, grams)
+        pos_c = np.clip(pos, 0, max(len(self.val_sorted) - 1, 0))
+        if len(self.val_sorted):
+            hit = self.val_sorted[pos_c] == grams
+            key = np.where(
+                hit,
+                self.val_rank[pos_c].astype(np.uint64),
+                (np.uint64(1) << np.uint64(32)) + (grams >> np.uint64(32)),
+            )
+        else:
+            key = (np.uint64(1) << np.uint64(32)) + (grams >> np.uint64(32))
+        return key
 
     def __call__(self, b: pa.Table) -> pa.Table:
         grams, doc_idx = word_ngram_hashes(b["text"], self.n)
@@ -128,33 +226,64 @@ class _PrefixGrams:
                     "size": pa.array([], pa.int32()),
                 }
             )
-        g, d, rank, size = _distinct_sorted_per_doc(grams, doc_idx)
-        # prefix filter: first m - ceil(t*m) + 1 grams of each doc
+        g, d, _rank, size = _distinct_sorted_per_doc(grams, doc_idx)
+        # re-rank each doc's grams in the GLOBAL df-ascending order
+        key = self._order_key(g)
+        order = np.lexsort((key, d))
+        g, d, size, key = g[order], d[order], size[order], key[order]
+        new_seg = np.ones(len(d), dtype=bool)
+        new_seg[1:] = d[1:] != d[:-1]
+        seg_starts = np.flatnonzero(new_seg)
+        seg_sizes = np.diff(np.append(seg_starts, len(d)))
+        rank = np.arange(len(d)) - np.repeat(seg_starts, seg_sizes)
+        # prefix filter: first m - ceil(t*m) + 1 grams of each doc; drop
+        # unshared grams (df == 1 -> provably pair-free)
         p = size - np.ceil(self.t * size).astype(np.int64) + 1
-        keep = rank < p
+        keep = (rank < p) & (key < (np.uint64(1) << np.uint64(32)))
         return pa.table(
             {
                 "gram": pa.array(g[keep].view(np.int64)),
                 "doc_id": ids.take(pa.array(d[keep])),
                 "size": pa.array(size[keep].astype(np.int32)),
+                "pos": pa.array(rank[keep].astype(np.int32)),
             }
         )
 
 
 def _pairs_in_bucket(threshold: float):
+    """Per-gram candidate pairs with the PPJoin filters (Xiao et al.):
+
+    * length filter — J <= min/max, so require min >= t * max;
+    * positional filter — for witness gram at 0-based prefix position
+      p in a doc of set size s, the overlap via this witness is at most
+      min(s_x - p_x, s_y - p_y); require that to reach the minimum
+      overlap ceil(t/(1+t) * (s_x+s_y)). A true pair's SMALLEST common
+      gram always satisfies the bound, so dropping other witnesses is
+      safe (the pair is emitted at least once; duplicates are fine —
+      verification dedups).
+    """
+
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, grp in g.groupby("gram", sort=False):
+            if len(grp) < 2:
+                continue
             ids = grp["doc_id"].to_numpy()
             sizes = grp["size"].to_numpy()
+            poss = grp["pos"].to_numpy()
             u, first = np.unique(ids, return_index=True)
             if len(u) < 2:
                 continue
-            sz = sizes[first]
+            sz = sizes[first].astype(np.float64)
+            ps = poss[first].astype(np.float64)
             ii, jj = np.triu_indices(len(u), 1)
             lo = np.minimum(sz[ii], sz[jj])
             hi = np.maximum(sz[ii], sz[jj])
-            ok = lo >= threshold * hi  # J <= min/max length filter
+            ok = lo >= threshold * hi
+            # positional filter
+            need = threshold / (1.0 + threshold) * (sz[ii] + sz[jj])
+            ub = np.minimum(sz[ii] - ps[ii], sz[jj] - ps[jj])
+            ok &= ub >= np.ceil(need - 1e-9)
             if ok.any():
                 out.append(
                     pd.DataFrame({"a": u[ii[ok]], "b": u[jj[ok]]})
@@ -231,12 +360,17 @@ def ngram_jaccard_join(
 ) -> "rd.Dataset":
     """EXACT all-pairs word-n-gram Jaccard join: every pair with
     J >= threshold, with its exact Jaccard value. See module docstring."""
+    import ray
+
     from mimirsbrunn_ray.context import pool_size
 
     conc = concurrency if concurrency is not None else (1, pool_size())
+    shared_ref = ray.put(_shared_grams(docs, n, conc))
     prefix = docs.map_batches(
         _PrefixGrams,
-        fn_constructor_kwargs={"threshold": threshold, "n": n},
+        fn_constructor_kwargs={
+            "threshold": threshold, "n": n, "shared_ref": shared_ref,
+        },
         batch_format="pyarrow",
         concurrency=conc,
     )
@@ -254,27 +388,18 @@ def ngram_jaccard_join(
     )
 
     def pair_dedup(b: pa.Table) -> pa.Table:
+        # batch-local dedup only — a pair can be emitted by several
+        # witness grams; cross-batch duplicates are verified redundantly
+        # (cheap) and collapsed AFTER verification, when the set is tiny.
+        # This trades a full pair shuffle for a little repeated work.
         a = b["a"].to_numpy(zero_copy_only=False)
         bb = b["b"].to_numpy(zero_copy_only=False)
         packed = a.astype(np.uint64) * _B1 + bb.astype(np.uint64)
         _, first = np.unique(packed, return_index=True)
         return b.take(pa.array(np.sort(first)))
 
-    def pair_bucket(b: pa.Table) -> pa.Table:
-        a = b["a"].to_numpy(zero_copy_only=False)
-        bb = b["b"].to_numpy(zero_copy_only=False)
-        h = _mix64(a.astype(np.uint64) * _B1 + bb.astype(np.uint64))
-        return b.append_column(
-            "_pb", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
-        )
-
-    pairs = (
-        cand_pairs.map_batches(pair_bucket, batch_format="pyarrow", batch_size=None)
-        .groupby("_pb")
-        .map_groups(
-            lambda g: pair_dedup(g.drop_columns(["_pb"])),
-            batch_format="pyarrow",
-        )
+    pairs = cand_pairs.map_batches(
+        pair_dedup, batch_format="pyarrow", batch_size=None
     ).materialize()
 
     # candidate ids: bounded by the candidate-pair count (near-dup scale,
@@ -305,16 +430,40 @@ def ngram_jaccard_join(
         batch_format="pyarrow",
         concurrency=conc,
     )
+    # vectorized gram-map build: numpy split on list offsets, no to_pylist
     gram_map = {}
     for bt in gram_rows.iter_batches(batch_format="pyarrow"):
-        for did, gs in zip(
-            bt["doc_id"].to_pylist(), bt["grams"].to_pylist()
-        ):
-            gram_map[did] = np.asarray(gs, dtype=np.int64)
+        ids = bt["doc_id"].to_numpy(zero_copy_only=False)
+        lists = bt["grams"].combine_chunks()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False)
+        vals = lists.values.to_numpy(zero_copy_only=False)
+        for did, seg in zip(ids, np.split(vals, offsets[1:-1])):
+            gram_map[did] = seg
 
-    return pairs.map_batches(
+    verified = pairs.map_batches(
         _VerifyJaccard,
         fn_constructor_kwargs={"gram_map": gram_map, "threshold": threshold},
         batch_format="pyarrow",
         concurrency=conc,
+    )
+
+    def final_dedup(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_a" not in b.schema.names:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False)
+        packed = a.astype(np.uint64) * _B1 + bb.astype(np.uint64)
+        _, first = np.unique(packed, return_index=True)
+        return b.take(pa.array(np.sort(first)))
+
+    # the verified set is the TRUE near-dup set (tiny); one coalesced
+    # block collapses cross-batch duplicate witnesses
+    return verified.repartition(1).map_batches(
+        final_dedup, batch_format="pyarrow", batch_size=None
     )
