@@ -8,24 +8,26 @@ with Jaccard >= t must share at least one token among each set's first
 token are candidates; everything else is provably below threshold.
 
 Distributed shape (all stages stream; nothing corpus-sized on the driver):
-  1. gram stage (``map_batches``): per doc, distinct word-n-gram hashes in
-     hash order (the consistent total order), emit (gram, doc_id, size)
-     rows for the PREFIX grams only — fully vectorized (one lexsort per
-     batch, no per-doc loop).
-  2. candidate stage: hash-bucket by gram, within-bucket group by gram and
-     emit id pairs passing the length filter (min_size >= t * max_size —
-     J <= min/max).
-  3. dedup + verify: pair rows bucket on the pair key, drop duplicates,
-     then exact Jaccard against a gram-set map built from a second,
-     candidate-filtered corpus pass (the bounded-broadcast pattern of
-     stages/neardup.py — candidates ~ near-dup count, not corpus size; the
-     unbounded path is two ``Dataset.join``s of the pair list against the
-     gram-set table).
-
-Scale note: hash order is a correct but unoptimized prefix order; the
-classic df-ascending order (rare grams first) shrinks candidates further
-at the cost of one extra groupby + join to learn document frequencies —
-that is the 100-TB tuning knob, not a correctness change.
+  1. shared-gram scan: partial per-batch document frequencies, tree-merged
+     and filtered to df >= 2 — a df == 1 gram can never witness a pair, so
+     the broadcast side is bounded by the SHARED-gram count (near-dup
+     scale), not the gram space.
+  2. prefix stage (``map_batches``): per doc, distinct word-n-gram hashes
+     ordered df-ASCENDING by the broadcast shared-gram rank (rare first —
+     the classic AllPairs candidate minimizer; any consistent total order
+     keeps the filter exact), emit (gram, doc_id, size, pos) rows for the
+     PREFIX grams only — fully vectorized (one lexsort per batch).
+  3. candidate stage: hash-bucket by gram, within-bucket group by gram,
+     emit id pairs passing the LENGTH filter (min >= t * max; J <= min/max)
+     and PPJoin's POSITIONAL filter (suffix length from the witness
+     position must reach the minimum overlap ceil(t/(1+t)*(sx+sy)); the
+     smallest common gram of a true pair always passes).
+  4. verify: batch-local pair dedup (duplicate witnesses tolerated — no
+     pair shuffle), exact Jaccard against a gram-set map built from a
+     second candidate-filtered corpus pass (the bounded-broadcast pattern
+     of stages/neardup.py), then one coalesced collapse of the TINY
+     verified set. The unbounded escape hatch is two ``Dataset.join``s of
+     the pair list against the gram-set table.
 
 Reference analog: the deterministic in-pipeline dedup of
 /root/reference/src/osm_reader/street.rs:202-246 generalized from exact
