@@ -133,7 +133,25 @@ def scan_duplicate_keys(
     from mimirsbrunn_ray.stages.rollup import tree_merge
 
     if final_shards is None:
-        final_shards = max(4, pool_size())
+        # auto-size by input volume: the combine's cost tracks the distinct
+        # key count (~input rows). Small corpora fit one fast tree-merge
+        # task; beyond ~4M keys per combine task the sharded shuffle wins.
+        # ~170 bytes/row in this corpus shape -> one shard per ~700 MB.
+        import os as _os
+
+        total = 0
+        for f in files:
+            try:
+                total += _os.path.getsize(f)
+            except OSError:
+                total = None
+                break
+        if total is None:
+            final_shards = max(4, pool_size())
+        else:
+            final_shards = min(
+                max(1, total // (700 << 20)), max(4, pool_size())
+            )
 
     partials = ds.map_batches(key_partials, batch_format="pyarrow", batch_size=None)
     if final_shards <= 1:
