@@ -252,3 +252,140 @@ def decode_media(
         batch_size=batch_size,
         concurrency=concurrency if concurrency is not None else (1, pool_size()),
     )
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample stages (real math over the numpy codecs above)
+# ---------------------------------------------------------------------------
+
+
+def resize_rgb(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (one gather per axis)."""
+    h, w, _ = img.shape
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+class MediaResizer:
+    """Actor-pool stage: re-encode every BMP payload at (out_w, out_h).
+
+    Non-image payloads pass through untouched. Small batches — decoded
+    pixels dominate memory, the SURVEY §7.6 "very wide rows" rule.
+    """
+
+    def __init__(self, out_w: int, out_h: int):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        out, ws, hs = [], [], []
+        for p, t in zip(payloads, types):
+            if t == "image/bmp":
+                out.append(
+                    encode_bmp(resize_rgb(decode_bmp(p), self.out_w, self.out_h))
+                )
+                ws.append(self.out_w)
+                hs.append(self.out_h)
+            else:
+                out.append(p)
+                ws.append(-1)
+                hs.append(-1)
+        cols = {name: batch[name] for name in batch.schema.names}
+        cols["payload"] = pa.array(out, type=pa.binary())
+        if "width" in cols:
+            cols["width"] = pa.array(ws, type=pa.int32())
+        if "height" in cols:
+            cols["height"] = pa.array(hs, type=pa.int32())
+        return pa.table(cols)
+
+
+def resize_media(ds: "rd.Dataset", out_w: int, out_h: int,
+                 batch_size: int = 64, concurrency=None) -> "rd.Dataset":
+    from mimirsbrunn_ray.context import pool_size
+
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else (1, pool_size()),
+    )
+
+
+# "video": an uncompressed frame stack — 4-byte little-endian frame count,
+# then each frame as a self-describing BMP (its header carries file_size).
+# A synthetic container: no video codec ships in this sandbox, but the
+# SAMPLING plumbing (container walk, per-frame row fan-out, small batches)
+# is exactly what a real codec would slot into.
+VIDEO_STACK_TYPE = "video/x-bmp-stack"
+
+
+def encode_bmp_stack(frames) -> bytes:
+    out = [struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(encode_bmp(f))
+    return b"".join(out)
+
+
+def iter_bmp_stack(payload: bytes):
+    """Yield (frame_index, bmp_bytes) without decoding pixel data."""
+    (n,) = struct.unpack_from("<I", payload, 0)
+    pos = 4
+    for i in range(n):
+        if payload[pos : pos + 2] != b"BM":
+            raise ValueError(f"corrupt frame stack at frame {i}")
+        (size,) = struct.unpack_from("<I", payload, pos + 2)
+        yield i, payload[pos : pos + size]
+        pos += size
+
+
+class FrameSampler:
+    """Actor-pool stage: explode every video payload into one row per
+    SAMPLED frame (every ``k``-th, always including frame 0). Output rows:
+    (media_id, frame_index, media_type='image/bmp', payload=<bmp>)."""
+
+    def __init__(self, every_k: int):
+        if every_k < 1:
+            raise ValueError("every_k must be >= 1")
+        self.k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for mid, mtype, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if mtype != VIDEO_STACK_TYPE:
+                continue
+            for i, bmp in iter_bmp_stack(payload):
+                if i % self.k == 0:
+                    ids.append(mid)
+                    fidx.append(i)
+                    frames.append(bmp)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.string()),
+                "frame_index": pa.array(fidx, type=pa.int32()),
+                "media_type": pa.array(
+                    ["image/bmp"] * len(ids), type=pa.string()
+                ),
+                "payload": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds: "rd.Dataset", every_k: int = 2,
+                  batch_size: int = 16, concurrency=None) -> "rd.Dataset":
+    from mimirsbrunn_ray.context import pool_size
+
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else (1, pool_size()),
+    )

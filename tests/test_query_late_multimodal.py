@@ -249,3 +249,66 @@ def test_scoring_functions():
     assert hi > lo
     z = zoom_decay(np.array([0.0, 1.0, 100.0]))
     assert z[0] == 1.0 and z[0] > z[1] > z[2] > 0.0
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    """Resize re-encodes BMPs at the target geometry (pixel-checked);
+    frame sampling explodes a BMP-stack video into every-k-th frame rows,
+    each a decodable standalone BMP."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.multimodal import (
+        VIDEO_STACK_TYPE,
+        decode_bmp,
+        encode_bmp,
+        encode_bmp_stack,
+        resize_media,
+        resize_rgb,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(5)
+    # resize: 2x2 block image downscales to the exact block colors
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:2, :2] = [255, 0, 0]
+    img[2:, 2:] = [0, 0, 255]
+    assert np.array_equal(
+        resize_rgb(img, 2, 2),
+        np.array([[[255, 0, 0], [0, 0, 0]], [[0, 0, 0], [0, 0, 255]]], np.uint8),
+    )
+    tbl = pa.table(
+        {
+            "media_id": ["a", "b"],
+            "media_type": ["image/bmp", "audio/wav"],
+            "payload": [
+                encode_bmp(rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)),
+                b"RIFFnotread",
+            ],
+            "width": pa.array([7, -1], pa.int32()),
+            "height": pa.array([10, -1], pa.int32()),
+        }
+    )
+    out = resize_media(rd.from_arrow(tbl), 5, 4).to_pandas()
+    bmp_row = out[out["media_id"] == "a"].iloc[0]
+    resized = decode_bmp(bmp_row["payload"])
+    assert resized.shape == (4, 5, 3)
+    assert bmp_row["width"] == 5 and bmp_row["height"] == 4
+    # non-image passthrough untouched
+    assert out[out["media_id"] == "b"].iloc[0]["payload"] == b"RIFFnotread"
+
+    # frame sampling: 7-frame stack, every 3rd -> frames 0, 3, 6
+    frames = [rng.integers(0, 256, (6, 6, 3), dtype=np.uint8) for _ in range(7)]
+    vid = pa.table(
+        {
+            "media_id": ["v1"],
+            "media_type": [VIDEO_STACK_TYPE],
+            "payload": [encode_bmp_stack(frames)],
+        }
+    )
+    sampled = sample_frames(rd.from_arrow(vid), every_k=3).to_pandas()
+    assert list(sampled["frame_index"]) == [0, 3, 6]
+    for _, row in sampled.iterrows():
+        assert np.array_equal(
+            decode_bmp(row["payload"]), frames[row["frame_index"]]
+        )
