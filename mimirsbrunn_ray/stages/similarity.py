@@ -206,16 +206,26 @@ def cosine_pairs(
 
     from mimirsbrunn_ray.context import pool_size
 
-    ref_tbl = pa.concat_tables(
-        list(emb.iter_batches(batch_format="pyarrow"))
-    )
-    all_ids = ref_tbl[id_col].to_numpy(zero_copy_only=False)
-    all_unit = _unit(_to_matrix(ref_tbl[vec_col]))
-    mat_ref = ray.put((all_ids, all_unit))
+    # reference side built WITHOUT a driver data pull: the driver touches
+    # only block refs; each normalization task and each actor resolves
+    # blocks from the (node-shared, zero-copy) object store
+    emb_mat = emb.materialize()
+    block_refs = emb_mat.get_internal_block_refs()
+
+    @ray.remote(num_cpus=1)
+    def _unit_block(block: pa.Table):
+        return (
+            block[id_col].to_numpy(zero_copy_only=False),
+            _unit(_to_matrix(block[vec_col])),
+        )
+
+    part_refs = [_unit_block.remote(r) for r in block_refs]
 
     class PairsAgainstAll:
         def __init__(self):
-            self.ids, self.mat = ray.get(mat_ref)  # once per actor
+            parts = ray.get(part_refs)  # once per actor, object-store local
+            self.ids = np.concatenate([p[0] for p in parts])
+            self.mat = np.concatenate([p[1] for p in parts])
 
         def __call__(self, b: pa.Table) -> pa.Table:
             vecs = _unit(_to_matrix(b[vec_col]))
@@ -232,7 +242,7 @@ def cosine_pairs(
                 }
             )
 
-    return emb.map_batches(
+    return emb_mat.map_batches(
         PairsAgainstAll,
         batch_format="pyarrow",
         concurrency=concurrency if concurrency is not None else (1, pool_size()),
