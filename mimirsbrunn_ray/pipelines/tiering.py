@@ -50,10 +50,23 @@ def _record_boundaries(tier_ds, run_dir: str) -> None:
 
     last: dict = {}
     for b in tier_ds.iter_batches(batch_format="pyarrow", batch_size=None):
-        src = b["source"].to_pylist()
-        buck = b["bucket"].cast(pa.int64()).to_pylist()
-        sums = b["sum_tok"].to_pylist()
-        for s, bk, sm in zip(src, buck, sums):
+        if b.num_rows == 0:
+            continue
+        # vectorized per-batch argmax-by-source (tier rows are bounded:
+        # one per (source, bucket), but no per-row Python either way)
+        t = b.select(["source", "bucket", "sum_tok"])
+        g = t.group_by(["source"]).aggregate([("bucket", "max")])
+        top = g.join(
+            t.set_column(1, "bucket_max", t["bucket"]).select(
+                ["source", "bucket_max", "sum_tok"]
+            ),
+            keys=["source", "bucket_max"],
+        )
+        for s, bk, sm in zip(
+            top["source"].to_pylist(),
+            top["bucket_max"].cast(pa.int64()).to_pylist(),
+            top["sum_tok"].to_pylist(),
+        ):
             if s not in last or bk > last[s][0]:
                 last[s] = (bk, sm)
     mpath = os.path.join(run_dir, "_manifest.json")
