@@ -1412,3 +1412,47 @@ ORACLES.update(
         "nation_zip_ranges": ZIP_RANGES_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (overlapping) window aggregate — §2.11 windowed-aggregate class
+# ---------------------------------------------------------------------------
+
+
+def q_hopping_window_events(sf_dir):
+    """5-minute windows hopping every 1 minute over events: each event
+    contributes to 5 overlapping windows. Aggregates to hop grain first
+    (decomposable n/sum/min/max), replicates only the bounded hop-grain
+    rows into their covering windows (see stages/window.py)."""
+    from mimirsbrunn_ray.stages.window import hopping_window_rollup
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return hopping_window_rollup(
+        ev, "event_type", "ts", "value", window="5m", hop="1m", int_scale=100
+    )
+
+
+HOPPING_SQL = """
+WITH b AS (
+  SELECT date_trunc('minute', min(ts)) - INTERVAL 4 MINUTE AS lo,
+         max(ts) AS hi
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS ws FROM b
+)
+SELECT e.event_type, g.ws AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(e.value) * 100, 0) AS BIGINT) AS sum_val,
+       CAST(ROUND(MIN(e.value) * 100, 0) AS BIGINT) AS min_val,
+       CAST(ROUND(MAX(e.value) * 100, 0) AS BIGINT) AS max_val,
+       CAST(ROUND(CAST(CAST(ROUND(SUM(e.value) * 100, 0) AS BIGINT) AS DOUBLE)
+            / COUNT(*), 0) AS BIGINT) AS mean_val
+FROM events e JOIN grid g
+  ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 5 MINUTE
+GROUP BY e.event_type, g.ws
+"""
+
+QUERIES["hopping_window_events"] = q_hopping_window_events
+ORACLES["hopping_window_events"] = HOPPING_SQL

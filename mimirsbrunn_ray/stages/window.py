@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 
@@ -108,3 +109,124 @@ def asof_join(
         batch_size=None,
         concurrency=(1, pool_size()),
     )
+
+
+def hopping_window_rollup(
+    ds: "rd.Dataset",
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window: str = "5m",
+    hop: str = "1m",
+    int_scale: float | None = None,
+) -> "rd.Dataset":
+    """Overlapping (hopping) window aggregate — each event counts in every
+    ``window``-long window whose hop-aligned start covers it.
+
+    Not expressible as a plain groupby (windows overlap), and the naive
+    shape replicates every ROW k = window/hop times before aggregating.
+    This implementation aggregates to HOP grain first (n/sum/min/max are
+    all decomposable), then replicates only the BOUNDED hop-grain
+    aggregate rows into their k covering windows and combines — the
+    replication factor applies to keys x hop-buckets, never to the raw
+    stream. Output columns match generic_rollup with ``bucket`` = window
+    start (``int_scale`` snapping identical, cross-engine comparable).
+    """
+    import pyarrow.compute as pc
+
+    from mimirsbrunn_ray.functions.timeutil import BUCKET_US, trunc_us, ts_array
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    hop_us = BUCKET_US[hop]
+    win_us = BUCKET_US[window] if window in BUCKET_US else (
+        int(window[:-1]) * BUCKET_US["1" + window[-1]]
+    )
+    k = win_us // hop_us
+    if k < 1 or win_us % hop_us:
+        raise ValueError(f"window {window!r} must be a multiple of hop {hop!r}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # normalize to us regardless of source resolution (pandas gives ns)
+        ts_us = (
+            batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                key: batch[key],
+                "bucket": ts_array(trunc_us(ts_us, hop)),
+                "v": batch[value_col].cast(pa.float64()),
+            }
+        )
+        g = t.group_by([key, "bucket"]).aggregate(
+            [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")]
+        )
+        g = g.select([key, "bucket", "v_count", "v_sum", "v_min", "v_max"])
+        return g.rename_columns([key, "bucket", "n_rows", "sum_v", "min_v", "max_v"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by([key, "bucket"]).aggregate(
+            [("n_rows", "sum"), ("sum_v", "sum"), ("min_v", "min"), ("max_v", "max")]
+        )
+        g = g.select(
+            [key, "bucket", "n_rows_sum", "sum_v_sum", "min_v_min", "max_v_max"]
+        )
+        return g.rename_columns([key, "bucket", "n_rows", "sum_v", "min_v", "max_v"])
+
+    hop_agg = tree_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None), combine
+    )
+
+    def replicate(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        n = b.num_rows
+        idx = np.repeat(np.arange(n), k)
+        buck = b["bucket"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ws = buck[idx] - np.tile(
+            np.arange(k, dtype=np.int64) * hop_us, n
+        )
+        out = b.take(pa.array(idx))
+        return out.set_column(
+            out.schema.get_field_index("bucket"), "bucket", ts_array(ws)
+        )
+
+    win_agg = tree_merge(
+        hop_agg.map_batches(replicate, batch_format="pyarrow", batch_size=None),
+        combine,
+    )
+
+    def _snap(col):
+        scaled = pc.multiply(col.cast(pa.float64()), float(int_scale))
+        return pc.cast(
+            pc.round(scaled, ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_rows"].cast(pa.int64())
+        s = batch["sum_v"].cast(pa.float64())
+        mean = pc.divide(s, n.cast(pa.float64()))
+        mn, mx = batch["min_v"], batch["max_v"]
+        if int_scale is not None:
+            s, mn, mx = _snap(s), _snap(mn), _snap(mx)
+            mean = pc.cast(
+                pc.round(
+                    pc.divide(s.cast(pa.float64()), n.cast(pa.float64())),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+        return pa.table(
+            {
+                key: batch[key],
+                "bucket": batch["bucket"].cast(pa.timestamp("us")),
+                "n_rows": n,
+                "sum_val": s,
+                "min_val": mn,
+                "max_val": mx,
+                "mean_val": mean,
+            }
+        )
+
+    return win_agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

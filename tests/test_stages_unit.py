@@ -210,3 +210,47 @@ def test_conditional_override(ray_session):
         .sort_values("insee")
     )
     assert list(out["admin"]) == ["a", "B!", "c", "D!"]
+
+
+def test_hopping_window_rollup(ray_session):
+    """Overlapping 3m windows hopping 1m: each event lands in exactly 3
+    windows; counts/sums hand-checked on a tiny stream."""
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.window import hopping_window_rollup
+
+    base = 1_700_000_040_000_000  # minute-aligned us
+    rows = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b"],
+            "ts": pd.to_datetime(
+                [base, base + 60_000_000, base + 150_000_000, base],
+                unit="us",
+            ),
+            "v": [1.0, 2.0, 4.0, 10.0],
+        }
+    )
+    out = (
+        hopping_window_rollup(
+            rd.from_pandas(rows), "k", "ts", "v", window="3m", hop="1m"
+        )
+        .to_pandas()
+        .sort_values(["k", "bucket"])
+        .reset_index(drop=True)
+    )
+    a = out[out["k"] == "a"]
+    # event at t0 covers windows t0-2m..t0; event t0+1m covers t0-1m..t0+1m;
+    # event t0+2.5m (bucket t0+2m) covers t0..t0+2m
+    buck_us = a["bucket"].to_numpy().astype("datetime64[us]").astype("int64")
+    got = set(zip(buck_us, a["n_rows"], a["sum_val"]))
+    m = 60_000_000
+    want = {
+        (base - 2 * m, 1, 1.0),
+        (base - 1 * m, 2, 3.0),
+        (base, 3, 7.0),
+        (base + 1 * m, 2, 6.0),
+        (base + 2 * m, 1, 4.0),
+    }
+    assert got == want
+    b = out[out["k"] == "b"]
+    assert len(b) == 3 and set(b["n_rows"]) == {1} and set(b["sum_val"]) == {10.0}
