@@ -184,15 +184,14 @@ class _PrefixGrams:
     cannot witness a pair.
     """
 
-    def __init__(self, threshold: float, n: int, shared_ref=None):
-        import ray
-
+    def __init__(self, threshold: float, n: int, shared=None):
         self.t = threshold
         self.n = n
-        # sorted-by-(df,gram) shared grams; resolved once per actor
+        # sorted-by-(df,gram) shared grams (plain array: the instance is
+        # SHIPPED with the task spec — tiny immutable state, so paying
+        # actor-pool startup would cost more than it saves)
         self.shared = (
-            ray.get(shared_ref) if shared_ref is not None
-            else np.empty(0, np.uint64)
+            shared if shared is not None else np.empty(0, np.uint64)
         )
         # searchsorted needs a sorted-BY-VALUE copy + each value's df-rank
         order = np.argsort(self.shared, kind="stable")
@@ -367,14 +366,13 @@ def ngram_jaccard_join(
     from mimirsbrunn_ray.context import pool_size
 
     conc = concurrency if concurrency is not None else (1, pool_size())
-    shared_ref = ray.put(_shared_grams(docs, n, conc))
+    # shipped-instance stages throughout (the MinHasher trade): every
+    # stage's state is small and immutable, so task pools that scale with
+    # the read beat fixed actor pools plus their startup cost
     prefix = docs.map_batches(
-        _PrefixGrams,
-        fn_constructor_kwargs={
-            "threshold": threshold, "n": n, "shared_ref": shared_ref,
-        },
+        _PrefixGrams(threshold, n, _shared_grams(docs, n, conc)),
         batch_format="pyarrow",
-        concurrency=conc,
+        batch_size=None,
     )
 
     def bucketize(b: pa.Table) -> pa.Table:
@@ -427,10 +425,7 @@ def ngram_jaccard_join(
             )
         )
     gram_rows = docs.map_batches(
-        _GramSets,
-        fn_constructor_kwargs={"cand": cand_ids, "n": n},
-        batch_format="pyarrow",
-        concurrency=conc,
+        _GramSets(cand_ids, n), batch_format="pyarrow", batch_size=None
     )
     # vectorized gram-map build: numpy split on list offsets, no to_pylist
     gram_map = {}
@@ -443,10 +438,9 @@ def ngram_jaccard_join(
             gram_map[did] = seg
 
     verified = pairs.map_batches(
-        _VerifyJaccard,
-        fn_constructor_kwargs={"gram_map": gram_map, "threshold": threshold},
+        _VerifyJaccard(gram_map, threshold),
         batch_format="pyarrow",
-        concurrency=conc,
+        batch_size=None,
     )
 
     def final_dedup(b: pa.Table) -> pa.Table:
