@@ -106,3 +106,69 @@ def test_jaccard_bounds_and_symmetry(a, b):
     assert 0.0 <= j <= 1.0
     assert j == jaccard(b, a)
     assert jaccard(a, a) == 1.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_any_shape(w, h, seed):
+    """24-bit BMP encode/decode is byte-exact for any geometry (row
+    padding, 1-pixel edges included)."""
+    from mimirsbrunn_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 2000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_any_length(n, rate, seed):
+    from mimirsbrunn_ray.stages.multimodal import decode_wav, encode_wav
+
+    samples = np.random.default_rng(seed).integers(
+        -32768, 32768, size=n, dtype=np.int16
+    )
+    got_rate, back = decode_wav(encode_wav(samples, rate=rate))
+    assert got_rate == rate
+    assert np.array_equal(back, samples)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab 东\t"), min_size=0, max_size=30
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_word_ngram_hashes_match_python_reference(texts):
+    """The vectorized word-3-gram kernel produces exactly the gram
+    multiset a naive Python implementation does (as hashed sets)."""
+    import pyarrow as pa
+
+    from mimirsbrunn_ray.stages.simjoin import word_ngram_hashes
+
+    g, d = word_ngram_hashes(pa.array(texts, pa.string()))
+    got_counts = {i: 0 for i in range(len(texts))}
+    for di in d:
+        got_counts[int(di)] += 1
+    for i, t in enumerate(texts):
+        ws = t.lower().split(" ")
+        want = max(len(ws) - 2, 0) if len(ws) >= 3 else 0
+        assert got_counts[i] == want, (i, t, got_counts[i], want)
+    # identical texts at different positions -> identical gram hash sets
+    if len(texts) >= 2 and texts[0] == texts[1]:
+        s0 = {int(x) for x, di in zip(g, d) if di == 0}
+        s1 = {int(x) for x, di in zip(g, d) if di == 1}
+        assert s0 == s1
