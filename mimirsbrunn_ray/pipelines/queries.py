@@ -1456,3 +1456,55 @@ GROUP BY e.event_type, g.ws
 
 QUERIES["hopping_window_events"] = q_hopping_window_events
 ORACLES["hopping_window_events"] = HOPPING_SQL
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: clicks x trailing error windows per user
+# ---------------------------------------------------------------------------
+
+
+def q_clicks_in_error_windows(sf_dir):
+    """1:N range join counted per user: every (click, error) pair where
+    the error happened within the 4 hours before the click (inclusive
+    start, exclusive end) — n_pairs is the inner-join cardinality,
+    n_matched_points the semi-join one. As-of covers only the NEAREST
+    anchor; this counts all of them (stages/window.point_in_window_join)."""
+    from mimirsbrunn_ray.stages.window import point_in_window_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def pick(kind):
+        return lambda b: b.filter(
+            pc.equal(b["event_type"], kind)
+        ).select(["user_id", "ts"])
+
+
+    clicks = ev.map_batches(pick("click"), batch_format="pyarrow", batch_size=None)
+    errors = ev.map_batches(pick("error"), batch_format="pyarrow", batch_size=None)
+    import pandas as _pd
+
+    out = point_in_window_join(
+        clicks, errors, key="user_id", ts_col="ts",
+        window=_pd.Timedelta(hours=4),
+    )
+    return out.sort("user_id")
+
+
+CLICKS_IN_ERROR_SQL = """
+WITH pairs AS (
+  SELECT c.user_id, c.event_id AS cid
+  FROM events c JOIN events e
+    ON e.user_id = c.user_id
+   AND c.event_type = 'click' AND e.event_type = 'error'
+   AND e.ts <= c.ts AND c.ts < e.ts + INTERVAL 4 HOUR
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_matched_points
+FROM pairs GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["clicks_in_error_windows"] = q_clicks_in_error_windows
+ORACLES["clicks_in_error_windows"] = CLICKS_IN_ERROR_SQL

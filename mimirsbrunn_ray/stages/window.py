@@ -230,3 +230,101 @@ def hopping_window_rollup(
         )
 
     return win_agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def point_in_window_join(
+    points: "rd.Dataset",
+    anchors: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window: pd.Timedelta = pd.Timedelta(minutes=10),
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """Range (interval) join, counted per key: each POINT row matches every
+    ANCHOR row of the same key with ``anchor.ts <= point.ts <
+    anchor.ts + window``. Returns per-key ``n_pairs`` (1:N inner-join
+    cardinality) and ``n_matched_points`` (semi-join cardinality).
+
+    Not expressible as groupby or as-of (as-of gives only the NEAREST
+    anchor; this counts every anchor in range). Shape: both sides tag a
+    source column and union, keys hash-bucket once (the sessionize
+    bucketing), and each bucket resolves ranges VECTORIZED — one sort of
+    the bucket's anchors plus two ``searchsorted`` per point column over a
+    (key, ts) composite, never a per-key loop or an O(n*m) scan.
+    """
+    import pyarrow.compute as pc
+
+    from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
+
+    win_us = int(window.value // 1000)
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ts_us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+            return pa.table(
+                {
+                    key: b[key],
+                    "_ts": ts_us,
+                    "_side": pa.array(
+                        np.full(b.num_rows, side, dtype=np.int8)
+                    ),
+                }
+            )
+        return fn
+
+    tagged = points.map_batches(tag(0), batch_format="pyarrow",
+                                batch_size=None).union(
+        anchors.map_batches(tag(1), batch_format="pyarrow", batch_size=None)
+    )
+    bucketed = tagged.map_batches(
+        lambda b: add_bucket(b, key, num_buckets),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=g[key].dtype if key in g else "int64"),
+                    "n_pairs": pd.Series([], dtype="int64"),
+                    "n_matched_points": pd.Series([], dtype="int64"),
+                }
+            )
+        keys = g[key].to_numpy()
+        ts = g["_ts"].to_numpy(dtype=np.int64)
+        side = g["_side"].to_numpy()
+        # composite (key, ts) as one sortable int64: offset ts into the
+        # bucket's span so key * span + ts never overflows
+        t0 = ts.min()
+        span = np.int64(ts.max() - t0 + win_us + 2)
+        uk, kidx = np.unique(keys, return_inverse=True)
+        comp = kidx.astype(np.int64) * span + (ts - t0)
+        a_mask = side == 1
+        a_comp = np.sort(comp[a_mask])
+        p_comp = comp[~a_mask]
+        p_kidx = kidx[~a_mask]
+        # anchors in (p.ts - window, p.ts]  <=>  a.ts <= p.ts < a.ts + win
+        # (side="right" on lo EXCLUDES a.ts == p.ts - window: the window
+        # end is exclusive)
+        lo = np.searchsorted(a_comp, p_comp - np.int64(win_us), side="right")
+        hi = np.searchsorted(a_comp, p_comp, side="right")
+        # clamp to the SAME key's range (composite keeps keys disjoint
+        # because span covers ts range + window)
+        n = (hi - lo).astype(np.int64)
+        pairs = np.bincount(p_kidx, weights=n, minlength=len(uk)).astype(np.int64)
+        matched = np.bincount(
+            p_kidx[n > 0], minlength=len(uk)
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {key: uk, "n_pairs": pairs, "n_matched_points": matched}
+        )
+        return out[out["n_pairs"] > 0].reset_index(drop=True)
+
+    return (
+        bucketed.groupby(_BUCKET)
+        .map_groups(
+            lambda g: per_bucket(g.drop(columns=[_BUCKET])),
+            batch_format="pandas",
+        )
+    )

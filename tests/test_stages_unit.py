@@ -254,3 +254,49 @@ def test_hopping_window_rollup(ray_session):
     assert got == want
     b = out[out["k"] == "b"]
     assert len(b) == 3 and set(b["n_rows"]) == {1} and set(b["sum_val"]) == {10.0}
+
+
+def test_point_in_window_join(ray_session):
+    """Range join: every anchor within the trailing window matches (1:N),
+    boundary semantics inclusive-start exclusive-end, tied timestamps and
+    multiple keys hand-checked."""
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.window import point_in_window_join
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    points = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 3],
+            "ts": [t0 + 5 * m, t0 + 5 * m, t0 + 20 * m, t0 + 5 * m, t0],
+        }
+    )
+    anchors = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 3],
+            # u1: two anchors inside the 10m window of t0+5m (one AT the
+            # point ts), one stale; u2: boundary exactly window before
+            # (exclusive end -> no match); u3: anchor == point ts (match)
+            "ts": [t0, t0 + 5 * m, t0 - 20 * m, t0 - 5 * m, t0],
+        }
+    )
+    out = (
+        point_in_window_join(
+            rd.from_pandas(points),
+            rd.from_pandas(anchors),
+            key="user_id",
+            ts_col="ts",
+            window=pd.Timedelta(minutes=10),
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # u1: both t0+5m points match anchors {t0, t0+5m} -> 4 pairs, 2 points;
+    # the t0+20m point matches none; u2's anchor at exactly -10m is OUT
+    # (c.ts < a.ts + window is strict); u3 matches its own-ts anchor
+    assert out.to_dict("records") == [
+        {"user_id": 1, "n_pairs": 4, "n_matched_points": 2},
+        {"user_id": 3, "n_pairs": 1, "n_matched_points": 1},
+    ]
