@@ -1508,3 +1508,47 @@ FROM pairs GROUP BY user_id ORDER BY user_id
 
 QUERIES["clicks_in_error_windows"] = q_clicks_in_error_windows
 ORACLES["clicks_in_error_windows"] = CLICKS_IN_ERROR_SQL
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (training-mixture rates per source)
+# ---------------------------------------------------------------------------
+
+SAMPLE_FRACS = {"web": 0.25, "code": 0.9, "books": 0.5}
+SAMPLE_DEFAULT = 0.1
+SAMPLE_MOD = 10_000
+
+
+def q_stratified_sample_docs(sf_dir):
+    """Keep 25% of web, 90% of code, 50% of books, 10% of everything else
+    — engine-independent integer arithmetic on doc_id, so the sample is
+    identical across engines, runs, and partitionings (see
+    stages/text.deterministic_stratified_sample)."""
+    from mimirsbrunn_ray.stages.text import deterministic_stratified_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    )
+    out = deterministic_stratified_sample(
+        docs, key_col="source", id_col="doc_id",
+        fractions=SAMPLE_FRACS, default_frac=SAMPLE_DEFAULT,
+        modulus=SAMPLE_MOD,
+    )
+    return out.sort("doc_id")
+
+
+STRATIFIED_SQL = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE (doc_id * 2654435761) % {SAMPLE_MOD} <
+      CASE source
+        WHEN 'web' THEN {int(0.25 * SAMPLE_MOD)}
+        WHEN 'code' THEN {int(0.9 * SAMPLE_MOD)}
+        WHEN 'books' THEN {int(0.5 * SAMPLE_MOD)}
+        ELSE {int(0.1 * SAMPLE_MOD)}
+      END
+ORDER BY doc_id
+"""
+
+QUERIES["stratified_sample_docs"] = q_stratified_sample_docs
+ORACLES["stratified_sample_docs"] = STRATIFIED_SQL

@@ -169,3 +169,44 @@ def text_features(ds: "rd.Dataset", concurrency=None) -> "rd.Dataset":
         batch_size=None,
         **kwargs,
     )
+
+
+def deterministic_stratified_sample(
+    ds: "rd.Dataset",
+    key_col: str,
+    id_col: str,
+    fractions: dict,
+    default_frac: float = 0.0,
+    modulus: int = 10_000,
+) -> "rd.Dataset":
+    """Per-stratum deterministic sampling — the training-mixture operator:
+    keep each row iff ``(id * KNUTH) % modulus < frac(stratum) * modulus``.
+
+    Pure arithmetic on the row id (Knuth multiplicative hash, kept inside
+    int64 so any SQL engine reproduces it bit-exactly), so the sample is
+    stable across runs, engines, partitionings, and cluster sizes — no
+    RNG state, no coordination, embarrassingly parallel. Resampling with
+    a larger fraction is a SUPERSET of the smaller sample (thresholding
+    one fixed score), the property training-data curricula rely on.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    knuth = 2_654_435_761
+    cut = {k: int(round(f * modulus)) for k, f in fractions.items()}
+    default_cut = int(round(default_frac * modulus))
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        score = (ids * knuth) % modulus
+        # vectorized per-stratum threshold via dictionary encoding
+        arr = b[key_col].combine_chunks().dictionary_encode()
+        thr_by_code = np.asarray(
+            [cut.get(v, default_cut) for v in arr.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        thr = thr_by_code[arr.indices.to_numpy(zero_copy_only=False)]
+        return b.filter(pa.array(score < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

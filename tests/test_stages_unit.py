@@ -300,3 +300,41 @@ def test_point_in_window_join(ray_session):
         {"user_id": 1, "n_pairs": 4, "n_matched_points": 2},
         {"user_id": 3, "n_pairs": 1, "n_matched_points": 1},
     ]
+
+
+def test_stratified_sample_deterministic_and_monotone(ray_session):
+    """Deterministic stratified sampling: same input -> same sample;
+    larger fraction -> superset (threshold of one fixed score); per-
+    stratum rates land near their targets."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.text import deterministic_stratified_sample
+
+    n = 4000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array(
+                ["web" if i % 2 == 0 else "code" for i in range(n)]
+            ),
+        }
+    )
+
+    def sample(fracs):
+        return set(
+            deterministic_stratified_sample(
+                rd.from_arrow(tbl), "source", "doc_id", fracs,
+                default_frac=0.0,
+            )
+            .to_pandas()["doc_id"]
+        )
+
+    s1 = sample({"web": 0.2, "code": 0.5})
+    assert s1 == sample({"web": 0.2, "code": 0.5})  # deterministic
+    s2 = sample({"web": 0.4, "code": 0.8})
+    assert s1 <= s2  # monotone: bigger fractions are supersets
+    web = {d for d in s1 if d % 2 == 0}
+    code = s1 - web
+    assert abs(len(web) / (n / 2) - 0.2) < 0.04
+    assert abs(len(code) / (n / 2) - 0.5) < 0.04
