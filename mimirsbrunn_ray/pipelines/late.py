@@ -20,6 +20,8 @@ a half-merged state.
 
 from __future__ import annotations
 
+import os
+
 import ray.data as rd
 
 from mimirsbrunn_ray.sources.ingest import read_sequences, validated
@@ -62,9 +64,12 @@ def merge_late_data(
     if raw_done:
         # resume path: late rows are already a published raw segment
         summary["tiers"]["raw"] = {"skipped": "already committed"}
+        # path-PREFIX match, not substring: "run=r1" must not also select
+        # "run=r10"'s files
+        run_prefix = store.run_dir("raw", run_id).rstrip(os.sep) + os.sep
         late_clean = rd.read_parquet(
             [p for p in store.latest_data_paths("raw")
-             if store.run_dir("raw", run_id) in p]
+             if p.startswith(run_prefix)]
         ).materialize()
         summary["late_rows_merged"] = late_clean.count()
     else:

@@ -78,15 +78,13 @@ def read_table(paths, columns=None, fmt: str | None = None) -> "rd.Dataset":
     files = _expand(paths)
     if not files:
         raise FileNotFoundError(f"no input files match {paths!r}")
-    detected = {detect_format(f) for f in files}
-    kinds = {k for k, _ in detected}
+    kinds = {detect_format(f)[0] for f in files}
     if fmt is None:
         if len(kinds) > 1:
             raise ValueError(
                 f"mixed input formats {sorted(kinds)} in one read: {paths!r}"
             )
         fmt = next(iter(kinds))
-    gz = any(g for _, g in detected)
 
     if fmt == "parquet":
         from mimirsbrunn_ray.sources.ingest import num_blocks_for
@@ -95,34 +93,52 @@ def read_table(paths, columns=None, fmt: str | None = None) -> "rd.Dataset":
             files, columns=columns, override_num_blocks=num_blocks_for(files)
         )
 
-    open_args = {"compression": "gzip"} if gz else None
-    if fmt == "csv":
-        from pyarrow import csv as pacsv
+    def _delim(f: str) -> str:
+        base = f.lower()
+        if base.endswith(".gz"):
+            base = base[: -len(".gz")]
+        return "\t" if base.endswith(".tsv") else ","
 
-        delim = "\t" if any(".tsv" in f.lower() for f in files) else ","
-        kwargs = {
-            "parse_options": pacsv.ParseOptions(delimiter=delim),
-        }
-        if columns:
-            # reader-side projection: unneeded columns never leave the
-            # parse buffer (the CSV analog of parquet column pruning)
-            kwargs["convert_options"] = pacsv.ConvertOptions(
-                include_columns=list(columns)
-            )
-        if open_args:
-            kwargs["arrow_open_stream_args"] = open_args
-        return rd.read_csv(files, **kwargs)
+    # gzip and delimiter are PER-FILE properties: group files by them and
+    # union the per-group reads, so one .gz (or .tsv) in a drop never
+    # changes how its plain siblings are parsed
+    groups: dict = {}
+    for f in files:
+        _, gz = detect_format(f)
+        key = (gz, _delim(f) if fmt == "csv" else None)
+        groups.setdefault(key, []).append(f)
 
-    if fmt == "json":
-        kwargs = {}
-        if open_args:
-            kwargs["arrow_open_stream_args"] = open_args
-        ds = rd.read_json(files, **kwargs)
-        if columns:
-            ds = ds.select_columns(list(columns))
-        return ds
+    parts = []
+    for (gz, delim), group in sorted(groups.items()):
+        open_args = {"compression": "gzip"} if gz else None
+        if fmt == "csv":
+            from pyarrow import csv as pacsv
 
-    raise ValueError(f"unsupported format {fmt!r}")
+            kwargs = {"parse_options": pacsv.ParseOptions(delimiter=delim)}
+            if columns:
+                # reader-side projection: unneeded columns never leave the
+                # parse buffer (the CSV analog of parquet column pruning)
+                kwargs["convert_options"] = pacsv.ConvertOptions(
+                    include_columns=list(columns)
+                )
+            if open_args:
+                kwargs["arrow_open_stream_args"] = open_args
+            parts.append(rd.read_csv(group, **kwargs))
+        elif fmt == "json":
+            kwargs = {}
+            if open_args:
+                kwargs["arrow_open_stream_args"] = open_args
+            ds = rd.read_json(group, **kwargs)
+            if columns:
+                ds = ds.select_columns(list(columns))
+            parts.append(ds)
+        else:
+            raise ValueError(f"unsupported format {fmt!r}")
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def normalize_sequences_batch(batch):

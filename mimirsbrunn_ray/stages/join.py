@@ -54,6 +54,14 @@ class BroadcastJoiner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        if len(self.keys_sorted) == 0:
+            # empty lookup: every row is a miss (np.clip to -1 on a size-0
+            # array would raise; routine case, e.g. a near-dup run where
+            # no candidate survives verification)
+            vals = np.full(len(keys), self.default, dtype=object)
+            return batch.append_column(
+                self.out_col, pa.array(vals, type=self.out_type)
+            )
         pos = np.searchsorted(self.keys_sorted, keys)
         pos = np.clip(pos, 0, len(self.keys_sorted) - 1)
         hit = self.keys_sorted[pos] == keys

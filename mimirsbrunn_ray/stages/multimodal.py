@@ -281,8 +281,11 @@ class MediaResizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         types = batch["media_type"].to_pylist()
+        have_dims = "width" in batch.schema.names
+        old_w = batch["width"].to_pylist() if have_dims else [None] * len(types)
+        old_h = batch["height"].to_pylist() if have_dims else [None] * len(types)
         out, ws, hs = [], [], []
-        for p, t in zip(payloads, types):
+        for p, t, ow, oh in zip(payloads, types, old_w, old_h):
             if t == "image/bmp":
                 out.append(
                     encode_bmp(resize_rgb(decode_bmp(p), self.out_w, self.out_h))
@@ -290,14 +293,15 @@ class MediaResizer:
                 ws.append(self.out_w)
                 hs.append(self.out_h)
             else:
+                # non-image rows pass through UNTOUCHED, metadata included
+                # (audio stores its sample count in width)
                 out.append(p)
-                ws.append(-1)
-                hs.append(-1)
+                ws.append(ow)
+                hs.append(oh)
         cols = {name: batch[name] for name in batch.schema.names}
         cols["payload"] = pa.array(out, type=pa.binary())
-        if "width" in cols:
+        if have_dims:
             cols["width"] = pa.array(ws, type=pa.int32())
-        if "height" in cols:
             cols["height"] = pa.array(hs, type=pa.int32())
         return pa.table(cols)
 

@@ -42,16 +42,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from mimirsbrunn_ray.stages.neardup import _mix64  # shared avalanche hash
+
 _B1 = np.uint64(0x9E3779B97F4A7C15)
 _B2 = np.uint64(0xC2B2AE3D27D4EB4F)
-
-
-def _mix64(h: np.ndarray) -> np.ndarray:
-    h = h ^ (h >> np.uint64(33))
-    h = h * np.uint64(0xFF51AFD7ED558CCD)
-    h = h ^ (h >> np.uint64(33))
-    h = h * np.uint64(0xC4CEB9FE1A85EC53)
-    return h ^ (h >> np.uint64(33))
 
 
 def word_ngram_hashes(texts: pa.Array, n: int = 3):
@@ -352,6 +346,18 @@ class _VerifyJaccard:
         )
 
 
+def _unique_pair_rows(b: pa.Table, ca: str = "a", cb: str = "b") -> np.ndarray:
+    """Row indices of the first occurrence of each (a, b) pair — exact
+    (lexsort over the real ids), no hash packing."""
+    a = b[ca].to_numpy(zero_copy_only=False)
+    bb = b[cb].to_numpy(zero_copy_only=False)
+    order = np.lexsort((bb, a))
+    sa, sb = a[order], bb[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
+    return np.sort(order[first])
+
+
 def ngram_jaccard_join(
     docs: "rd.Dataset",
     threshold: float = 0.6,
@@ -392,11 +398,9 @@ def ngram_jaccard_join(
         # witness grams; cross-batch duplicates are verified redundantly
         # (cheap) and collapsed AFTER verification, when the set is tiny.
         # This trades a full pair shuffle for a little repeated work.
-        a = b["a"].to_numpy(zero_copy_only=False)
-        bb = b["b"].to_numpy(zero_copy_only=False)
-        packed = a.astype(np.uint64) * _B1 + bb.astype(np.uint64)
-        _, first = np.unique(packed, return_index=True)
-        return b.take(pa.array(np.sort(first)))
+        # LOSSLESS dedup (lexsort on the actual ids, not a 64-bit pack —
+        # a pack collision would silently drop a pair from an EXACT join).
+        return b.take(pa.array(_unique_pair_rows(b)))
 
     pairs = cand_pairs.map_batches(
         pair_dedup, batch_format="pyarrow", batch_size=None
@@ -452,11 +456,7 @@ def ngram_jaccard_join(
                     "jaccard": pa.array([], pa.float64()),
                 }
             )
-        a = b["doc_a"].to_numpy(zero_copy_only=False)
-        bb = b["doc_b"].to_numpy(zero_copy_only=False)
-        packed = a.astype(np.uint64) * _B1 + bb.astype(np.uint64)
-        _, first = np.unique(packed, return_index=True)
-        return b.take(pa.array(np.sort(first)))
+        return b.take(pa.array(_unique_pair_rows(b, "doc_a", "doc_b")))
 
     # the verified set is the TRUE near-dup set (tiny); one coalesced
     # block collapses cross-batch duplicate witnesses

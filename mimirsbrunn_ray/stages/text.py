@@ -198,15 +198,29 @@ def deterministic_stratified_sample(
     default_cut = int(round(default_frac * modulus))
 
     def fn(b: pa.Table) -> pa.Table:
-        ids = b[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        id_arr = b[id_col].cast(pa.int64())
+        ids = pc.fill_null(id_arr, -1).to_numpy(zero_copy_only=False)
         score = (ids * knuth) % modulus
-        # vectorized per-stratum threshold via dictionary encoding
+        # vectorized per-stratum threshold via dictionary encoding; null
+        # keys get the default fraction (fill_null keeps indices integer)
         arr = b[key_col].combine_chunks().dictionary_encode()
-        thr_by_code = np.asarray(
-            [cut.get(v, default_cut) for v in arr.dictionary.to_pylist()],
-            dtype=np.int64,
+        thr_by_code = np.concatenate(
+            [
+                np.asarray(
+                    [cut.get(v, default_cut)
+                     for v in arr.dictionary.to_pylist()],
+                    dtype=np.int64,
+                ),
+                [default_cut],  # slot for null keys
+            ]
         )
-        thr = thr_by_code[arr.indices.to_numpy(zero_copy_only=False)]
-        return b.filter(pa.array(score < thr))
+        idx = pc.fill_null(arr.indices, len(thr_by_code) - 1).to_numpy(
+            zero_copy_only=False
+        )
+        thr = thr_by_code[idx]
+        keep = (score < thr) & ~pc.is_null(id_arr).to_numpy(
+            zero_copy_only=False
+        )
+        return b.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

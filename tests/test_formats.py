@@ -129,3 +129,30 @@ def test_sequences_csv_empty_tokens(ray_session):
     ).to_pandas()
     assert list(out["tokens"].apply(len)) == [0, 2]
     assert out["n_tok"].tolist() == [0, 2]
+
+
+def test_mixed_plain_and_gz_same_format(ray_session, format_dir):
+    """One gzipped file must not switch its plain siblings to gzip
+    decompression (per-file grouping)."""
+    out = (
+        read_table([f"{OUT}/documents.csv", f"{OUT}/documents.csv.gz"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # both files hold the same table -> union has exactly 2x the rows
+    assert len(out) == 2 * len(format_dir)
+
+
+def test_mixed_csv_and_tsv_delimiters(ray_session, format_dir):
+    """A .tsv sibling keeps its tab delimiter while .csv stays comma."""
+    docs = format_dir
+    docs.to_csv(f"{OUT}/documents.tsv", index=False, sep="\t")
+    out = (
+        read_table([f"{OUT}/documents.csv", f"{OUT}/documents.tsv"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2 * len(docs)
+    assert sorted(out.columns) == sorted(docs.columns)

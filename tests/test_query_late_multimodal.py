@@ -285,8 +285,8 @@ def test_multimodal_resize_and_frame_sample(ray_session):
                 encode_bmp(rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)),
                 b"RIFFnotread",
             ],
-            "width": pa.array([7, -1], pa.int32()),
-            "height": pa.array([10, -1], pa.int32()),
+            "width": pa.array([7, 999], pa.int32()),
+            "height": pa.array([10, 1], pa.int32()),
         }
     )
     out = resize_media(rd.from_arrow(tbl), 5, 4).to_pandas()
@@ -294,8 +294,11 @@ def test_multimodal_resize_and_frame_sample(ray_session):
     resized = decode_bmp(bmp_row["payload"])
     assert resized.shape == (4, 5, 3)
     assert bmp_row["width"] == 5 and bmp_row["height"] == 4
-    # non-image passthrough untouched
-    assert out[out["media_id"] == "b"].iloc[0]["payload"] == b"RIFFnotread"
+    # non-image passthrough untouched, METADATA INCLUDED (audio keeps
+    # its sample count in width)
+    wav_row = out[out["media_id"] == "b"].iloc[0]
+    assert wav_row["payload"] == b"RIFFnotread"
+    assert wav_row["width"] == 999 and wav_row["height"] == 1
 
     # frame sampling: 7-frame stack, every 3rd -> frames 0, 3, 6
     frames = [rng.integers(0, 256, (6, 6, 3), dtype=np.uint8) for _ in range(7)]
