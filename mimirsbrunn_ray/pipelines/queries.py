@@ -1471,9 +1471,11 @@ def q_clicks_in_error_windows(sf_dir):
     anchor; this counts all of them (stages/window.point_in_window_join)."""
     from mimirsbrunn_ray.stages.window import point_in_window_join
 
+    # materialize once: the union inside the join executes both branches,
+    # and without this the parquet would be scanned twice
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
-    )
+    ).materialize()
 
     def pick(kind):
         return lambda b: b.filter(
@@ -1540,7 +1542,7 @@ def q_stratified_sample_docs(sf_dir):
 STRATIFIED_SQL = f"""
 SELECT doc_id, source, lang
 FROM documents
-WHERE (doc_id * 2654435761) % {SAMPLE_MOD} <
+WHERE ((abs(doc_id) % 2147483648) * 2654435761) % {SAMPLE_MOD} <
       CASE source
         WHEN 'web' THEN {int(0.25 * SAMPLE_MOD)}
         WHEN 'code' THEN {int(0.9 * SAMPLE_MOD)}

@@ -208,12 +208,19 @@ def cosine_pairs(
 
     # reference side built WITHOUT a driver data pull: the driver touches
     # only block refs; each normalization task and each actor resolves
-    # blocks from the (node-shared, zero-copy) object store
+    # blocks from the (node-shared, zero-copy) object store.
+    # (get_internal_block_refs is the ref-only API in the pinned Ray 2.49;
+    # it warns as deprecated — swap for iter_internal_ref_bundles on the
+    # next Ray bump.)
     emb_mat = emb.materialize()
     block_refs = emb_mat.get_internal_block_refs()
 
     @ray.remote(num_cpus=1)
-    def _unit_block(block: pa.Table):
+    def _unit_block(block):
+        if not isinstance(block, pa.Table):  # pandas-block datasets
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0:
+            return None  # empty blocks are routine (filters, tiny inputs)
         return (
             block[id_col].to_numpy(zero_copy_only=False),
             _unit(_to_matrix(block[vec_col])),
@@ -223,11 +230,23 @@ def cosine_pairs(
 
     class PairsAgainstAll:
         def __init__(self):
-            parts = ray.get(part_refs)  # once per actor, object-store local
-            self.ids = np.concatenate([p[0] for p in parts])
-            self.mat = np.concatenate([p[1] for p in parts])
+            parts = [p for p in ray.get(part_refs) if p is not None]
+            if parts:
+                self.ids = np.concatenate([p[0] for p in parts])
+                self.mat = np.concatenate([p[1] for p in parts])
+            else:
+                self.ids = np.empty(0, dtype=np.int64)
+                self.mat = np.empty((0, 1), dtype=np.float64)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or len(self.ids) == 0:
+                return pa.table(
+                    {
+                        "vec_a": pa.array([], pa.int64()),
+                        "vec_b": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
             vecs = _unit(_to_matrix(b[vec_col]))
             ids = b[id_col].to_numpy(zero_copy_only=False)
             sims = vecs @ self.mat.T  # (batch, N)

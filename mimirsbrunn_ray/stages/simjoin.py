@@ -366,12 +366,15 @@ def ngram_jaccard_join(
     concurrency=None,
 ) -> "rd.Dataset":
     """EXACT all-pairs word-n-gram Jaccard join: every pair with
-    J >= threshold, with its exact Jaccard value. See module docstring."""
-    import ray
+    J >= threshold, with its exact Jaccard value. See module docstring.
 
+    ``concurrency`` caps the task parallelism of every map stage (and the
+    shared-gram scan); default lets each stage scale with the upstream
+    read."""
     from mimirsbrunn_ray.context import pool_size
 
     conc = concurrency if concurrency is not None else (1, pool_size())
+    mb_kwargs = {"concurrency": concurrency} if concurrency is not None else {}
     # shipped-instance stages throughout (the MinHasher trade): every
     # stage's state is small and immutable, so task pools that scale with
     # the read beat fixed actor pools plus their startup cost
@@ -379,6 +382,7 @@ def ngram_jaccard_join(
         _PrefixGrams(threshold, n, _shared_grams(docs, n, conc)),
         batch_format="pyarrow",
         batch_size=None,
+        **mb_kwargs,
     )
 
     def bucketize(b: pa.Table) -> pa.Table:
@@ -429,7 +433,8 @@ def ngram_jaccard_join(
             )
         )
     gram_rows = docs.map_batches(
-        _GramSets(cand_ids, n), batch_format="pyarrow", batch_size=None
+        _GramSets(cand_ids, n), batch_format="pyarrow", batch_size=None,
+        **mb_kwargs,
     )
     # vectorized gram-map build: numpy split on list offsets, no to_pylist
     gram_map = {}
@@ -445,6 +450,7 @@ def ngram_jaccard_join(
         _VerifyJaccard(gram_map, threshold),
         batch_format="pyarrow",
         batch_size=None,
+        **mb_kwargs,
     )
 
     def final_dedup(b: pa.Table) -> pa.Table:

@@ -180,10 +180,13 @@ def deterministic_stratified_sample(
     modulus: int = 10_000,
 ) -> "rd.Dataset":
     """Per-stratum deterministic sampling — the training-mixture operator:
-    keep each row iff ``(id * KNUTH) % modulus < frac(stratum) * modulus``.
+    keep each row iff
+    ``((abs(id) % 2^31) * KNUTH) % modulus < frac(stratum) * modulus``.
 
-    Pure arithmetic on the row id (Knuth multiplicative hash, kept inside
-    int64 so any SQL engine reproduces it bit-exactly), so the sample is
+    Pure arithmetic on the row id (Knuth multiplicative hash; the id is
+    first folded into [0, 2^31) so the product stays inside int64 for ANY
+    id and any SQL engine reproduces it bit-exactly — no wraparound, no
+    engine-specific modulo sign), so the sample is
     stable across runs, engines, partitionings, and cluster sizes — no
     RNG state, no coordination, embarrassingly parallel. Resampling with
     a larger fraction is a SUPERSET of the smaller sample (thresholding
@@ -200,7 +203,8 @@ def deterministic_stratified_sample(
     def fn(b: pa.Table) -> pa.Table:
         id_arr = b[id_col].cast(pa.int64())
         ids = pc.fill_null(id_arr, -1).to_numpy(zero_copy_only=False)
-        score = (ids * knuth) % modulus
+        folded = np.abs(ids) % np.int64(2**31)
+        score = (folded * knuth) % modulus
         # vectorized per-stratum threshold via dictionary encoding; null
         # keys get the default fraction (fill_null keeps indices integer)
         arr = b[key_col].combine_chunks().dictionary_encode()

@@ -158,10 +158,12 @@ def hopping_window_rollup(
                 "v": batch[value_col].cast(pa.float64()),
             }
         )
+        # count_all == SQL COUNT(*): ("v", "count") would skip null values
+        # and diverge from the oracle on rows with a null metric
         g = t.group_by([key, "bucket"]).aggregate(
-            [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")]
+            [([], "count_all"), ("v", "sum"), ("v", "min"), ("v", "max")]
         )
-        g = g.select([key, "bucket", "v_count", "v_sum", "v_min", "v_max"])
+        g = g.select([key, "bucket", "count_all", "v_sum", "v_min", "v_max"])
         return g.rename_columns([key, "bucket", "n_rows", "sum_v", "min_v", "max_v"])
 
     def combine(b: pa.Table) -> pa.Table:
@@ -295,30 +297,44 @@ def point_in_window_join(
         ts = g["_ts"].to_numpy(dtype=np.int64)
         side = g["_side"].to_numpy()
         # composite (key, ts) as one sortable int64: offset ts into the
-        # bucket's span so key * span + ts never overflows
+        # bucket's span so key * span + ts never overflows. For buckets
+        # where n_keys * span would exceed int64 (huge key cardinality
+        # over a long span), process the keys in CHUNKS that fit — each
+        # chunk stays fully vectorized
         t0 = ts.min()
         span = np.int64(ts.max() - t0 + win_us + 2)
         uk, kidx = np.unique(keys, return_inverse=True)
-        comp = kidx.astype(np.int64) * span + (ts - t0)
-        a_mask = side == 1
-        a_comp = np.sort(comp[a_mask])
-        p_comp = comp[~a_mask]
-        p_kidx = kidx[~a_mask]
-        # anchors in (p.ts - window, p.ts]  <=>  a.ts <= p.ts < a.ts + win
-        # (side="right" on lo EXCLUDES a.ts == p.ts - window: the window
-        # end is exclusive)
-        lo = np.searchsorted(a_comp, p_comp - np.int64(win_us), side="right")
-        hi = np.searchsorted(a_comp, p_comp, side="right")
-        # clamp to the SAME key's range (composite keeps keys disjoint
-        # because span covers ts range + window)
-        n = (hi - lo).astype(np.int64)
-        pairs = np.bincount(p_kidx, weights=n, minlength=len(uk)).astype(np.int64)
-        matched = np.bincount(
-            p_kidx[n > 0], minlength=len(uk)
-        ).astype(np.int64)
-        out = pd.DataFrame(
-            {key: uk, "n_pairs": pairs, "n_matched_points": matched}
-        )
+        max_keys = max(1, int((np.iinfo(np.int64).max // 2) // span))
+        frames = []
+        for start in range(0, len(uk), max_keys):
+            stop = min(start + max_keys, len(uk))
+            sel = (kidx >= start) & (kidx < stop)
+            ck = kidx[sel] - start
+            comp = ck.astype(np.int64) * span + (ts[sel] - t0)
+            a_mask = side[sel] == 1
+            a_comp = np.sort(comp[a_mask])
+            p_comp = comp[~a_mask]
+            p_kidx = ck[~a_mask]
+            # anchors in (p.ts - window, p.ts]
+            #   <=>  a.ts <= p.ts < a.ts + win
+            # (side="right" on lo EXCLUDES a.ts == p.ts - window: the
+            # window end is exclusive). The composite keeps keys disjoint
+            # because span covers ts range + window.
+            lo = np.searchsorted(
+                a_comp, p_comp - np.int64(win_us), side="right"
+            )
+            hi = np.searchsorted(a_comp, p_comp, side="right")
+            n = (hi - lo).astype(np.int64)
+            n_k = stop - start
+            pairs = np.bincount(p_kidx, weights=n, minlength=n_k).astype(np.int64)
+            matched = np.bincount(p_kidx[n > 0], minlength=n_k).astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {key: uk[start:stop], "n_pairs": pairs,
+                     "n_matched_points": matched}
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
         return out[out["n_pairs"] > 0].reset_index(drop=True)
 
     return (
