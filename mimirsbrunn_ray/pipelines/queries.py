@@ -1554,3 +1554,45 @@ ORDER BY doc_id
 
 QUERIES["stratified_sample_docs"] = q_stratified_sample_docs
 ORACLES["stratified_sample_docs"] = STRATIFIED_SQL
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy-hitter words (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+HH_FRAC = 0.01
+
+
+def q_heavy_hitter_words(sf_dir):
+    """Words making up >= 1% of the corpus, EXACT counts — the mergeable
+    Misra-Gries sketch only prunes candidates (stages/sketch.py); no
+    full-vocabulary shuffle ever happens."""
+    from mimirsbrunn_ray.stages.sketch import exact_heavy_hitters
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def words_of(b: pa.Table):
+        flat = pc.split_pattern(
+            pc.utf8_lower(pc.fill_null(b["text"], "")), " "
+        )
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        return flat.values
+
+    tbl = exact_heavy_hitters(docs, words_of, frac=HH_FRAC)
+    return rd.from_arrow(tbl)
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH w AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+), tot AS (SELECT count(*) AS n FROM w)
+SELECT word AS item, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM w GROUP BY word
+HAVING count(*) >= {HH_FRAC} * (SELECT n FROM tot)
+ORDER BY item
+"""
+
+QUERIES["heavy_hitter_words"] = q_heavy_hitter_words
+ORACLES["heavy_hitter_words"] = HEAVY_HITTERS_SQL

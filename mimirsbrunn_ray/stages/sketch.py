@@ -133,3 +133,148 @@ def token_values_fn(batch: pa.Table):
     flat = pc.list_flatten(batch["tokens"]).to_numpy(zero_copy_only=False)
     hashes = _splitmix64(flat.astype(np.int64))
     return src.astype(str), hashes
+
+
+# ---------------------------------------------------------------------------
+# EXACT heavy hitters via a mergeable Misra-Gries candidate sketch
+# (Misra & Gries 1982; mergeability per Agarwal et al., "Mergeable
+# Summaries", PODS'12 — public algorithms). Two passes:
+#   1. per-batch MG summaries of size k, tree-merged (merge = sum shared
+#      counters, then subtract the (k+1)-th largest count and drop <= 0).
+#      Guarantee: every item with true frequency > N/(k+1) SURVIVES, so
+#      with k >= 2/frac the candidate set is a superset of all items with
+#      freq >= frac * N. Summary size is fixed (k rows) per merge — no
+#      full-vocabulary groupby ever happens.
+#   2. broadcast the (bounded, <= k) candidates; one filtered counting
+#      pass gives their EXACT frequencies; threshold on exact N.
+# Output is exact — the sketch only prunes the candidate space.
+# ---------------------------------------------------------------------------
+
+
+def _mg_reduce(items: np.ndarray, counts: np.ndarray, k: int):
+    """Sum duplicate items, then Misra-Gries-decrement to <= k entries."""
+    import pandas as pd
+
+    s = pd.Series(counts).groupby(pd.Series(items)).sum()
+    items = s.index.to_numpy(dtype=object)
+    counts = s.to_numpy(dtype=np.int64)
+    if len(items) > k:
+        kth = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+        counts = counts - kth
+        keep = counts > 0
+        items, counts = items[keep], counts[keep]
+    return items, counts
+
+
+def exact_heavy_hitters(
+    ds: "rd.Dataset",
+    values_fn,
+    frac: float = 0.01,
+    k: int | None = None,
+) -> "pa.Table":
+    """Items of ``values_fn(batch)`` (flat string array per batch) with
+    exact frequency >= ``frac`` of the total — (item, n_occurrences),
+    exact counts, candidates pruned by the MG sketch."""
+    import pyarrow.compute as pc
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    if k is None:
+        k = max(8, int(np.ceil(2.0 / frac)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = values_fn(b)
+        arr = vals.to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(arr, return_counts=True)
+        items, counts = _mg_reduce(uniq, cnt.astype(np.int64), k)
+        return pa.table(
+            {
+                "item": pa.array(list(items) + [None], type=pa.string()),
+                "cnt": pa.array(
+                    np.concatenate([counts, [len(arr)]]).astype(np.int64)
+                ),
+                "is_total": pa.array(
+                    [False] * len(items) + [True]
+                ),
+            }
+        )
+
+    def combine(b: pa.Table) -> pa.Table:
+        tot_mask = b["is_total"].to_numpy(zero_copy_only=False)
+        total = int(
+            pc.sum(b.filter(pa.array(tot_mask))["cnt"]).as_py() or 0
+        )
+        rest = b.filter(pa.array(~tot_mask))
+        items, counts = _mg_reduce(
+            rest["item"].to_numpy(zero_copy_only=False),
+            rest["cnt"].to_numpy(zero_copy_only=False).astype(np.int64),
+            k,
+        )
+        return pa.table(
+            {
+                "item": pa.array(list(items) + [None], type=pa.string()),
+                "cnt": pa.array(
+                    np.concatenate([counts, [total]]).astype(np.int64)
+                ),
+                "is_total": pa.array([False] * len(items) + [True]),
+            }
+        )
+
+    _empty = pa.table(
+        {"item": pa.array([], pa.string()),
+         "cnt": pa.array([], pa.int64()),
+         "is_total": pa.array([], pa.bool_())}
+    )
+    summary_parts = list(
+        tree_merge(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+            combine,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    summary = pa.concat_tables(summary_parts or [_empty])
+    tot_mask = summary["is_total"].to_numpy(zero_copy_only=False)
+    totals = summary.filter(pa.array(tot_mask))["cnt"]
+    total = int(totals[0].as_py()) if len(totals) else 0
+    cand = summary.filter(pa.array(~tot_mask))["item"]
+    if len(cand) == 0 or total == 0:
+        return pa.table(
+            {"item": pa.array([], pa.string()),
+             "n_occurrences": pa.array([], pa.int64())}
+        )
+
+    # pass 2: exact counts of the bounded candidate set
+    def count_cands(b: pa.Table) -> pa.Table:
+        vals = values_fn(b)
+        keep = pc.fill_null(pc.is_in(vals, value_set=cand), False)
+        arr = vals.filter(keep).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(arr, return_counts=True)
+        return pa.table(
+            {"item": pa.array(uniq, pa.string()),
+             "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def sum_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by(["item"]).aggregate([("n", "sum")])
+        return g.rename_columns(["item", "n"])
+
+    exact_parts = list(
+        tree_merge(
+            ds.map_batches(count_cands, batch_format="pyarrow",
+                           batch_size=None),
+            sum_counts,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    exact = pa.concat_tables(
+        exact_parts
+        or [pa.table({"item": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})]
+    )
+    n = exact["n"].to_numpy(zero_copy_only=False)
+    keep = n >= frac * total
+    out = exact.filter(pa.array(keep))
+    return pa.table(
+        {
+            "item": out["item"],
+            "n_occurrences": out["n"].cast(pa.int64()),
+        }
+    ).sort_by("item")

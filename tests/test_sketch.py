@@ -51,3 +51,44 @@ def test_approx_distinct_tokens_per_source(ray_session):
     for _, row in got.iterrows():
         true = len(exact[row["source"]])
         assert abs(row["approx_distinct"] - true) / true < 0.05, row["source"]
+
+
+def test_exact_heavy_hitters_adversarial(ray_session):
+    """Items just above the threshold survive the MG pruning; counts are
+    EXACT; items below threshold never appear — on a skewed corpus with a
+    long noise tail spread across many batches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.sketch import exact_heavy_hitters
+
+    rng = np.random.default_rng(13)
+    frac = 0.02
+    n_total = 50_000
+    # planted: one item exactly AT the threshold, one just below, one huge
+    at = int(frac * n_total)          # exactly qualifies (>=)
+    below = at - 1                    # must NOT appear
+    words = (
+        ["hot"] * (n_total // 5)
+        + ["edge"] * at
+        + ["near"] * below
+        + [f"noise{i}" for i in rng.integers(0, 200_000, size=n_total - n_total // 5 - at - below)]
+    )
+    rng.shuffle(words)
+    docs = pa.table({"text": [" ".join(words[i::64]) for i in range(64)]})
+
+    def words_of(b):
+        import pyarrow.compute as pc
+
+        flat = pc.split_pattern(b["text"], " ")
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        return flat.values
+
+    out = exact_heavy_hitters(
+        rd.from_arrow(docs).repartition(8), words_of, frac=frac
+    ).to_pandas()
+    got = dict(zip(out["item"], out["n_occurrences"]))
+    assert got["hot"] == n_total // 5
+    assert got["edge"] == at
+    assert "near" not in got
+    assert all(v >= frac * n_total for v in got.values())
