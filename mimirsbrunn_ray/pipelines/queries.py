@@ -1574,11 +1574,10 @@ def q_heavy_hitter_words(sf_dir):
     )
 
     def words_of(b: pa.Table):
-        flat = pc.split_pattern(
-            pc.utf8_lower(pc.fill_null(b["text"], "")), " "
+        # list_flatten is slice-offset-safe (.values is not)
+        return pc.list_flatten(
+            pc.split_pattern(pc.utf8_lower(pc.fill_null(b["text"], "")), " ")
         )
-        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
-        return flat.values
 
     tbl = exact_heavy_hitters(docs, words_of, frac=HH_FRAC)
     return rd.from_arrow(tbl)
@@ -1586,7 +1585,10 @@ def q_heavy_hitter_words(sf_dir):
 
 HEAVY_HITTERS_SQL = f"""
 WITH w AS (
-  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+  -- COALESCE mirrors the pipeline's fill_null: a NULL text contributes
+  -- one empty-string token on both sides
+  SELECT unnest(string_split(COALESCE(lower(text), ''), ' ')) AS word
+  FROM documents
 ), tot AS (SELECT count(*) AS n FROM w)
 SELECT word AS item, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM w GROUP BY word

@@ -151,19 +151,37 @@ def token_values_fn(batch: pa.Table):
 # ---------------------------------------------------------------------------
 
 
-def _mg_reduce(items: np.ndarray, counts: np.ndarray, k: int):
-    """Sum duplicate items, then Misra-Gries-decrement to <= k entries."""
-    import pandas as pd
-
-    s = pd.Series(counts).groupby(pd.Series(items)).sum()
-    items = s.index.to_numpy(dtype=object)
-    counts = s.to_numpy(dtype=np.int64)
+def _mg_trim(items: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries decrement of ALREADY-UNIQUE (item, count) pairs to
+    <= k entries (subtract the (k+1)-th largest, drop non-positive)."""
     if len(items) > k:
         kth = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
         counts = counts - kth
         keep = counts > 0
         items, counts = items[keep], counts[keep]
     return items, counts
+
+
+def _mg_reduce(items: np.ndarray, counts: np.ndarray, k: int):
+    """Sum duplicate items (merge arity > 1), then MG-decrement."""
+    import pandas as pd
+
+    s = pd.Series(counts).groupby(pd.Series(items)).sum()
+    return _mg_trim(
+        s.index.to_numpy(dtype=object), s.to_numpy(dtype=np.int64), k
+    )
+
+
+def _summary_table(items, counts, total: int) -> pa.Table:
+    return pa.table(
+        {
+            "item": pa.array(list(items) + [None], type=pa.string()),
+            "cnt": pa.array(
+                np.concatenate([counts, [total]]).astype(np.int64)
+            ),
+            "is_total": pa.array([False] * len(items) + [True]),
+        }
+    )
 
 
 def exact_heavy_hitters(
@@ -184,20 +202,12 @@ def exact_heavy_hitters(
 
     def partial(b: pa.Table) -> pa.Table:
         vals = values_fn(b)
-        arr = vals.to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(arr, return_counts=True)
-        items, counts = _mg_reduce(uniq, cnt.astype(np.int64), k)
-        return pa.table(
-            {
-                "item": pa.array(list(items) + [None], type=pa.string()),
-                "cnt": pa.array(
-                    np.concatenate([counts, [len(arr)]]).astype(np.int64)
-                ),
-                "is_total": pa.array(
-                    [False] * len(items) + [True]
-                ),
-            }
-        )
+        # native Arrow hash count (one pass, no per-token Python objects)
+        vc = pc.value_counts(vals)
+        items = vc.field("values").to_numpy(zero_copy_only=False)
+        cnt = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        items, counts = _mg_trim(items, cnt, k)
+        return _summary_table(items, counts, len(vals))
 
     def combine(b: pa.Table) -> pa.Table:
         tot_mask = b["is_total"].to_numpy(zero_copy_only=False)
@@ -210,15 +220,7 @@ def exact_heavy_hitters(
             rest["cnt"].to_numpy(zero_copy_only=False).astype(np.int64),
             k,
         )
-        return pa.table(
-            {
-                "item": pa.array(list(items) + [None], type=pa.string()),
-                "cnt": pa.array(
-                    np.concatenate([counts, [total]]).astype(np.int64)
-                ),
-                "is_total": pa.array([False] * len(items) + [True]),
-            }
-        )
+        return _summary_table(items, counts, total)
 
     _empty = pa.table(
         {"item": pa.array([], pa.string()),
@@ -246,11 +248,10 @@ def exact_heavy_hitters(
     def count_cands(b: pa.Table) -> pa.Table:
         vals = values_fn(b)
         keep = pc.fill_null(pc.is_in(vals, value_set=cand), False)
-        arr = vals.filter(keep).to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(arr, return_counts=True)
+        vc = pc.value_counts(vals.filter(keep))
         return pa.table(
-            {"item": pa.array(uniq, pa.string()),
-             "n": pa.array(cnt.astype(np.int64))}
+            {"item": vc.field("values").cast(pa.string()),
+             "n": vc.field("counts").cast(pa.int64())}
         )
 
     def sum_counts(b: pa.Table) -> pa.Table:
