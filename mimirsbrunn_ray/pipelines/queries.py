@@ -1598,3 +1598,46 @@ ORDER BY item
 
 QUERIES["heavy_hitter_words"] = q_heavy_hitter_words
 ORACLES["heavy_hitter_words"] = HEAVY_HITTERS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Salted hot-key aggregate (explicit skew route) + embedding-LSH near-dups
+# ---------------------------------------------------------------------------
+
+
+def q_salted_rollup_1m(sf_dir):
+    """The 1m rollup THROUGH the explicit salted two-stage shuffle (hot
+    sources fan across k reducers; stage 2 merges exactly) — semantically
+    identical to rollup_1m, which is precisely what the shared oracle
+    asserts. Plan derives from actual per-source counts (the manifest
+    feedback loop of stages/salt.py)."""
+    from mimirsbrunn_ray.stages.salt import salt_plan, salted_rollup_1m
+
+    src = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source"]
+    )["source"].to_numpy(zero_copy_only=False)
+    uniq, cnt = np.unique(src, return_counts=True)
+    plan = salt_plan(dict(zip(uniq, map(int, cnt))))
+    seq = sequences_from_documents(sf_dir)
+    out = salted_rollup_1m(seq, plan)
+    return out.drop_columns(["filled", "fill_kind"])
+
+
+def q_embedding_lsh_neardups(sf_dir):
+    """Approximate embedding near-dup pairs via random-hyperplane LSH
+    bucketing (rows-only: the exact counterpart embedding_neardup_pairs
+    is the oracle-checked one)."""
+    from mimirsbrunn_ray.stages.neardup import embedding_near_dups
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    dim = len(pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )["embedding"][0])
+    return embedding_near_dups(emb, dim=dim, threshold=0.42, n_planes=6)
+
+
+QUERIES["salted_rollup_1m"] = q_salted_rollup_1m
+ORACLES["salted_rollup_1m"] = _rollup_sql("minute")
+QUERIES["embedding_lsh_neardups"] = q_embedding_lsh_neardups
