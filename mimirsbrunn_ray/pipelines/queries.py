@@ -1641,3 +1641,40 @@ def q_embedding_lsh_neardups(sf_dir):
 QUERIES["salted_rollup_1m"] = q_salted_rollup_1m
 ORACLES["salted_rollup_1m"] = _rollup_sql("minute")
 QUERIES["embedding_lsh_neardups"] = q_embedding_lsh_neardups
+
+
+# ---------------------------------------------------------------------------
+# Exact per-key quantiles over a bounded int domain (histogram counting)
+# ---------------------------------------------------------------------------
+
+
+def q_token_len_quantiles(sf_dir):
+    """Per-source p50/p90/p99 of the derived token count — EXACT
+    distributed quantiles via histogram counting over the bounded int
+    domain (stages/rollup.exact_quantiles_small_domain); no sort shuffle,
+    no sketch error."""
+    from mimirsbrunn_ray.stages.rollup import exact_quantiles_small_domain
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def n_tok_of(b: pa.Table):
+        return pc.add(pc.divide(b["n_chars"], 4), 1)
+
+    tbl = exact_quantiles_small_domain(
+        docs, key="source", val_fn=n_tok_of
+    )
+    return rd.from_arrow(tbl).sort("source")
+
+
+TOKEN_QUANTILES_SQL = """
+SELECT source,
+       CAST(quantile_disc(n_chars // 4 + 1, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars // 4 + 1, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_chars // 4 + 1, 0.99) AS BIGINT) AS p99
+FROM documents GROUP BY source ORDER BY source
+"""
+
+QUERIES["token_len_quantiles"] = q_token_len_quantiles
+ORACLES["token_len_quantiles"] = TOKEN_QUANTILES_SQL

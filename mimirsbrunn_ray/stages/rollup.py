@@ -250,3 +250,61 @@ def rollup(ds: "rd.Dataset", granularity: str, from_tier: str) -> "rd.Dataset":
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     agg = tree_merge(partials, _combine_rollup_partials)
     return agg.map_batches(_finish, batch_format="pyarrow", batch_size=None)
+
+
+def exact_quantiles_small_domain(
+    ds: "rd.Dataset",
+    key: str,
+    val_fn,
+    qs=(0.5, 0.9, 0.99),
+    q_names=("p50", "p90", "p99"),
+) -> "pa.Table":
+    """EXACT per-key quantiles of a bounded integer domain via histogram
+    counting — the scalable exact-quantile trick: no sort shuffle, no
+    approximation. Per-batch (key, value) counts tree-merge (the combine
+    is bounded by keys x |domain|, NOT by rows); the final cumulative
+    walk applies the SQL-standard PERCENTILE_DISC rank (smallest v with
+    cumulative count >= ceil(q * n) — matches DuckDB quantile_disc).
+
+    ``val_fn(batch) -> pa.Array`` extracts the integer metric. For
+    unbounded/continuous domains use a t-digest-style sketch instead;
+    token counts, lengths, and score buckets are all small-int domains.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], "v": val_fn(b).cast(pa.int64())})
+        g = t.group_by([key, "v"]).aggregate([([], "count_all")])
+        g = g.select([key, "v", "count_all"])
+        return g.rename_columns([key, "v", "n"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by([key, "v"]).aggregate([("n", "sum")])
+        return g.rename_columns([key, "v", "n"])
+
+    parts = list(
+        tree_merge(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+            combine,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    if not parts:
+        cols = {key: pa.array([], pa.string())}
+        cols.update({qn: pa.array([], pa.int64()) for qn in q_names})
+        return pa.table(cols)
+    hist = pa.concat_tables(parts).to_pandas()
+
+    rows = []
+    for k, g in hist.groupby(key, sort=True):
+        g = g.sort_values("v")
+        cum = g["n"].cumsum().to_numpy()
+        vals = g["v"].to_numpy()
+        total = int(cum[-1])
+        row = {key: k}
+        for q, qn in zip(qs, q_names):
+            rank = int(np.ceil(q * total - 1e-9))
+            row[qn] = int(vals[np.searchsorted(cum, rank)])
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    return pa.Table.from_pandas(out, preserve_index=False)

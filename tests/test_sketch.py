@@ -92,3 +92,27 @@ def test_exact_heavy_hitters_adversarial(ray_session):
     assert got["edge"] == at
     assert "near" not in got
     assert all(v >= frac * n_total for v in got.values())
+
+
+def test_exact_quantiles_small_domain(ray_session):
+    """Histogram quantiles follow SQL PERCENTILE_DISC (smallest v with
+    cumulative count >= ceil(q*n)) — checked on 1..10 where the ranks are
+    hand-computable, split across multiple batches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.rollup import exact_quantiles_small_domain
+
+    vals = list(range(1, 11)) * 3  # three copies, shuffled across blocks
+    tbl = pa.table(
+        {"k": pa.array(["a"] * 30), "v": pa.array(vals, pa.int64())}
+    )
+    out = exact_quantiles_small_domain(
+        rd.from_arrow(tbl).repartition(4),
+        key="k",
+        val_fn=lambda b: b["v"],
+        qs=(0.25, 0.9, 0.99),
+        q_names=("q25", "q90", "q99"),
+    ).to_pandas()
+    # n=30: ceil(.25*30)=8 -> value 3; ceil(.9*30)=27 -> 9; ceil(.99*30)=30 -> 10
+    assert out.iloc[0].to_dict() == {"k": "a", "q25": 3, "q90": 9, "q99": 10}
