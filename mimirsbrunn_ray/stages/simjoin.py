@@ -32,6 +32,17 @@ Distributed shape (all stages stream; nothing corpus-sized on the driver):
 Reference analog: the deterministic in-pipeline dedup of
 /root/reference/src/osm_reader/street.rs:202-246 generalized from exact
 keys to a similarity predicate.
+
+EXACTNESS CAVEAT (hash collisions): grams are compared as 64-bit hashes
+(word hashes folded + _mix64), not strings. Two distinct grams colliding
+merges them in both the intersection and the union, so the reported
+Jaccard can only be inflated — never deflated: the join stays a SUPERSET
+of the true >= t pairs, and a birthday bound of ~d^2 / 2^65 collision
+probability over d distinct grams keeps the inflation negligible below
+~10^8 distinct grams PER DOCUMENT PAIR (per-pair sets are what intersect;
+the corpus-wide gram count does not enter the per-pair error). Callers
+needing certificate-grade exactness at adversarial scale should re-verify
+the tiny surviving pair set against the raw gram strings.
 """
 
 from __future__ import annotations
@@ -284,8 +295,14 @@ def _pairs_in_bucket(threshold: float):
                     pd.DataFrame({"a": u[ii[ok]], "b": u[jj[ok]]})
                 )
         if not out:
+            # derive the empty frame's dtype from the incoming ids: a
+            # hardcoded int64 here would make pair-less bucket groups emit
+            # int64 blocks while pair-bearing groups emit string blocks for
+            # string doc_ids, and the block schema unification would raise
+            id_dtype = g["doc_id"].dtype if "doc_id" in g else "int64"
             return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+                {"a": pd.Series([], dtype=id_dtype),
+                 "b": pd.Series([], dtype=id_dtype)}
             )
         return pd.concat(out, ignore_index=True)
 
@@ -375,6 +392,19 @@ def ngram_jaccard_join(
 
     conc = concurrency if concurrency is not None else (1, pool_size())
     mb_kwargs = {"concurrency": concurrency} if concurrency is not None else {}
+    # thread the real id type into every empty-result table so string ids
+    # unify with pair-bearing blocks (ADVICE r2)
+    _schema = docs.schema()
+    id_type = getattr(_schema, "base_schema", _schema).field("doc_id").type
+
+    def _empty_result() -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": pa.array([], id_type),
+                "doc_b": pa.array([], id_type),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
     # shipped-instance stages throughout (the MinHasher trade): every
     # stage's state is small and immutable, so task pools that scale with
     # the read beat fixed actor pools plus their startup cost
@@ -415,7 +445,7 @@ def ngram_jaccard_join(
     # beyond that budget, swap for two Dataset.joins against the gram table
     cand_tbl = pa.concat_tables(
         list(pairs.iter_batches(batch_format="pyarrow"))
-        or [pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})]
+        or [pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type)})]
     )
     cand_ids = pa.compute.unique(
         pa.concat_arrays(
@@ -423,15 +453,7 @@ def ngram_jaccard_join(
         )
     )
     if len(cand_ids) == 0:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
+        return rd.from_arrow(_empty_result())
     gram_rows = docs.map_batches(
         _GramSets(cand_ids, n), batch_format="pyarrow", batch_size=None,
         **mb_kwargs,
@@ -455,13 +477,7 @@ def ngram_jaccard_join(
 
     def final_dedup(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "doc_a" not in b.schema.names:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
+            return _empty_result()
         return b.take(pa.array(_unique_pair_rows(b, "doc_a", "doc_b")))
 
     # the verified set is the TRUE near-dup set (tiny); one coalesced

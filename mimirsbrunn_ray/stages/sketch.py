@@ -201,7 +201,12 @@ def exact_heavy_hitters(
         k = max(8, int(np.ceil(2.0 / frac)))
 
     def partial(b: pa.Table) -> pa.Table:
-        vals = values_fn(b)
+        # Nulls are excluded from BOTH the candidate set and the total: the
+        # downstream _mg_reduce pandas groupby drops null keys, so counting
+        # them in the total would inflate the threshold denominator while
+        # the null item could never surface — breaking the exact-superset
+        # guarantee (ADVICE r2). One consistent rule: null is not an item.
+        vals = pc.drop_null(values_fn(b))
         # native Arrow hash count (one pass, no per-token Python objects)
         vc = pc.value_counts(vals)
         items = vc.field("values").to_numpy(zero_copy_only=False)

@@ -51,7 +51,11 @@ def sessionize(
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, ts_col], kind="mergesort")
         key_change = g[key].ne(g[key].shift())
-        new_session = key_change | (g[ts_col].diff() > gap)
+        # NaT handling is pinned by test_sessionize_null_ts: a null-ts event
+        # (and the event after it) starts a NEW session — `diff > gap` alone
+        # would evaluate NaT comparisons as False and silently merge them.
+        d = g[ts_col].diff()
+        new_session = key_change | (d > gap) | d.isna()
         out = (
             g.assign(_ns=new_session)
             .groupby(key, sort=True)

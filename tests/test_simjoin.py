@@ -120,3 +120,32 @@ def test_cosine_pairs_is_exact(ray_session):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-5)  # f32 storage
+
+
+def test_ngram_jaccard_join_string_ids(ray_session):
+    """String doc_ids: pair-less bucket groups and empty-result tables must
+    carry the STRING id dtype so block schemas unify (ADVICE r2 pinned
+    this; int64-hardcoded empties used to break the concat)."""
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.simjoin import ngram_jaccard_join
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta zeta",     # near-dup of the first
+        "one two three four five six",
+        "seven eight nine ten eleven",
+    ]
+    ids = [f"doc-{i}" for i in range(len(texts))]
+    want = _brute_jaccard_pairs(texts, ids, 0.5)
+    assert len(want) == 1
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids), "text": texts}))
+    # many buckets guarantee pair-less groups alongside the pair-bearing one
+    out = ngram_jaccard_join(ds, threshold=0.5, n=3, num_buckets=16).to_pandas()
+    got = {
+        (a, b): j for a, b, j in zip(out["doc_a"], out["doc_b"], out["jaccard"])
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)

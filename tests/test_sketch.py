@@ -116,3 +116,25 @@ def test_exact_quantiles_small_domain(ray_session):
     ).to_pandas()
     # n=30: ceil(.25*30)=8 -> value 3; ceil(.9*30)=27 -> 9; ceil(.99*30)=30 -> 10
     assert out.iloc[0].to_dict() == {"k": "a", "q25": 3, "q90": 9, "q99": 10}
+
+
+def test_exact_heavy_hitters_null_values(ray_session):
+    """Null items are excluded from BOTH the candidate set and the total —
+    a null-heavy corpus must not inflate the threshold denominator
+    (ADVICE r2: the superset guarantee on the non-null items)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.sketch import exact_heavy_hitters
+
+    # 100 non-null values: "a" x 60, "b" x 40, plus 900 nulls.
+    # With nulls-in-total, frac=0.3 of 1000 = 300 -> nothing qualifies;
+    # with the pinned null-is-not-an-item rule, total = 100 -> both do.
+    vals = ["a"] * 60 + ["b"] * 40 + [None] * 900
+    tbl = pa.table({"w": pa.array(vals, pa.string())})
+    out = exact_heavy_hitters(
+        rd.from_arrow(tbl).repartition(4), lambda b: b["w"].combine_chunks(),
+        frac=0.3,
+    ).to_pandas()
+    got = dict(zip(out["item"], out["n_occurrences"]))
+    assert got == {"a": 60, "b": 40}

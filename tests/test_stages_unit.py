@@ -338,3 +338,37 @@ def test_stratified_sample_deterministic_and_monotone(ray_session):
     code = s1 - web
     assert abs(len(web) / (n / 2) - 0.2) < 0.04
     assert abs(len(code) / (n / 2) - 0.5) < 0.04
+
+
+def test_sessionize_null_ts_starts_new_session(ray_session):
+    """Null-ts events sort last within their key and EACH starts a new
+    session (the pre-r3 per-group `diff().isna()` semantics, pinned per
+    ADVICE r2: a bare `diff > gap` evaluates NaT comparisons as False and
+    would silently merge null-ts events into the previous session)."""
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.window import sessionize
+
+    base = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": ["u1"] * 5 + ["u2"] * 2,
+            "ts": [
+                base,
+                base + pd.Timedelta(minutes=1),   # same session
+                pd.NaT,                            # own session (sorts last)
+                base + pd.Timedelta(minutes=2),    # same session as minute 1
+                pd.NaT,                            # second own session
+                base,
+                base + pd.Timedelta(hours=2),      # gap > 30m: new session
+            ],
+        }
+    )
+    out = (
+        sessionize(rd.from_pandas(df), key="user_id", num_buckets=4)
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert out.loc["u1", "n_sessions"] == 3  # timed chain + 2 NaT sessions
+    assert out.loc["u1", "n_events"] == 5
+    assert out.loc["u2", "n_sessions"] == 2
