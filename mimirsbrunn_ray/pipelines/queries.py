@@ -436,12 +436,19 @@ FROM e GROUP BY user_id
 
 def q_asof_click_error(sf_dir):
     """Each click joined to the user's most recent preceding error event
-    (the J5 as-of/nearest-lookup graft)."""
-    from mimirsbrunn_ray.stages.window import asof_join
+    (the J5 as-of/nearest-lookup graft).
+
+    Scale shape: ONE column-pruned events scan, materialized once and
+    filtered twice IN the stream; the join is the fully distributed
+    ``asof_join_bucketed`` (hash-bucket both sides on user, composite-key
+    searchsorted per bucket) — the error side grows linearly with the
+    corpus, so the broadcast ``asof_join`` would eventually be a driver
+    OOM (VERDICT r2 "what's wrong" #1)."""
+    from mimirsbrunn_ray.stages.window import asof_join_bucketed
 
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
-    )
+    ).materialize()
     clicks = ev.map_batches(
         lambda b: b.filter(pc.equal(b["event_type"], "click")).drop_columns(
             ["event_type"]
@@ -449,24 +456,15 @@ def q_asof_click_error(sf_dir):
         batch_format="pyarrow",
         batch_size=None,
     )
-    # small side: error events filtered IN the stream (distributed, column-
-    # pruned); only the filtered rows — bounded by the error count — land
-    # on the driver for the broadcast
-    err_df = (
-        rd.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
-        )
-        .map_batches(
-            lambda b: b.filter(pc.equal(b["event_type"], "error")).select(
-                ["user_id", "ts"]
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-        .to_pandas()
+    errors = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "error")).select(
+            ["user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
-    joined = asof_join(
-        clicks, err_df, key="user_id", ts_col="ts",
+    joined = asof_join_bucketed(
+        clicks, errors, key="user_id", ts_col="ts",
         right_ts_col="ts", out_col="last_error_ts", inner=True,
     )
     return joined.select_columns(["event_id", "user_id", "ts", "last_error_ts"])

@@ -115,6 +115,154 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    key: str,
+    ts_col: str,
+    right_ts_col: str,
+    out_col: str,
+    inner: bool = True,
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """As-of join for a LARGE right side: both sides are Datasets.
+
+    Same semantics as ``asof_join`` (greatest right ts <= left ts within
+    the key) but nothing is pulled to the driver: both sides tag a side
+    column and union, keys hash-bucket once (the ``point_in_window_join``
+    shape), and each bucket resolves matches VECTORIZED — one sort of the
+    bucket's right rows plus one ``searchsorted`` over a (key, ts)
+    composite int64, chunked so the composite never overflows. Use this
+    when the right side grows with the corpus (the reference's J5 lookup
+    join, /root/reference/src/osm_reader/poi.rs:228-239, generalized past
+    its in-RAM index); ``asof_join`` stays the small-right fast path.
+
+    ``right`` needs columns (key, right_ts_col); ``left`` keeps all its
+    columns. Null-ts rows never match (right) / never get a match (left).
+    """
+    from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
+
+    schema = left.schema()
+    base = getattr(schema, "base_schema", schema)
+    if isinstance(base, pa.Schema):
+        arrow_schema = base
+    else:
+        # PandasBlockSchema (from_pandas datasets): map numpy dtypes to
+        # Arrow; object columns are strings in this engine's data model
+        def _conv(t):
+            try:
+                if t == np.dtype("O"):
+                    return pa.string()
+                return pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                return pa.string()
+
+        arrow_schema = pa.schema(
+            [(n, _conv(t)) for n, t in zip(base.names, base.types)]
+        )
+    left_cols = list(arrow_schema.names)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        b = b.select(left_cols)
+        ts_us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        b = b.append_column("_ts", ts_us)
+        return b.append_column(
+            "_side", pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        )
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        ts_us = b[right_ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        cols = {
+            name: (b[key] if name == key
+                   else pa.nulls(b.num_rows, arrow_schema.field(name).type))
+            for name in left_cols
+        }
+        t = pa.table(cols)
+        t = t.append_column("_ts", ts_us)
+        return t.append_column(
+            "_side", pa.array(np.ones(b.num_rows, dtype=np.int8))
+        )
+
+    tagged = left.map_batches(
+        tag_left, batch_format="pyarrow", batch_size=None
+    ).union(
+        right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
+    )
+    bucketed = tagged.map_batches(
+        lambda b: add_bucket(b, key, num_buckets),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[_BUCKET])
+        ts_f = g["_ts"]
+        null_ts = ts_f.isna().to_numpy()
+        side = g["_side"].to_numpy()
+        ts = ts_f.fillna(0).to_numpy(dtype=np.int64)
+        left_mask = side == 0
+        out_ts = np.zeros(len(g), dtype=np.int64)
+        matched = np.zeros(len(g), dtype=bool)
+        if left_mask.any():
+            keys = g[key].to_numpy()
+            uk, kidx = np.unique(keys, return_inverse=True)
+            t0 = ts.min()
+            span = np.int64(ts.max() - t0 + 2)
+            max_keys = max(1, int((np.iinfo(np.int64).max // 2) // span))
+            usable = ~null_ts
+            for start in range(0, len(uk), max_keys):
+                stop = min(start + max_keys, len(uk))
+                sel = (kidx >= start) & (kidx < stop) & usable
+                ck = (kidx[sel] - start).astype(np.int64)
+                comp = ck * span + (ts[sel] - t0)
+                s = side[sel]
+                r_comp = comp[s == 1]
+                order = np.argsort(r_comp, kind="stable")
+                r_comp = r_comp[order]
+                r_ts = ts[sel][s == 1][order]
+                l_comp = comp[s == 0]
+                gl = np.flatnonzero(sel)[s == 0]
+                if len(r_comp) == 0 or len(l_comp) == 0:
+                    continue
+                pos = np.searchsorted(r_comp, l_comp, side="right") - 1
+                posc = np.clip(pos, 0, len(r_comp) - 1)
+                # the hit must fall in the SAME key's composite segment
+                ok = (pos >= 0) & ((r_comp[posc] // span) == (l_comp // span))
+                matched[gl[ok]] = True
+                out_ts[gl[ok]] = r_ts[posc[ok]]
+        lsel = np.flatnonzero(left_mask)
+        out = g.iloc[lsel].drop(columns=["_ts", "_side"]).copy()
+        m = matched[lsel]
+        dt = pd.Series(pd.to_datetime(out_ts[lsel], unit="us"))
+        dt[~m] = pd.NaT
+        out[out_col] = dt.to_numpy()
+        if inner:
+            out = out[m]
+        return out.reset_index(drop=True)
+
+    joined = bucketed.groupby(_BUCKET).map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+    def restore_types(b: pa.Table) -> pa.Table:
+        # the null-filled right rows widen int left columns to float in the
+        # pandas groups; cast back to the left schema (values are integral)
+        cols = {}
+        for name in b.schema.names:
+            col = b[name]
+            if name in left_cols:
+                col = col.cast(arrow_schema.field(name).type)
+            elif name == out_col:
+                # the join computes at us precision; pandas hands back ns
+                col = col.cast(pa.timestamp("us"))
+            cols[name] = col
+        return pa.table(cols)
+
+    return joined.map_batches(
+        restore_types, batch_format="pyarrow", batch_size=None
+    )
+
+
 def hopping_window_rollup(
     ds: "rd.Dataset",
     key: str,

@@ -372,3 +372,62 @@ def test_sessionize_null_ts_starts_new_session(ray_session):
     assert out.loc["u1", "n_sessions"] == 3  # timed chain + 2 NaT sessions
     assert out.loc["u1", "n_events"] == 5
     assert out.loc["u2", "n_sessions"] == 2
+
+
+def test_asof_join_bucketed_matches_broadcast(ray_session):
+    """The distributed (hash-bucketed) as-of join returns exactly what the
+    broadcast small-right path and a plain pandas merge_asof return —
+    inner and outer — on keys spread across many buckets."""
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.window import asof_join, asof_join_bucketed
+
+    rng = np.random.default_rng(5)
+    base = pd.Timestamp("2026-02-01").value // 1000  # us
+    n_l, n_r = 400, 150
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n_l, dtype=np.int64),
+            "user_id": [f"u{int(i)}" for i in rng.integers(0, 40, n_l)],
+            "ts": pd.to_datetime(
+                base + rng.integers(0, 10_000_000, n_l), unit="us"
+            ),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": [f"u{int(i)}" for i in rng.integers(0, 25, n_r)],
+            "ts": pd.to_datetime(
+                base + rng.integers(0, 10_000_000, n_r), unit="us"
+            ),
+        }
+    )
+
+    want = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(columns={"ts": "m"}),
+        left_on="ts", right_on="m", by="user_id", direction="backward",
+    ).dropna(subset=["m"])
+
+    for inner in (True, False):
+        got_b = asof_join_bucketed(
+            rd.from_pandas(left), rd.from_pandas(right),
+            key="user_id", ts_col="ts", right_ts_col="ts",
+            out_col="m", inner=inner, num_buckets=16,
+        ).to_pandas()
+        got_s = asof_join(
+            rd.from_pandas(left), right,
+            key="user_id", ts_col="ts", right_ts_col="ts",
+            out_col="m", inner=inner,
+        ).to_pandas()
+        def norm(df):
+            df = df.sort_values(["event_id"]).reset_index(drop=True)
+            df = df[["event_id", "user_id", "ts", "m"]].copy()
+            # the bucketed path emits us-precision matches; unify for compare
+            df["ts"] = df["ts"].astype("datetime64[ns]")
+            df["m"] = df["m"].astype("datetime64[ns]")
+            return df
+        pd.testing.assert_frame_equal(norm(got_b), norm(got_s))
+        if inner:
+            pd.testing.assert_frame_equal(norm(got_b), norm(want))
+            assert len(got_b) > 0
