@@ -1607,17 +1607,19 @@ def q_salted_rollup_1m(sf_dir):
     """The 1m rollup THROUGH the explicit salted two-stage shuffle (hot
     sources fan across k reducers; stage 2 merges exactly) — semantically
     identical to rollup_1m, which is precisely what the shared oracle
-    asserts. Plan derives from actual per-source counts (the manifest
-    feedback loop of stages/salt.py)."""
-    from mimirsbrunn_ray.stages.salt import salt_plan, salted_rollup_1m
+    asserts.
 
-    src = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["source"]
-    )["source"].to_numpy(zero_copy_only=False)
-    uniq, cnt = np.unique(src, return_counts=True)
-    plan = salt_plan(dict(zip(uniq, map(int, cnt))))
+    Salt-plan source: BATCH-LOCAL hot-source detection (``plan=None``) —
+    no pre-count pass, no driver column read; a globally hot source is hot
+    in every batch so it still fans out, and any salt assignment merges
+    exactly. Callers with a previous run's manifest counters pass an
+    explicit plan; ``stages.salt.source_counts`` is the distributed count
+    for cold starts that want a global plan (tested equal in
+    test_salt_cli)."""
+    from mimirsbrunn_ray.stages.salt import salted_rollup_1m
+
     seq = sequences_from_documents(sf_dir)
-    out = salted_rollup_1m(seq, plan)
+    out = salted_rollup_1m(seq, plan=None)
     return out.drop_columns(["filled", "fill_kind"])
 
 

@@ -29,12 +29,16 @@ def test_salted_rollup_equals_combiner_rollup(ray_session, corpus):
                       "news": 7, "forum": 5, "social": 5, "misc": 3})
     a = salted_rollup_1m(ds, plan).to_pandas()
     b = rollup(ds, "1m", from_tier="raw").to_pandas()
+    # plan=None: batch-local hot-source detection — same exact result
+    c_auto = salted_rollup_1m(ds, plan=None).to_pandas()
     key = ["source", "bucket"]
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
-    assert len(a) == len(b)
+    c_auto = c_auto.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) == len(c_auto)
     for c in ("n_rows", "sum_tok", "min_tok", "max_tok"):
         assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
+        assert np.array_equal(c_auto[c].to_numpy(), b[c].to_numpy()), c
 
 
 def test_cli_end_to_end(tmp_path):
@@ -114,3 +118,16 @@ def test_cli_merge_late(tmp_path):
     assert summary["late_rows_merged"] > 0
     st = json.loads(run("query", "--root", root, "status"))
     assert st["1m"]["run_id"] == "late1"
+
+
+def test_source_counts_distributed(ray_session):
+    """The distributed per-source count matches exact counts (driver holds
+    only the (source, n) rows)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.salt import source_counts
+
+    srcs = ["web"] * 500 + ["code"] * 120 + ["wiki"] * 7
+    ds = rd.from_arrow(pa.table({"source": srcs})).repartition(8)
+    assert source_counts(ds) == {"web": 500, "code": 120, "wiki": 7}
