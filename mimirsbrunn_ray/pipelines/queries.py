@@ -1632,9 +1632,14 @@ def q_embedding_lsh_neardups(sf_dir):
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    dim = len(pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
-    )["embedding"][0])
+    # vector dimension from ONE record batch (never a full-column read —
+    # VERDICT r2 "what's wrong" #4)
+    first = next(
+        pq.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
+            batch_size=1, columns=["embedding"]
+        )
+    )
+    dim = len(first["embedding"][0])
     return embedding_near_dups(emb, dim=dim, threshold=0.42, n_planes=6)
 
 
