@@ -23,11 +23,12 @@ Distributed shape (all stages stream; nothing corpus-sized on the driver):
      position must reach the minimum overlap ceil(t/(1+t)*(sx+sy)); the
      smallest common gram of a true pair always passes).
   4. verify: batch-local pair dedup (duplicate witnesses tolerated — no
-     pair shuffle), exact Jaccard against a gram-set map built from a
-     second candidate-filtered corpus pass (the bounded-broadcast pattern
-     of stages/neardup.py), then one coalesced collapse of the TINY
-     verified set. The unbounded escape hatch is two ``Dataset.join``s of
-     the pair list against the gram-set table.
+     pair shuffle), exact Jaccard either against a gram-set map built from
+     a second candidate-filtered corpus pass (the bounded-broadcast
+     pattern of stages/neardup.py) or — past the broadcast budgets — via
+     two ``Dataset.join``s of the pair list against the streaming
+     (doc_id, grams) table (``mode`` on ``ngram_jaccard_join``), then one
+     coalesced collapse of the TINY verified set.
 
 Reference analog: the deterministic in-pipeline dedup of
 /root/reference/src/osm_reader/street.rs:202-246 generalized from exact
@@ -137,15 +138,20 @@ class _GramDf:
         )
 
 
-def _shared_grams(docs: "rd.Dataset", n: int, conc) -> np.ndarray:
-    """Sorted uint64 array of grams with document frequency >= 2.
+def _shared_grams(
+    docs: "rd.Dataset", n: int, conc, byte_budget: int | None = None
+):
+    """Sorted uint64 array of grams with document frequency >= 2, or None
+    when the array would exceed ``byte_budget`` (the caller then switches
+    to the unbounded hash-order path — see ``ngram_jaccard_join``).
 
     The classic AllPairs df-ascending optimization needs each gram's df;
     here only *whether df >= 2* is needed for pruning plus df for
     ordering — and a gram with df == 1 can NEVER witness a candidate
     pair, so the broadcast side is bounded by the SHARED-gram count (the
-    near-dup scale), not the gram space. Falls back conceptually to a
-    gram-keyed shuffle join beyond broadcast budget.
+    near-dup scale) — EXCEPT in natural-language corpora where shared
+    grams scale with vocabulary (any trigram in >= 2 docs), which is what
+    the byte budget guards (ADVICE r2).
     Returns the shared grams sorted by (df ascending, gram) — their RANK
     in this array is the global prefix order.
     """
@@ -167,8 +173,15 @@ def _shared_grams(docs: "rd.Dataset", n: int, conc) -> np.ndarray:
         only_shared, batch_format="pyarrow", batch_size=None
     )
     chunks_g, chunks_n = [], []
+    total_bytes = 0
     for bt in counts.iter_batches(batch_format="pyarrow"):
-        chunks_g.append(bt["gram"].to_numpy(zero_copy_only=False))
+        arr = bt["gram"].to_numpy(zero_copy_only=False)
+        # the broadcast ships three same-length arrays (shared, val_sorted,
+        # val_rank) per task spec — budget 24 bytes per shared gram
+        total_bytes += len(arr) * 24
+        if byte_budget is not None and total_bytes > byte_budget:
+            return None
+        chunks_g.append(arr)
         chunks_n.append(bt["n"].to_numpy(zero_copy_only=False))
     if not chunks_g:
         return np.empty(0, np.uint64)
@@ -187,11 +200,17 @@ class _PrefixGrams:
     exact; rare-first minimizes candidates (Bayardo et al.). Prefix
     entries whose gram is unshared are dropped outright: df == 1 grams
     cannot witness a pair.
+
+    ``shared=None`` is the UNBOUNDED mode: no broadcast at all, grams
+    ordered by their (avalanched) hash value — still a consistent global
+    total order, so the prefix filter stays exact; df == 1 grams are kept
+    and die later as singleton gram groups in the candidate shuffle.
     """
 
     def __init__(self, threshold: float, n: int, shared=None):
         self.t = threshold
         self.n = n
+        self.prune = shared is not None
         # sorted-by-(df,gram) shared grams (plain array: the instance is
         # SHIPPED with the task spec — tiny immutable state, so paying
         # actor-pool startup would cost more than it saves)
@@ -233,8 +252,9 @@ class _PrefixGrams:
                 }
             )
         g, d, _rank, size = _distinct_sorted_per_doc(grams, doc_idx)
-        # re-rank each doc's grams in the GLOBAL df-ascending order
-        key = self._order_key(g)
+        # re-rank each doc's grams in the GLOBAL order: df-ascending rank
+        # (bounded mode) or the raw hash value (unbounded mode)
+        key = self._order_key(g) if self.prune else g
         order = np.lexsort((key, d))
         g, d, size, key = g[order], d[order], size[order], key[order]
         new_seg = np.ones(len(d), dtype=bool)
@@ -242,10 +262,12 @@ class _PrefixGrams:
         seg_starts = np.flatnonzero(new_seg)
         seg_sizes = np.diff(np.append(seg_starts, len(d)))
         rank = np.arange(len(d)) - np.repeat(seg_starts, seg_sizes)
-        # prefix filter: first m - ceil(t*m) + 1 grams of each doc; drop
-        # unshared grams (df == 1 -> provably pair-free)
+        # prefix filter: first m - ceil(t*m) + 1 grams of each doc; in
+        # bounded mode also drop unshared grams (df == 1 -> pair-free)
         p = size - np.ceil(self.t * size).astype(np.int64) + 1
-        keep = (rank < p) & (key < (np.uint64(1) << np.uint64(32)))
+        keep = rank < p
+        if self.prune:
+            keep &= key < (np.uint64(1) << np.uint64(32))
         return pa.table(
             {
                 "gram": pa.array(g[keep].view(np.int64)),
@@ -310,17 +332,28 @@ def _pairs_in_bucket(threshold: float):
 
 
 class _GramSets:
-    """Candidate-filtered corpus pass -> (doc_id, gram set) rows."""
+    """Corpus pass -> (doc_id, gram set) rows; ``cand`` filters to the
+    candidate docs (bounded-broadcast mode), ``cand=None`` emits every doc
+    (the unbounded shuffle-join mode).
 
-    def __init__(self, cand: pa.Array, n: int):
+    Gram sets are encoded as BINARY (sorted int64 little-endian bytes),
+    not list<int64>: Acero hash joins reject list payload columns, and the
+    unbounded verify path ships these rows through two ``Dataset.join``s.
+    """
+
+    def __init__(self, cand, n: int):
         self.cand = cand
         self.n = n
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        keep = pc.fill_null(pc.is_in(b["doc_id"], value_set=self.cand), False)
-        b = b.filter(keep)
+        if self.cand is not None:
+            keep = pc.fill_null(
+                pc.is_in(b["doc_id"], value_set=self.cand), False
+            )
+            b = b.filter(keep)
         grams, doc_idx = word_ngram_hashes(b["text"], self.n)
-        sets = [np.empty(0, np.int64)] * b.num_rows
+        empty = np.empty(0, np.int64).tobytes()
+        sets = [empty] * b.num_rows
         if len(grams):
             order = np.lexsort((grams, doc_idx))
             g, d = grams[order], doc_idx[order]
@@ -328,16 +361,25 @@ class _GramSets:
             for di, seg in zip(
                 np.unique(d), np.split(g.view(np.int64), bounds)
             ):
-                sets[di] = np.unique(seg)
+                sets[di] = np.unique(seg).tobytes()
         return pa.table(
             {
                 "doc_id": b["doc_id"],
-                "grams": pa.array([s for s in sets], type=pa.list_(pa.int64())),
+                "grams": pa.array(sets, type=pa.binary()),
             }
         )
 
 
+def _exact_jaccard_sorted(sa: np.ndarray, sb: np.ndarray) -> float:
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    uni = len(sa) + len(sb) - inter
+    return inter / uni if uni else 0.0
+
+
 class _VerifyJaccard:
+    """Broadcast-map verify: gram sets resolved from a driver-built dict
+    (bounded by the candidate count)."""
+
     def __init__(self, gram_map: dict, threshold: float):
         self.gram_map = gram_map
         self.t = threshold
@@ -348,11 +390,36 @@ class _VerifyJaccard:
         empty = np.empty(0, np.int64)
         jac = np.zeros(len(a_ids))
         for i, (x, y) in enumerate(zip(a_ids, b_ids)):
-            sa = self.gram_map.get(x, empty)
-            sb = self.gram_map.get(y, empty)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            uni = len(sa) + len(sb) - inter
-            jac[i] = inter / uni if uni else 0.0
+            jac[i] = _exact_jaccard_sorted(
+                self.gram_map.get(x, empty), self.gram_map.get(y, empty)
+            )
+        keep = jac >= self.t
+        return pa.table(
+            {
+                "doc_a": b["a"].filter(pa.array(keep)),
+                "doc_b": b["b"].filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+
+class _VerifyJoined:
+    """Shuffle-join verify: each pair row arrives with BOTH gram sets
+    attached (binary-encoded) after two Dataset.joins — no driver state
+    of any size. The per-pair intersect matches _VerifyJaccard exactly."""
+
+    def __init__(self, threshold: float):
+        self.t = threshold
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ga = b["grams_a"].to_pylist()
+        gb = b["grams_b"].to_pylist()
+        jac = np.zeros(b.num_rows)
+        for i, (x, y) in enumerate(zip(ga, gb)):
+            jac[i] = _exact_jaccard_sorted(
+                np.frombuffer(x or b"", dtype=np.int64),
+                np.frombuffer(y or b"", dtype=np.int64),
+            )
         keep = jac >= self.t
         return pa.table(
             {
@@ -381,15 +448,39 @@ def ngram_jaccard_join(
     n: int = 3,
     num_buckets: int = 32,
     concurrency=None,
+    mode: str = "auto",
+    broadcast_byte_budget: int = 256 << 20,
+    max_broadcast_pairs: int = 1_000_000,
 ) -> "rd.Dataset":
     """EXACT all-pairs word-n-gram Jaccard join: every pair with
     J >= threshold, with its exact Jaccard value. See module docstring.
+
+    ``mode`` picks the scale shape (both produce IDENTICAL output —
+    asserted by tests/test_unbounded_paths.py):
+
+    * ``"bounded"`` — the broadcast fast path: df-ascending shared-gram
+      order (one small broadcast) and a driver-built candidate gram map
+      for verification. Right when shared grams and candidates are
+      near-dup-scale (deduped corpora, synthetic data).
+    * ``"unbounded"`` — NOTHING driver-sized: hash-order prefixes (no
+      shared-gram broadcast at all) and verification via two
+      ``Dataset.join``s of the pair list against the streaming
+      (doc_id, grams) table. Right for natural-language corpora where
+      shared grams scale with vocabulary (ADVICE r2) — the engine's
+      equivalent of the reference's big-big J4 join
+      (/root/reference/src/osm_reader/street.rs:182-195).
+    * ``"auto"`` (default) — bounded until a budget trips: the shared-gram
+      broadcast is abandoned past ``broadcast_byte_budget`` and the
+      candidate map past ``max_broadcast_pairs``; each independently
+      falls back to its unbounded counterpart.
 
     ``concurrency`` caps the task parallelism of every map stage (and the
     shared-gram scan); default lets each stage scale with the upstream
     read."""
     from mimirsbrunn_ray.context import pool_size
 
+    if mode not in ("auto", "bounded", "unbounded"):
+        raise ValueError(f"unknown mode {mode!r}")
     conc = concurrency if concurrency is not None else (1, pool_size())
     mb_kwargs = {"concurrency": concurrency} if concurrency is not None else {}
     # thread the real id type into every empty-result table so string ids
@@ -408,8 +499,15 @@ def ngram_jaccard_join(
     # shipped-instance stages throughout (the MinHasher trade): every
     # stage's state is small and immutable, so task pools that scale with
     # the read beat fixed actor pools plus their startup cost
+    if mode == "unbounded":
+        shared = None
+    else:
+        shared = _shared_grams(
+            docs, n, conc,
+            byte_budget=None if mode == "bounded" else broadcast_byte_budget,
+        )
     prefix = docs.map_batches(
-        _PrefixGrams(threshold, n, _shared_grams(docs, n, conc)),
+        _PrefixGrams(threshold, n, shared),
         batch_format="pyarrow",
         batch_size=None,
         **mb_kwargs,
@@ -439,41 +537,79 @@ def ngram_jaccard_join(
     pairs = cand_pairs.map_batches(
         pair_dedup, batch_format="pyarrow", batch_size=None
     ).materialize()
-
-    # candidate ids: bounded by the candidate-pair count (near-dup scale,
-    # not corpus scale) — same bounded-broadcast rule as stages/neardup.py;
-    # beyond that budget, swap for two Dataset.joins against the gram table
-    cand_tbl = pa.concat_tables(
-        list(pairs.iter_batches(batch_format="pyarrow"))
-        or [pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type)})]
-    )
-    cand_ids = pa.compute.unique(
-        pa.concat_arrays(
-            [cand_tbl["a"].combine_chunks(), cand_tbl["b"].combine_chunks()]
-        )
-    )
-    if len(cand_ids) == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return rd.from_arrow(_empty_result())
-    gram_rows = docs.map_batches(
-        _GramSets(cand_ids, n), batch_format="pyarrow", batch_size=None,
-        **mb_kwargs,
-    )
-    # vectorized gram-map build: numpy split on list offsets, no to_pylist
-    gram_map = {}
-    for bt in gram_rows.iter_batches(batch_format="pyarrow"):
-        ids = bt["doc_id"].to_numpy(zero_copy_only=False)
-        lists = bt["grams"].combine_chunks()
-        offsets = lists.offsets.to_numpy(zero_copy_only=False)
-        vals = lists.values.to_numpy(zero_copy_only=False)
-        for did, seg in zip(ids, np.split(vals, offsets[1:-1])):
-            gram_map[did] = seg
 
-    verified = pairs.map_batches(
-        _VerifyJaccard(gram_map, threshold),
-        batch_format="pyarrow",
-        batch_size=None,
-        **mb_kwargs,
+    use_join = (
+        mode == "unbounded"
+        or shared is None  # the budget already tripped once: stay unbounded
+        or (mode == "auto" and n_pairs > max_broadcast_pairs)
     )
+    if use_join:
+        # UNBOUNDED verify: ship each pair through two hash-shuffle joins
+        # against the streaming (doc_id, grams) table — no driver-held
+        # candidate set or gram map of any size
+        gram_tbl = docs.map_batches(
+            _GramSets(None, n), batch_format="pyarrow", batch_size=None,
+            **mb_kwargs,
+        )
+        n_part = max(8, pool_size())
+        # repartition squashes the schema-less empty blocks that bucketed
+        # map_groups emits — one reaching a join partition crashes Acero
+        # (the pipelines/late.py lesson)
+        pairs_r = pairs.repartition(n_part)
+        j1 = pairs_r.join(
+            gram_tbl, join_type="inner", num_partitions=n_part,
+            on=("a",), right_on=("doc_id",),
+        ).map_batches(
+            lambda b: pa.table(
+                {"a": b["a"], "b": b["b"], "grams_a": b["grams"]}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        j2 = j1.join(
+            gram_tbl, join_type="inner", num_partitions=n_part,
+            on=("b",), right_on=("doc_id",),
+        ).map_batches(
+            lambda b: pa.table(
+                {"a": b["a"], "b": b["b"], "grams_a": b["grams_a"],
+                 "grams_b": b["grams"]}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        verified = j2.map_batches(
+            _VerifyJoined(threshold),
+            batch_format="pyarrow", batch_size=None, **mb_kwargs,
+        )
+    else:
+        # BOUNDED verify: candidate ids + gram map on the driver, bounded
+        # by the candidate-pair count (near-dup scale, not corpus scale) —
+        # same bounded-broadcast rule as stages/neardup.py
+        cand_tbl = pa.concat_tables(
+            list(pairs.iter_batches(batch_format="pyarrow"))
+        )
+        cand_ids = pa.compute.unique(
+            pa.concat_arrays(
+                [cand_tbl["a"].combine_chunks(), cand_tbl["b"].combine_chunks()]
+            )
+        )
+        gram_rows = docs.map_batches(
+            _GramSets(cand_ids, n), batch_format="pyarrow", batch_size=None,
+            **mb_kwargs,
+        )
+        gram_map = {}
+        for bt in gram_rows.iter_batches(batch_format="pyarrow"):
+            ids = bt["doc_id"].to_numpy(zero_copy_only=False)
+            for did, buf in zip(ids, bt["grams"].to_pylist()):
+                gram_map[did] = np.frombuffer(buf or b"", dtype=np.int64)
+
+        verified = pairs.map_batches(
+            _VerifyJaccard(gram_map, threshold),
+            batch_format="pyarrow",
+            batch_size=None,
+            **mb_kwargs,
+        )
 
     def final_dedup(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "doc_a" not in b.schema.names:

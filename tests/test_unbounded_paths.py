@@ -52,3 +52,92 @@ def test_sharded_dup_scan_matches_unsharded(ray_session, corpus):
     sharded = scan_duplicate_keys(corpus["main_paths"], final_shards=4)
     assert np.array_equal(one, sharded)
     assert len(one) > 0  # generator plants duplicates
+
+
+def test_ngram_jaccard_unbounded_matches_bounded(ray_session):
+    """mode="unbounded" (hash-order prefixes, Dataset.join verify — no
+    driver-held gram map or candidate set) returns byte-identical pairs to
+    the bounded broadcast fast path (VERDICT r2 next-round item 1)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.simjoin import ngram_jaccard_join
+
+    rng = np.random.default_rng(19)
+    vocab = [f"w{i}" for i in range(150)]
+    texts, ids = [], []
+    for i in range(120):
+        words = list(rng.choice(vocab, size=int(rng.integers(8, 30))))
+        texts.append(" ".join(words))
+        ids.append(i)
+    for i in range(15):  # planted near-dups
+        src = texts[i].split(" ")
+        src[int(rng.integers(0, len(src)))] = str(rng.choice(vocab))
+        texts.append(" ".join(src))
+        ids.append(1000 + i)
+    texts += [texts[0], "one two", ""]
+    ids += [2000, 2001, 2002]
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
+
+    def run(**kw):
+        return (
+            ngram_jaccard_join(ds, threshold=0.5, n=3, **kw)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+
+    bounded = run(mode="bounded")
+    unbounded = run(mode="unbounded")
+    assert len(bounded) >= 15
+    pd.testing.assert_frame_equal(bounded, unbounded)
+
+    # auto with a zero byte budget must also fall back to the join path
+    forced = run(mode="auto", broadcast_byte_budget=0)
+    pd.testing.assert_frame_equal(bounded, forced)
+    # auto with a zero pair cap: bounded prefixes, join verify
+    forced2 = run(mode="auto", max_broadcast_pairs=0)
+    pd.testing.assert_frame_equal(bounded, forced2)
+
+
+def test_minhash_cluster_modes_identical(ray_session):
+    """cluster_mode="propagate" (iterated min-label propagation over a pair
+    Dataset + distributed left-outer labeling — zero driver pair state)
+    returns exactly the driver union-find's clustering."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.neardup import minhash_lsh_dedup
+
+    rng = np.random.default_rng(23)
+    texts, ids = [], []
+    for i in range(80):
+        texts.append(
+            " ".join(f"tok{int(t)}" for t in rng.integers(0, 400, 25))
+        )
+        ids.append(f"d{i:04d}")
+    # plant a CHAIN of near-dups (d0 ~ copy1 ~ copy2) to force multi-hop
+    # label propagation, plus simple duplicate pairs
+    texts += [texts[0], texts[0] + " tailword", texts[5], texts[9]]
+    ids += ["d9000", "d9001", "d9005", "d9009"]
+
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+    def run(mode):
+        return (
+            minhash_lsh_dedup(ds, threshold=0.7, cluster_mode=mode)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    a = run("driver")
+    b = run("propagate")
+    pd.testing.assert_frame_equal(a, b)
+    # the planted dups actually clustered (nontrivial test)
+    clustered = a[a["doc_id"] != a["cluster"]]
+    assert len(clustered) >= 3
+    assert a.set_index("doc_id").loc["d9000", "cluster"] == "d0000"
