@@ -1020,6 +1020,52 @@ walk AS (
 SELECT node_id, chain, depth, root_id FROM walk WHERE cur IS NULL
 """
 
+def q_part_dep_closure(sf_dir):
+    """S4 graft — GENERIC transitive dependency closure over an arbitrary
+    multi-parent DAG (not a tree): each part k depends on parts k//2 AND
+    k//3, a reconvergent edge set derived deterministically from the key
+    range (the edge map is dimension-scale; max key comes from a
+    distributed aggregate, never a driver column read). Per part: count
+    and sum of its distinct transitive deps, matching a recursive-CTE
+    oracle. Ref: get_objs_and_deps, /root/reference/src/osm_reader/mod.rs:9-15."""
+    from mimirsbrunn_ray.stages.hierarchy import dependency_closure
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    mx = int(part.max("p_partkey"))
+    ks = np.arange(2, mx + 1, dtype=np.int64)
+    src = np.concatenate([ks, ks[ks >= 3]])
+    dst = np.concatenate([ks // 2, ks[ks >= 3] // 3])
+    out = dependency_closure(part, src, dst, node_col="p_partkey")
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["n_deps"], 0))
+        return pa.table(
+            {"node": b["p_partkey"].cast(pa.int64()),
+             "n_deps": b["n_deps"], "dep_sum": b["dep_sum"]}
+        )
+
+    return out.map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    ).sort("node")
+
+
+PART_DEP_CLOSURE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part WHERE p_partkey >= 2
+  UNION ALL
+  SELECT p_partkey, p_partkey // 3 FROM part WHERE p_partkey >= 3
+),
+deps(node, dep) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT d.node, e.dst FROM deps d JOIN edges e ON e.src = d.dep
+)
+SELECT node, CAST(COUNT(dep) AS BIGINT) AS n_deps,
+       CAST(SUM(dep) AS BIGINT) AS dep_sum
+FROM deps GROUP BY node ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # bragi autocomplete graft: prefix pass + paging (fuzzy fallback in pytest)
 # ---------------------------------------------------------------------------
@@ -1057,6 +1103,8 @@ ORACLES.update(
         "prefix_search_docs": PREFIX_SQL,
     }
 )
+QUERIES["part_dep_closure"] = q_part_dep_closure
+ORACLES["part_dep_closure"] = PART_DEP_CLOSURE_SQL
 
 
 # ---------------------------------------------------------------------------

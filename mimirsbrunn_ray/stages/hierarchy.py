@@ -89,6 +89,123 @@ class AncestorChain:
         return out.append_column("root_id", pa.array(root, type=pa.string()))
 
 
+class DependencyClosure:
+    """S4 graft — the GENERIC transitive dependency closure over an
+    arbitrary edge set (multi-parent DAGs/graphs), not just parent trees.
+
+    The reference collects each object's full transitive dependency set
+    from an id -> deps map built once over the stream
+    (``get_objs_and_deps``, /root/reference/src/osm_reader/mod.rs:9-15).
+    Ray shape: the edge set (src -> dst, duplicates tolerated) is a
+    DIMENSION — broadcast once as a CSR over dense node codes; each fact
+    batch expands its frontier level-by-level with vectorized gathers and
+    an exact visited filter (packed (row, code) keys, overflow-safe
+    chunking), so reconvergent DAG paths never re-expand. Cycles are cut
+    by the visited filter itself; ``max_depth`` bounds alien inputs.
+
+    Appends per row: ``n_deps`` (distinct transitive deps) and
+    ``dep_sum`` (sum of dep ids — int ids only), both int64. Rows whose
+    node has no deps get 0/0.
+
+    Partitioning assumption (SURVEY.md §2 custom-operator rule): the edge
+    set fits one object-store broadcast (dimension scale); the FACT side
+    streams unbounded.
+    """
+
+    def __init__(self, edge_src, edge_dst, node_col: str = "node_id",
+                 max_depth: int = 64):
+        src = np.asarray(edge_src, dtype=np.int64)
+        dst = np.asarray(edge_dst, dtype=np.int64)
+        self.keys = np.unique(np.concatenate([src, dst]))
+        s_code = np.searchsorted(self.keys, src)
+        d_code = np.searchsorted(self.keys, dst)
+        order = np.argsort(s_code, kind="stable")
+        s_code, d_code = s_code[order], d_code[order]
+        # CSR: for code c, deps are csr_dst[csr_off[c] : csr_off[c+1]]
+        counts = np.bincount(s_code, minlength=len(self.keys))
+        self.csr_off = np.zeros(len(self.keys) + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.csr_off[1:])
+        self.csr_dst = d_code
+        self.node_col = node_col
+        self.max_depth = max_depth
+
+    def _expand(self, rows: np.ndarray, codes: np.ndarray):
+        """One level: all (row, dep_code) pairs of the frontier."""
+        cnt = self.csr_off[codes + 1] - self.csr_off[codes]
+        nz = cnt > 0
+        if not nz.any():
+            return (np.empty(0, np.int64),) * 2
+        starts = self.csr_off[codes[nz]]
+        c = cnt[nz]
+        # gather each frontier entry's dep slice: global positions are
+        # start_i + (0..c_i-1), built with one repeat + ramp subtraction
+        idx = (
+            np.repeat(starts, c)
+            + (np.arange(c.sum()) - np.repeat(np.cumsum(c) - c, c))
+        )
+        return np.repeat(rows[nz], c), self.csr_dst[idx]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        nodes = batch[self.node_col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n_deps = np.zeros(n, dtype=np.int64)
+        dep_sum = np.zeros(n, dtype=np.int64)
+        if n and len(self.keys):
+            k = np.int64(len(self.keys))
+            # overflow-safe packed (row, code) keys: chunk rows so
+            # chunk_rows * n_codes stays well under 2^63
+            max_rows = max(1, int((np.iinfo(np.int64).max // 2) // k))
+            for lo in range(0, n, max_rows):
+                hi = min(lo + max_rows, n)
+                sub = nodes[lo:hi]
+                pos = np.searchsorted(self.keys, sub)
+                posc = np.clip(pos, 0, len(self.keys) - 1)
+                known = self.keys[posc] == sub
+                rows0 = np.flatnonzero(known).astype(np.int64)
+                codes0 = posc[known].astype(np.int64)
+                f_rows, f_codes = self._expand(rows0, codes0)
+                seen = np.unique(f_rows * k + f_codes)
+                f_rows, f_codes = seen // k, seen % k  # dedupe the frontier
+                depth = self.max_depth
+                while len(f_rows) and depth > 0:
+                    f_rows, f_codes = self._expand(f_rows, f_codes)
+                    if not len(f_rows):
+                        break
+                    packed = f_rows * k + f_codes
+                    fresh = ~np.isin(packed, seen)
+                    packed = np.unique(packed[fresh])
+                    if not len(packed):
+                        break
+                    seen = np.union1d(seen, packed)
+                    f_rows, f_codes = packed // k, packed % k
+                    depth -= 1
+                if len(seen):
+                    rows_all = (seen // k).astype(np.int64)
+                    codes_all = (seen % k).astype(np.int64)
+                    n_deps[lo:hi] += np.bincount(rows_all, minlength=hi - lo)
+                    # exact int64 scatter-add (float bincount weights would
+                    # lose precision past 2^53)
+                    np.add.at(dep_sum[lo:hi], rows_all, self.keys[codes_all])
+        out = batch.append_column("n_deps", pa.array(n_deps))
+        return out.append_column("dep_sum", pa.array(dep_sum))
+
+
+def dependency_closure(
+    ds: "rd.Dataset",
+    edge_src,
+    edge_dst,
+    node_col: str = "node_id",
+    max_depth: int = 64,
+) -> "rd.Dataset":
+    """Append each row's transitive-dependency aggregates (n_deps,
+    dep_sum) resolved through the broadcast (edge_src -> edge_dst) set.
+    See ``DependencyClosure``."""
+    stage = DependencyClosure(edge_src, edge_dst, node_col, max_depth)
+    return ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
+
+
 def ancestor_chain(
     ds: "rd.Dataset",
     edge_ids,

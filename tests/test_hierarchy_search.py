@@ -124,3 +124,34 @@ def test_topk_paging_offset(ray_session, tmp_path):
     page2 = query.top_k(store, k=2, offset=2)
     assert page1["sum_tok"].tolist() == [60, 50]
     assert page2["sum_tok"].tolist() == [40, 30]
+
+
+def test_dependency_closure_dag_and_cycle(ray_session):
+    """Generic edge-set closure: multi-parent DAG with reconvergent paths
+    counts each dep ONCE; cycles terminate via the visited filter (not
+    max_depth); unknown nodes and dep-free nodes get 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.hierarchy import dependency_closure
+
+    # DAG: 10 -> {5, 3}, 5 -> {2}, 3 -> {2}, 2 -> {1}  (2 and 1 reconverge)
+    # cycle: 7 -> 8 -> 9 -> 7
+    src = [10, 10, 5, 3, 2, 7, 8, 9]
+    dst = [5, 3, 2, 2, 1, 8, 9, 7]
+    ds = rd.from_arrow(
+        pa.table({"node_id": pa.array([10, 5, 2, 1, 7, 999], pa.int64())})
+    )
+    out = (
+        dependency_closure(ds, src, dst)
+        .to_pandas()
+        .set_index("node_id")
+    )
+    # closure(10) = {5, 3, 2, 1}
+    assert out.loc[10, "n_deps"] == 4 and out.loc[10, "dep_sum"] == 11
+    assert out.loc[5, "n_deps"] == 2 and out.loc[5, "dep_sum"] == 3
+    assert out.loc[2, "n_deps"] == 1 and out.loc[2, "dep_sum"] == 1
+    assert out.loc[1, "n_deps"] == 0
+    # cycle member: closure(7) = {8, 9, 7} — includes itself via the cycle
+    assert out.loc[7, "n_deps"] == 3 and out.loc[7, "dep_sum"] == 24
+    assert out.loc[999, "n_deps"] == 0 and out.loc[999, "dep_sum"] == 0
