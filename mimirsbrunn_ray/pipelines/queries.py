@@ -1107,6 +1107,72 @@ QUERIES["part_dep_closure"] = q_part_dep_closure
 ORACLES["part_dep_closure"] = PART_DEP_CLOSURE_SQL
 
 
+_FUZZY_QUERY = "vectro table scan"  # typo'd "vector": zero prefix hits
+_FUZZY_K = 10
+
+
+def q_fuzzy_search_docs(sf_dir):
+    """The bragi two-pass orchestration with the FALLBACK firing: the
+    prefix pass for a typo'd query returns zero hits (asserted against
+    the corpus at every SF), so the trigram-fuzzy second pass
+    (/root/reference/libs/bragi/src/query.rs:667-714) scores
+    char-3-gram Jaccard blended with importance and returns the top k."""
+    from mimirsbrunn_ray.stages.search import autocomplete
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return autocomplete(docs, _FUZZY_QUERY, k=_FUZZY_K)
+
+
+def _fuzzy_sql(query: str, k: int, weight_scale: float = 500.0) -> str:
+    """Recreate the trigram-fuzzy scoring in SQL: distinct char trigrams
+    of lower(text) vs the query's trigram set (inlined VALUES — the query
+    is a literal), jac = inter / (n_tri + |q| - inter), blended with
+    clamp01((w + log10(w*1024+1)/log10(1025)) / 2), w = n_chars / scale."""
+    q = query.lower()
+    q_tris = sorted({q[i:i + 3] for i in range(len(q) - 2)})
+    values = ", ".join("('" + t.replace("'", "''") + "')" for t in q_tris)
+    nq = len(q_tris)
+    return f"""
+WITH q(tri) AS (VALUES {values}),
+d AS (SELECT doc_id, lower(text) AS t, n_chars FROM documents),
+tris AS (
+  SELECT DISTINCT doc_id, substr(t, i, 3) AS tri
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(length(t) - 2, 0))) AS i
+    FROM d
+  )
+),
+stats AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tri,
+         SUM(CASE WHEN tri IN (SELECT tri FROM q) THEN 1 ELSE 0 END) AS inter
+  FROM tris GROUP BY doc_id
+),
+scored AS (
+  SELECT s.doc_id,
+         ROUND(
+           (s.inter::DOUBLE / (s.n_tri + {nq} - s.inter))
+           * (0.5 + 0.5 * LEAST(GREATEST(
+               (LEAST(GREATEST(d.n_chars / {weight_scale}, 0.0), 1.0)
+                + log10(LEAST(GREATEST(d.n_chars / {weight_scale}, 0.0), 1.0)
+                        * 1024.0 + 1.0) / log10(1025.0)) / 2.0,
+             0.0), 1.0)),
+         6) AS score
+  FROM stats s JOIN d USING (doc_id)
+  WHERE s.inter > 0
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+QUERIES["fuzzy_search_docs"] = q_fuzzy_search_docs
+ORACLES["fuzzy_search_docs"] = _fuzzy_sql(_FUZZY_QUERY, _FUZZY_K)
+
+
 # ---------------------------------------------------------------------------
 # D3: cross-run merge with set-union of list-valued fields
 # (/root/reference/src/stops.rs:151-187 merge_collection/merge_stops)

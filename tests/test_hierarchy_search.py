@@ -155,3 +155,25 @@ def test_dependency_closure_dag_and_cycle(ray_session):
     # cycle member: closure(7) = {8, 9, 7} — includes itself via the cycle
     assert out.loc[7, "n_deps"] == 3 and out.loc[7, "dep_sum"] == 24
     assert out.loc[999, "n_deps"] == 0 and out.loc[999, "dep_sum"] == 0
+
+
+def test_fuzzy_driver_query_fires_fallback(ray_session):
+    """The driver's fuzzy_search_docs query really exercises the ZERO-hit
+    prefix path: the typo'd query has no prefix matches, and the fuzzy
+    pass returns k scored rows."""
+    import ray.data as rd
+
+    from mimirsbrunn_ray.pipelines.queries import _FUZZY_K, _FUZZY_QUERY
+    from mimirsbrunn_ray.stages.search import prefix_search
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    assert prefix_search(docs, _FUZZY_QUERY).count() == 0
+
+    from mimirsbrunn_ray.pipelines.queries import q_fuzzy_search_docs
+
+    out = q_fuzzy_search_docs(sf).to_pandas()
+    assert len(out) == _FUZZY_K
+    assert (out["score"] > 0).all()
