@@ -436,9 +436,7 @@ def minhash_lsh_dedup(
     import ray
 
     from mimirsbrunn_ray.context import pool_size
-    from mimirsbrunn_ray.stages.join import broadcast_join
 
-    pool = concurrency if concurrency is not None else (1, pool_size())
     docs_small = docs.select_columns(["doc_id", "text"])
     # MinHasher state (two uint64 arrays) is tiny + immutable: ship the
     # instance once with the task spec instead of paying actor-pool startup
@@ -474,14 +472,6 @@ def minhash_lsh_dedup(
         for r in cand_shingles
     }
 
-    # distributed exact verification of the pair list
-    pairs_ds = rd.from_arrow(pa.Table.from_pandas(cand, preserve_index=False))
-    verified_ds = pairs_ds.map_batches(
-        _VerifyPairs(shingle_map, threshold),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-
     def finish(b: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -491,6 +481,16 @@ def minhash_lsh_dedup(
         )
 
     if cluster_mode == "propagate":
+        # pairs stay a DATASET end-to-end: distributed verify feeding the
+        # label-propagation joins
+        pairs_ds = rd.from_arrow(
+            pa.Table.from_pandas(cand, preserve_index=False)
+        )
+        verified_ds = pairs_ds.map_batches(
+            _VerifyPairs(shingle_map, threshold),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
         labels = minlabel_propagation(verified_ds)
         n_part = max(8, pool_size())
         labeled = (
@@ -505,19 +505,33 @@ def minhash_lsh_dedup(
             finish, batch_format="pyarrow", batch_size=None
         )
 
-    verified = verified_ds.take_all()
-    cluster_map = _cluster_pairs(
-        [r["a"] for r in verified], [r["b"] for r in verified]
-    )
-    lookup_ref = ray.put(dict(cluster_map))
+    # driver mode: the pair list AND the shingle map are already on the
+    # driver (both O(near-dups)), so verifying locally saves a whole Ray
+    # execution — at sf0.1 the per-execution fixed cost (~0.5-1.5 s)
+    # dominates the actual intersect work (VERDICT r2 item 7: 4 -> 3
+    # sequential executions)
+    empty = np.empty(0, np.int64)
+    va, vb = [], []
+    for x, y in zip(cand["a"], cand["b"]):
+        sa = shingle_map.get(x, empty)
+        sb = shingle_map.get(y, empty)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        uni = len(sa) + len(sb) - inter
+        if uni and inter / uni >= threshold:
+            va.append(x)
+            vb.append(y)
+    cluster_map = _cluster_pairs(va, vb)
+    # the cluster map is O(near-dups)-tiny: a shipped-instance TASK stage
+    # beats the actor-pool broadcast_join (whose per-query actor startup
+    # costs more than the map ships for)
+    from mimirsbrunn_ray.stages.join import BroadcastJoiner
 
-    labeled = broadcast_join(
-        docs_small.select_columns(["doc_id"]),
-        lookup_ref,
-        key_col="doc_id",
-        out_col="cluster",
+    joiner = BroadcastJoiner(
+        ray.put(dict(cluster_map)), key_col="doc_id", out_col="cluster",
         out_type=id_type,
-        concurrency=pool,
+    )
+    labeled = docs_small.select_columns(["doc_id"]).map_batches(
+        joiner, batch_format="pyarrow", batch_size=None
     )
 
     return labeled.map_batches(finish, batch_format="pyarrow", batch_size=None)
