@@ -52,6 +52,15 @@ def main(argv=None) -> int:
     t.add_argument("--run-id")
     t.add_argument("--gap-policy", default=None, choices=["locf", "linear"])
     t.add_argument("--max-dropped", type=int, default=None)
+    t.add_argument(
+        "--multi-partition", action="store_true",
+        help="use the sharded final combines instead of the bounded "
+             "repartition(1) path (the unbounded-scale route)",
+    )
+    t.add_argument(
+        "--dedup-scan-shards", type=int, default=None,
+        help="override the byte-sized auto-sharding of the dup-scan combine",
+    )
 
     m = sub.add_parser("merge-late", help="fold late rows into published tiers")
     m.add_argument("--input", required=True)
@@ -88,6 +97,8 @@ def main(argv=None) -> int:
                 args.config, input=args.input, out_root=args.out,
                 run_id=args.run_id, gap_policy=args.gap_policy,
                 max_dropped=args.max_dropped,
+                single_partition=(False if args.multi_partition else None),
+                dedup_scan_shards=args.dedup_scan_shards,
             )
         else:
             if not (args.input and args.out and args.run_id):
@@ -95,15 +106,21 @@ def main(argv=None) -> int:
             job = {"input": args.input, "out_root": args.out,
                    "run_id": args.run_id,
                    "gap_policy": args.gap_policy or "locf",
-                   "max_dropped": args.max_dropped, "verify_resume": False}
+                   "max_dropped": args.max_dropped, "verify_resume": False,
+                   "single_partition": not args.multi_partition,
+                   "dedup_scan_shards": args.dedup_scan_shards}
         ray = _ray_session(args.num_cpus)
         from mimirsbrunn_ray.pipelines.tiering import run_tiering_job
 
         paths = sorted(glob.glob(job["input"]))
-        summary = run_tiering_job(paths, job["out_root"], job["run_id"],
-                                  gap_policy=job["gap_policy"],
-                                  max_dropped=job["max_dropped"],
-                                  verify_resume=job["verify_resume"])
+        summary = run_tiering_job(
+            paths, job["out_root"], job["run_id"],
+            gap_policy=job["gap_policy"],
+            max_dropped=job["max_dropped"],
+            verify_resume=job["verify_resume"],
+            single_partition=job.get("single_partition", True),
+            dedup_scan_shards=job.get("dedup_scan_shards"),
+        )
         print(json.dumps(summary))
         ray.shutdown()
         return 0

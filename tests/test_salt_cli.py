@@ -131,3 +131,59 @@ def test_source_counts_distributed(ray_session):
     srcs = ["web"] * 500 + ["code"] * 120 + ["wiki"] * 7
     ds = rd.from_arrow(pa.table({"source": srcs})).repartition(8)
     assert source_counts(ds) == {"web": 500, "code": 120, "wiki": 7}
+
+
+def test_config_unbounded_path_knobs(tmp_path):
+    """single_partition / dedup_scan_shards layer defaults <- TOML <- CLI
+    flags like every other job key, with validation."""
+    from mimirsbrunn_ray.config import load_job_config
+
+    cfg = tmp_path / "job.toml"
+    cfg.write_text(
+        '[job]\ninput = "/x/*.parquet"\nout_root = "/y"\nrun_id = "r"\n'
+        "single_partition = false\ndedup_scan_shards = 4\n"
+    )
+    job = load_job_config(str(cfg))
+    assert job["single_partition"] is False
+    assert job["dedup_scan_shards"] == 4
+    # explicit kwargs (CLI flags) override the file
+    job2 = load_job_config(str(cfg), dedup_scan_shards=9)
+    assert job2["dedup_scan_shards"] == 9
+    # defaults when the file is silent
+    cfg2 = tmp_path / "job2.toml"
+    cfg2.write_text('[job]\ninput = "/x"\nout_root = "/y"\nrun_id = "r"\n')
+    job3 = load_job_config(str(cfg2))
+    assert job3["single_partition"] is True
+    assert job3["dedup_scan_shards"] is None
+    # validation
+    cfg3 = tmp_path / "job3.toml"
+    cfg3.write_text(
+        '[job]\ninput = "/x"\nout_root = "/y"\nrun_id = "r"\n'
+        "dedup_scan_shards = 0\n"
+    )
+    with pytest.raises(ValueError, match="dedup_scan_shards"):
+        load_job_config(str(cfg3))
+
+
+def test_cli_multi_partition_flag(tmp_path):
+    """`tier --multi-partition --dedup-scan-shards` runs the sharded
+    unbounded path end-to-end in a subprocess and commits every tier."""
+    corpus = str(tmp_path / "corpus")
+    root = str(tmp_path / "tiers")
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "mimirsbrunn_ray.cli", "--num-cpus", "4", *args],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout.strip().splitlines()[-1]
+
+    json.loads(run("generate", "--out", corpus, "--rows", "2000", "--files", "2"))
+    summary = json.loads(
+        run("tier", "--input", f"{corpus}/part-*.parquet", "--out", root,
+            "--run-id", "cli-mp", "--multi-partition", "--dedup-scan-shards", "2")
+    )
+    assert "compressed" in summary["tiers"]
+    st = json.loads(run("query", "--root", root, "status"))
+    assert st["1d"]["committed"]
