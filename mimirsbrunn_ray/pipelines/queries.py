@@ -1173,6 +1173,55 @@ QUERIES["fuzzy_search_docs"] = q_fuzzy_search_docs
 ORACLES["fuzzy_search_docs"] = _fuzzy_sql(_FUZZY_QUERY, _FUZZY_K)
 
 
+def q_media_features(sf_dir):
+    """Driver-facing multimodal pipeline (rows-only: payloads are binary,
+    not SQL-expressible): a DETERMINISTIC corpus of real 24-bit BMP images
+    and PCM16 WAV clips (the driver tables carry no media column, so the
+    query synthesizes one — sized from the documents row COUNT, metadata
+    only) runs decode -> resize -> feature-extract through the actor-pool
+    stages with small batches (payload-dominated memory), then reduces
+    each feature vector to stable scalars. Goldens in
+    tests/test_query_late_multimodal.py."""
+    import ray.data as rd_mod
+
+    from mimirsbrunn_ray.stages.multimodal import (
+        decode_media,
+        resize_media,
+        synth_real_media_table,
+    )
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_media = max(20, n_docs // 25)
+    media = rd_mod.from_arrow(synth_real_media_table(n_media, seed=23))
+    resized = resize_media(media, out_w=16, out_h=16, concurrency=(1, 4))
+    feats = decode_media(resized, impl="real", concurrency=(1, 4))
+
+    def finish(b: pa.Table) -> pa.Table:
+        lists = b["features"].combine_chunks()
+        offs = lists.offsets.to_numpy(zero_copy_only=False)
+        vals = lists.values.to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(vals, offs[:-1]) if len(vals) else np.array([])
+        n_feat = np.diff(offs)
+        # per-row argmax over the ragged values, vectorized via reduceat max
+        mx = np.maximum.reduceat(vals, offs[:-1]) if len(vals) else np.array([])
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "media_type": b["media_type"],
+                "n_features": pa.array(n_feat.astype(np.int64)),
+                "feat_sum": pa.array(np.round(sums, 6)),
+                "feat_max": pa.array(np.round(mx, 6)),
+            }
+        )
+
+    return feats.map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    ).sort("media_id")
+
+
+QUERIES["media_features"] = q_media_features
+
+
 # ---------------------------------------------------------------------------
 # D3: cross-run merge with set-union of list-valued fields
 # (/root/reference/src/stops.rs:151-187 merge_collection/merge_stops)

@@ -315,3 +315,21 @@ def test_multimodal_resize_and_frame_sample(ray_session):
         assert np.array_equal(
             decode_bmp(row["payload"]), frames[row["frame_index"]]
         )
+
+
+def test_media_features_driver_query_golden(ray_session):
+    """The driver-facing multimodal query is deterministic and its math is
+    pinned: histogram features sum to ~1 per row (they are normalized
+    bin frequencies), images resize to 16x16 -> 768 values in 32 bins,
+    and two runs return identical tables."""
+    from mimirsbrunn_ray.pipelines.queries import q_media_features
+
+    sf = "/root/testdata/sf0.001"
+    a = q_media_features(sf).to_pandas()
+    b = q_media_features(sf).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["media_type"]) == {"image/bmp", "audio/wav"}
+    assert (a["n_features"] == 32).all()
+    # normalized histograms: sums are 1 within rounding
+    assert np.allclose(a["feat_sum"], 1.0, atol=1e-4)
+    assert (a["feat_max"] > 0).all() and (a["feat_max"] <= 1.0).all()
