@@ -61,6 +61,11 @@ def main(argv=None) -> int:
         "--dedup-scan-shards", type=int, default=None,
         help="override the byte-sized auto-sharding of the dup-scan combine",
     )
+    t.add_argument(
+        "--rollup-shards", type=int, default=None,
+        help="shard the raw->1m rollup's final partial combine "
+             "(default: auto by raw-tier row count; 1 = serial combine)",
+    )
 
     m = sub.add_parser("merge-late", help="fold late rows into published tiers")
     m.add_argument("--input", required=True)
@@ -99,6 +104,7 @@ def main(argv=None) -> int:
                 max_dropped=args.max_dropped,
                 single_partition=(False if args.multi_partition else None),
                 dedup_scan_shards=args.dedup_scan_shards,
+                rollup_shards=args.rollup_shards,
             )
         else:
             if not (args.input and args.out and args.run_id):
@@ -108,7 +114,8 @@ def main(argv=None) -> int:
                    "gap_policy": args.gap_policy or "locf",
                    "max_dropped": args.max_dropped, "verify_resume": False,
                    "single_partition": not args.multi_partition,
-                   "dedup_scan_shards": args.dedup_scan_shards}
+                   "dedup_scan_shards": args.dedup_scan_shards,
+                   "rollup_shards": args.rollup_shards}
         ray = _ray_session(args.num_cpus)
         from mimirsbrunn_ray.pipelines.tiering import run_tiering_job
 
@@ -120,6 +127,7 @@ def main(argv=None) -> int:
             verify_resume=job["verify_resume"],
             single_partition=job.get("single_partition", True),
             dedup_scan_shards=job.get("dedup_scan_shards"),
+            rollup_shards=job.get("rollup_shards"),
         )
         print(json.dumps(summary))
         ray.shutdown()

@@ -37,6 +37,9 @@ DEFAULTS = {
     # auto-sharding of the duplicate scan combine
     "single_partition": True,
     "dedup_scan_shards": None,
+    # rollup_shards shards the raw->1m partial combine (None = auto by raw
+    # tier row count, 1 = never)
+    "rollup_shards": None,
 }
 
 
@@ -58,6 +61,10 @@ def load_job_config(path: str, **overrides) -> dict:
         or job["dedup_scan_shards"] < 1
     ):
         raise ValueError("dedup_scan_shards must be a positive integer")
+    if job["rollup_shards"] is not None and (
+        not isinstance(job["rollup_shards"], int) or job["rollup_shards"] < 1
+    ):
+        raise ValueError("rollup_shards must be a positive integer")
     if "classify" in raw:
         from mimirsbrunn_ray.stages.classify import validate_rules
 

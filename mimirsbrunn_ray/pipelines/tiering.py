@@ -95,6 +95,7 @@ def run_tiering_job(
     assume_identical_dups: bool = True,
     single_partition: bool = True,
     dedup_scan_shards: int | None = None,
+    rollup_shards: int | None = None,
 ) -> dict:
     """Run (or resume) the full tier chain; returns a per-tier summary.
 
@@ -121,7 +122,10 @@ def run_tiering_job(
     unbounded tiers (multi-year windows, unbounded source cardinality);
     output is identical (pytest-asserted). ``dedup_scan_shards`` > 1
     shards the duplicate-key scan's final combine by hash range for key
-    spaces beyond one worker.
+    spaces beyond one worker. ``rollup_shards`` does the same for the
+    raw->1m rollup's final partial combine (None = auto: shard once the
+    raw tier exceeds ~8M rows — below that the extra key-hash shuffle
+    costs more than the serial combine it replaces; 1 = never).
     """
     import os
     import sys
@@ -218,6 +222,25 @@ def run_tiering_job(
         return rd.read_parquet(paths, columns=cols,
                                override_num_blocks=num_blocks_for(paths))
 
+    def _shards_for(prev: str) -> int:
+        # Sharded final combine only pays on the raw->1m hop: coarser tiers
+        # re-aggregate an already-tiny tier (one row per (source, bucket)).
+        if prev != "raw":
+            return 1
+        if rollup_shards is not None:
+            return max(1, rollup_shards)
+        # auto: footer-only row count of the committed raw tier (no scan)
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.read_metadata(p).num_rows for p in store.latest_data_paths("raw")
+        )
+        if rows <= 8_000_000:
+            return 1
+        from mimirsbrunn_ray.context import pool_size
+
+        return pool_size()
+
     for gran, prev in (("1m", "raw"), ("1h", "1m"), ("1d", "1h")):
         if done(gran):
             prev_mat = None  # force disk read of committed tier for the next
@@ -225,7 +248,8 @@ def run_tiering_job(
                 return summary
             continue
         counters = new_counters()
-        t = rollup(_fine(prev), gran, from_tier=prev)
+        t = rollup(_fine(prev), gran, from_tier=prev,
+                   final_shards=_shards_for(prev))
         t = gapfill(t, gran, policy=gap_policy, counters=counters,
                     single_partition=single_partition).materialize()
         run_dir = store.publish(

@@ -28,10 +28,32 @@ from mimirsbrunn_ray.functions.timeutil import BUCKET_US, trunc_us, ts_array
 PARTIAL_COLS = ["n_rows", "sum_tok", "min_tok", "max_tok"]
 
 
+def _shard_hash(tbl: pa.Table, cols: list[str], n: int) -> np.ndarray:
+    """Deterministic int32 shard id from one or more key columns."""
+    import pandas as pd
+
+    acc = np.zeros(tbl.num_rows, dtype=np.uint64)
+    for c in cols:
+        col = tbl[c]
+        if pa.types.is_timestamp(col.type) or pa.types.is_integer(col.type):
+            v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        else:
+            v = pd.util.hash_pandas_object(
+                pd.Series(col.to_pandas()), index=False
+            ).to_numpy()
+        # splitmix-style mix so (a xor b) collisions don't align shards
+        z = (acc ^ v) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        acc = z ^ (z >> np.uint64(27))
+    return (acc % np.uint64(n)).astype(np.int32)
+
+
 def tree_merge(
     partials: "rd.Dataset",
     combine_fn,
     level1_width: int | None = None,
+    final_shards: int = 1,
+    shard_cols: list[str] | None = None,
 ) -> "rd.Dataset":
     """Merge per-block partial aggregates by tree-reduction instead of a
     sort-based groupby shuffle.
@@ -45,8 +67,14 @@ def tree_merge(
     Scale bound: the final combine holds one row per distinct key, i.e.
     sources x buckets inside the run's ingest window — bounded by design
     (runs process bounded time windows, the reference's per-run dataset
-    import model). For unbounded key spaces fall back to
-    ``Dataset.groupby`` (hash/sort shuffle).
+    import model). When level-1 blocks overlap heavily in keys (inputs not
+    clustered by key), the single final combine becomes a serial wall that
+    grows with corpus size; pass ``final_shards > 1`` + ``shard_cols`` to
+    replace it with a key-hash shuffle of the (already lvl1-combined)
+    partials and a PARALLEL per-shard combine — shards are key-disjoint so
+    no further merge is needed. Same shape as the dup-scan's sharded
+    combine (stages/dedup.py scan_duplicate_keys), measured 2.6x faster at
+    8 CPUs there; output rows identical up to order (pytest-asserted).
     """
     from mimirsbrunn_ray.context import pool_size
 
@@ -54,6 +82,23 @@ def tree_merge(
     lvl1 = partials.repartition(width).map_batches(
         combine_fn, batch_format="pyarrow", batch_size=None
     )
+    if final_shards > 1:
+        assert shard_cols, "final_shards > 1 requires shard_cols"
+        cols = list(shard_cols)
+
+        def add_shard(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "_s", pa.array(_shard_hash(b, cols, final_shards))
+            )
+
+        return (
+            lvl1.map_batches(add_shard, batch_format="pyarrow", batch_size=None)
+            .groupby("_s")
+            .map_groups(
+                lambda g: combine_fn(g.drop_columns(["_s"])),
+                batch_format="pyarrow",
+            )
+        )
     return lvl1.repartition(1).map_batches(
         combine_fn, batch_format="pyarrow", batch_size=None
     )
@@ -234,11 +279,20 @@ def generic_rollup(
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
-def rollup(ds: "rd.Dataset", granularity: str, from_tier: str) -> "rd.Dataset":
+def rollup(
+    ds: "rd.Dataset",
+    granularity: str,
+    from_tier: str,
+    final_shards: int = 1,
+) -> "rd.Dataset":
     """Roll a raw or finer rollup tier up to ``granularity``.
 
     ``from_tier`` is "raw" or a finer granularity ("1m", "1h").
-    Returns a Dataset with ROLLUP_SCHEMA.
+    Returns a Dataset with ROLLUP_SCHEMA. ``final_shards > 1`` routes the
+    partial merge through tree_merge's parallel sharded combine — use for
+    large raw tiers whose blocks are not time-clustered (every block then
+    emits partials for most (source, bucket) keys and the single final
+    combine becomes the tier's serial wall).
     """
     assert granularity in BUCKET_US
     if from_tier == "raw":
@@ -248,7 +302,12 @@ def rollup(ds: "rd.Dataset", granularity: str, from_tier: str) -> "rd.Dataset":
         partial = lambda b: _partial_from_rollup(b, granularity)  # noqa: E731
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    agg = tree_merge(partials, _combine_rollup_partials)
+    agg = tree_merge(
+        partials,
+        _combine_rollup_partials,
+        final_shards=final_shards,
+        shard_cols=["source", "bucket"],
+    )
     return agg.map_batches(_finish, batch_format="pyarrow", batch_size=None)
 
 

@@ -24,7 +24,8 @@ def test_multi_partition_tier_chain_matches_single(ray_session, corpus, tmp_path
     run_tiering_job(corpus["main_paths"], root_a, "rA",
                     single_partition=True)
     run_tiering_job(corpus["main_paths"], root_b, "rB",
-                    single_partition=False, dedup_scan_shards=4)
+                    single_partition=False, dedup_scan_shards=4,
+                    rollup_shards=3)
 
     for tier in ("1m", "1h", "1d"):
         a, b = _tier_df(root_a, tier), _tier_df(root_b, tier)
