@@ -1846,3 +1846,34 @@ FROM documents GROUP BY source ORDER BY source
 
 QUERIES["token_len_quantiles"] = q_token_len_quantiles
 ORACLES["token_len_quantiles"] = TOKEN_QUANTILES_SQL
+
+
+def q_tdigest_chars_per_word(sf_dir):
+    """Per-source p50/p90/p99 of chars-per-word — a CONTINUOUS metric, so
+    the bounded-int histogram trick of token_len_quantiles does not apply;
+    this is the documented t-digest fallback (stages/sketch.py, Dunning &
+    Ertl arXiv:1902.04023). Approximate (~O(q(1-q)/delta) rank error) ->
+    rows-only for the driver; tests/test_sketch.py bounds the error vs the
+    exact driver-side quantiles."""
+    from mimirsbrunn_ray.stages.sketch import tdigest_quantiles_per_key
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text", "n_chars"]
+    )
+
+    def cpw_of(b: pa.Table):
+        words = pc.add(pc.count_substring(b["text"], " "), 1)
+        cpw = pc.divide(
+            pc.cast(b["n_chars"], pa.float64()), pc.cast(words, pa.float64())
+        )
+        return (
+            b["source"].to_numpy(zero_copy_only=False),
+            cpw.to_numpy(zero_copy_only=False),
+        )
+
+    return tdigest_quantiles_per_key(docs, "source", cpw_of, delta=200)
+
+
+QUERIES["tdigest_chars_per_word"] = q_tdigest_chars_per_word
+# no oracle: t-digest is approximate by construction; pytest bounds the
+# rank error against exact quantiles on the same corpus

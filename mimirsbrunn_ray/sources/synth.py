@@ -104,6 +104,38 @@ def gap_buckets(n_rows: int, n_gap_buckets: int) -> dict:
     return out
 
 
+def _write_chunked(
+    path: str,
+    idx: np.ndarray,
+    src: np.ndarray,
+    dirty: np.ndarray,
+    chunk: int = 200_000,
+) -> None:
+    """Stream a shard to parquet in bounded sub-chunks.
+
+    ``_make_table`` materializes ~6 transient uint64 arrays of
+    sum(lengths) elements (mean ~178 tokens/row), so building a whole
+    multi-million-row shard at once peaks at GBs per task — 32 concurrent
+    gen tasks OOM'd a 128 GiB box at 64M rows. One ParquetWriter row
+    group per ``chunk`` rows caps the peak near ~1 GiB regardless of
+    shard size; row CONTENT is unchanged (payload is a pure function of
+    the row index), only the row-group layout differs.
+    """
+    writer = None
+    try:
+        for s in range(0, max(len(idx), 1), chunk):
+            tbl = _make_table(idx[s:s + chunk], src[s:s + chunk],
+                              dirty[s:s + chunk])
+            if writer is None:
+                writer = pq.ParquetWriter(path, tbl.schema,
+                                          compression="zstd",
+                                          compression_level=3)
+            writer.write_table(tbl)
+    finally:
+        if writer is not None:
+            writer.close()
+
+
 def _gen_shard(
     out_dir: str,
     shard_id: int,
@@ -158,21 +190,19 @@ def _gen_shard(
         "n_late": int(late_sel.sum()),
         "n_gap_dropped": n_gap_dropped,
     }
-    tbl = _make_table(emit_idx, emit_src, dirty)
-    pq.write_table(tbl, os.path.join(out_dir, f"part-{shard_id:05d}.parquet"),
-                   compression="zstd", compression_level=3)
-    meta["n_rows_written"] += tbl.num_rows
+    _write_chunked(os.path.join(out_dir, f"part-{shard_id:05d}.parquet"),
+                   emit_idx, emit_src, dirty)
+    meta["n_rows_written"] += len(emit_idx)
     meta["n_dirty_main"] += int(dirty.sum())
     if len(late_idx):
         late_dirty = (
             _row_hash(late_idx, seed, 4).astype(np.float64) / 2.0**64
         ) < dirty_frac
-        lt = _make_table(late_idx, late_src, late_dirty)
-        pq.write_table(
-            lt, os.path.join(out_dir, "late", f"part-{shard_id:05d}.parquet"),
-            compression="zstd", compression_level=3,
+        _write_chunked(
+            os.path.join(out_dir, "late", f"part-{shard_id:05d}.parquet"),
+            late_idx, late_src, late_dirty,
         )
-        meta["n_rows_written"] += lt.num_rows
+        meta["n_rows_written"] += len(late_idx)
         meta["n_dirty_late"] += int(late_dirty.sum())
     meta["n_dirty"] = meta["n_dirty_main"] + meta["n_dirty_late"]
     return meta

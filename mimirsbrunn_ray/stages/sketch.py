@@ -1,4 +1,5 @@
-"""Mergeable sketches: HyperLogLog approximate distinct counting.
+"""Mergeable sketches: HyperLogLog approximate distinct counting,
+Misra-Gries heavy hitters, t-digest quantiles.
 
 The reference has no approximate aggregates (SURVEY.md §2.6); at
 10^12-sequence scale exact distinct counts of token values per source would
@@ -284,3 +285,125 @@ def exact_heavy_hitters(
             "n_occurrences": out["n"].cast(pa.int64()),
         }
     ).sort_by("item")
+
+
+# ---------------------------------------------------------------------------
+# t-digest per-key quantiles for CONTINUOUS / unbounded domains — the
+# documented fallback of rollup.exact_quantiles_small_domain (whose histogram
+# trick needs a bounded integer domain). Mergeable centroid summary per
+# Dunning & Ertl, "Computing extremely accurate quantiles using t-digests"
+# (arXiv:1902.04023 — public algorithm): weighted points are sorted and
+# clustered by the k1 (arcsine) scale function, which keeps clusters small
+# near q=0/q=1 and coarse in the middle, giving relative rank error
+# O(q(1-q)/delta). The summary is a flat (key, mean, weight) table bounded
+# by keys x ~delta rows, merged by concatenate-sort-recluster — the same
+# partial + tree_merge shape as the HLL and Misra-Gries sketches above.
+# ---------------------------------------------------------------------------
+
+
+def _tdigest_compress(means: np.ndarray, weights: np.ndarray, delta: int):
+    """Re-cluster weighted points into <= ~delta centroids (k1 scale fn).
+
+    Fully vectorized: sort by mean, midpoint ranks -> q, cluster id =
+    floor(delta * (asin(2q-1)/pi + 1/2)), weighted-mean reduceat per
+    cluster. Deterministic for a given input multiset.
+    """
+    order = np.argsort(means, kind="stable")
+    m, w = means[order], weights[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    q = (cum - w / 2.0) / total  # midpoint rank of each point, in (0, 1)
+    k = np.floor(delta * (np.arcsin(2.0 * q - 1.0) / np.pi + 0.5))
+    starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+    wsum = np.add.reduceat(w, starts)
+    msum = np.add.reduceat(m * w, starts)
+    return msum / wsum, wsum
+
+
+def _tdigest_quantile(
+    means: np.ndarray, weights: np.ndarray, qs
+) -> np.ndarray:
+    """Quantile estimates from a SORTED centroid summary: linear
+    interpolation of centroid means over cumulative midpoint weights."""
+    cum = np.cumsum(weights)
+    mid = cum - weights / 2.0
+    return np.interp(np.asarray(qs, dtype=np.float64) * cum[-1], mid, means)
+
+
+def _per_key_segments(keys: np.ndarray):
+    """(sorted_order, segment_starts) for a key array."""
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+    return order, ks, starts
+
+
+def tdigest_quantiles_per_key(
+    ds: "rd.Dataset",
+    key_col: str,
+    val_fn,
+    qs=(0.5, 0.9, 0.99),
+    q_names=("p50", "p90", "p99"),
+    delta: int = 200,
+) -> pd.DataFrame:
+    """Approximate per-key quantiles of a continuous metric.
+
+    ``val_fn(batch) -> (keys: np str array, values: float64 array)``; null
+    or NaN values must be dropped by the adapter (a NaN would poison its
+    cluster's mean). Output: (key, *q_names) float64 — rank error
+    ~O(q(1-q)/delta), NOT exact: pair with a pytest accuracy bound, not a
+    SQL hash oracle (same contract as approx_distinct_per_key)."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    empty = pa.table(
+        {key_col: pa.array([], pa.string()),
+         "mean": pa.array([], pa.float64()),
+         "weight": pa.array([], pa.float64())}
+    )
+
+    def _summarize(keys: np.ndarray, vals: np.ndarray, wts: np.ndarray):
+        if len(keys) == 0:
+            return empty
+        order, ks, starts = _per_key_segments(keys)
+        v, w = vals[order], wts[order]
+        out_k, out_m, out_w = [], [], []
+        for i, s in enumerate(starts):
+            e = starts[i + 1] if i + 1 < len(starts) else len(ks)
+            cm, cw = _tdigest_compress(v[s:e], w[s:e], delta)
+            out_k.append(np.repeat(ks[s], len(cm)))
+            out_m.append(cm)
+            out_w.append(cw)
+        return pa.table(
+            {
+                key_col: pa.array(np.concatenate(out_k).astype(str),
+                                  type=pa.string()),
+                "mean": pa.array(np.concatenate(out_m).astype(np.float64)),
+                "weight": pa.array(np.concatenate(out_w).astype(np.float64)),
+            }
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, vals = val_fn(b)
+        vals = np.asarray(vals, dtype=np.float64)
+        return _summarize(
+            np.asarray(keys), vals, np.ones(len(vals), dtype=np.float64)
+        )
+
+    def combine(b: pa.Table) -> pa.Table:
+        return _summarize(
+            b[key_col].to_numpy(zero_copy_only=False),
+            b["mean"].to_numpy(zero_copy_only=False),
+            b["weight"].to_numpy(zero_copy_only=False),
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    final = tree_merge(partials, combine).to_pandas()
+    rows = []
+    for k, g in final.groupby(key_col, sort=True):
+        g = g.sort_values("mean")
+        est = _tdigest_quantile(
+            g["mean"].to_numpy(), g["weight"].to_numpy(), qs
+        )
+        rows.append({key_col: k, **dict(zip(q_names, est))})
+    cols = [key_col, *q_names]
+    return pd.DataFrame(rows, columns=cols)

@@ -1,6 +1,7 @@
 """HyperLogLog: accuracy vs exact distinct counts; merge associativity."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from mimirsbrunn_ray.stages.sketch import (
@@ -138,3 +139,112 @@ def test_exact_heavy_hitters_null_values(ray_session):
     ).to_pandas()
     got = dict(zip(out["item"], out["n_occurrences"]))
     assert got == {"a": 60, "b": 40}
+
+
+# ---------------------------------------------------------------------------
+# t-digest quantiles (continuous domains)
+# ---------------------------------------------------------------------------
+
+
+def _rank_of(values: np.ndarray, est: float) -> float:
+    return float(np.searchsorted(np.sort(values), est) / len(values))
+
+
+def test_tdigest_rank_error_lognormal():
+    """Single-pass compress: each quantile estimate's true rank is within
+    0.02 of the requested q on a heavy-tailed continuous distribution."""
+    from mimirsbrunn_ray.stages.sketch import _tdigest_compress, _tdigest_quantile
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(mean=1.0, sigma=0.8, size=100_000)
+    m, w = _tdigest_compress(vals, np.ones(len(vals)), delta=200)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = _tdigest_quantile(m, w, [q])[0]
+        assert abs(_rank_of(vals, est) - q) < 0.02, q
+
+
+def test_tdigest_merge_preserves_accuracy():
+    """Compress 32 chunks independently, concatenate summaries, recompress
+    (the partial + tree_merge shape) — accuracy survives the merge."""
+    from mimirsbrunn_ray.stages.sketch import _tdigest_compress, _tdigest_quantile
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(50.0, 12.0, size=64_000)
+    ms, ws = [], []
+    for chunk in np.array_split(vals, 32):
+        m, w = _tdigest_compress(chunk, np.ones(len(chunk)), delta=200)
+        ms.append(m)
+        ws.append(w)
+    m, w = _tdigest_compress(
+        np.concatenate(ms), np.concatenate(ws), delta=200
+    )
+    assert len(m) < 2 * 200  # stays bounded after merge
+    for q in (0.05, 0.5, 0.95):
+        est = _tdigest_quantile(m, w, [q])[0]
+        assert abs(_rank_of(vals, est) - q) < 0.02, q
+
+
+def test_tdigest_per_key_e2e(ray_session):
+    """Distributed per-key t-digest over many small blocks matches exact
+    per-key quantiles within rank error 0.02; output is deterministic."""
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.sketch import tdigest_quantiles_per_key
+
+    rng = np.random.default_rng(3)
+    n = 40_000
+    keys = np.where(rng.random(n) < 0.7, "a", "b")
+    vals = np.where(
+        keys == "a",
+        rng.lognormal(0.5, 0.6, size=n),
+        rng.normal(20.0, 4.0, size=n),
+    )
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ds = rd.from_arrow(tbl).repartition(16)
+
+    def vf(b: pa.Table):
+        return (
+            b["k"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False),
+        )
+
+    got = tdigest_quantiles_per_key(ds, "k", vf, qs=(0.5, 0.9, 0.99),
+                                    q_names=("p50", "p90", "p99"))
+    got2 = tdigest_quantiles_per_key(ds, "k", vf, qs=(0.5, 0.9, 0.99),
+                                     q_names=("p50", "p90", "p99"))
+    assert got.equals(got2)  # deterministic across runs
+    assert list(got["k"]) == ["a", "b"]
+    for _, row in got.iterrows():
+        kv = vals[keys == row["k"]]
+        for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            assert abs(_rank_of(kv, row[col]) - q) < 0.02, (row["k"], col)
+
+
+def test_tdigest_driver_query_vs_exact(ray_session):
+    """q_tdigest_chars_per_word on the sf0.001 fixture: every estimate
+    within 2% relative error of the exact continuous quantile."""
+    import duckdb
+
+    from mimirsbrunn_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["tdigest_chars_per_word"]("/root/testdata/sf0.001")
+    exact = duckdb.sql(
+        """
+        SELECT source,
+               quantile_cont(cpw, 0.5) AS p50,
+               quantile_cont(cpw, 0.9) AS p90,
+               quantile_cont(cpw, 0.99) AS p99
+        FROM (
+          SELECT source,
+                 n_chars::DOUBLE
+                   / (len(text) - len(replace(text, ' ', '')) + 1) AS cpw
+          FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+        ) GROUP BY source ORDER BY source
+        """
+    ).df()
+    assert list(got["source"]) == list(exact["source"])
+    for col in ("p50", "p90", "p99"):
+        rel = np.abs(got[col].to_numpy() - exact[col].to_numpy()) / np.abs(
+            exact[col].to_numpy()
+        )
+        assert (rel < 0.02).all(), (col, rel)
