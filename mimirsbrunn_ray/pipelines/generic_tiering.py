@@ -146,8 +146,13 @@ def run_generic_tiering_job(
             continue
         counters = new_counters()
         if prev == "raw":
-            raw = rd.read_parquet(store.latest_data_paths("raw"),
-                                  columns=[key_col, ts_col, value_col])
+            from mimirsbrunn_ray.sources.ingest import order_paths_by_time
+
+            # footer-stat time sort: blocks packing several uuid-named
+            # files then cover contiguous time (see pipelines/tiering.py)
+            raw = rd.read_parquet(
+                order_paths_by_time(store.latest_data_paths("raw"), ts_col),
+                columns=[key_col, ts_col, value_col])
             t = generic_rollup(raw, key_col, ts_col, value_col, gran)
 
             def add_fill_cols(b: pa.Table) -> pa.Table:

@@ -216,9 +216,15 @@ def run_tiering_job(
         if prev_mat is not None:
             return prev_mat
         cols = ["source", "ts", "n_tok"] if prev == "raw" else None
-        from mimirsbrunn_ray.sources.ingest import num_blocks_for
+        from mimirsbrunn_ray.sources.ingest import num_blocks_for, order_paths_by_time
 
         paths = store.latest_data_paths(prev)
+        if prev == "raw":
+            # time-sort the uuid-named files (footer stats only) so blocks
+            # that pack several files cover CONTIGUOUS time -> per-block
+            # rollup partials stay ~sources x buckets-in-block instead of
+            # sources x buckets-in-corpus (the raw->1m serial-combine wall)
+            paths = order_paths_by_time(paths)
         return rd.read_parquet(paths, columns=cols,
                                override_num_blocks=num_blocks_for(paths))
 

@@ -71,6 +71,48 @@ def num_blocks_for(paths, target_bytes: int = 128 << 20) -> int:
     return max(cpus, total // target_bytes + 1)
 
 
+def order_paths_by_time(paths: list[str], ts_col: str = "ts") -> list[str]:
+    """Order parquet files by their footer's min(ts) statistic.
+
+    Each raw-tier file is time-CONTIGUOUS (ingest blocks are contiguous
+    slices of the time-ordered input and every stage preserves row order
+    within a block), but Ray's uuid-prefixed file names glob back in an
+    order that is RANDOM with respect to time. A read that packs several
+    files per block then hands the rollup batches spanning scattered time
+    ranges, and per-block partials blow up toward sources x ALL buckets
+    (the measured 7.1M-partial / ~9 s serial combine wall). Footer-only
+    sort — no data read, O(files) like the existing row-count probe —
+    restores global time-clustering so a block's partials collapse to
+    sources x the few buckets it actually covers. Files without usable
+    stats sort last, in name order (deterministic either way).
+    """
+    import pyarrow.parquet as pq
+
+    def _min_ts(path: str):
+        try:
+            md = pq.read_metadata(path)
+        except Exception:
+            return None
+        lo = None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                # leaf path, not arrow field index: list columns flatten
+                # to multiple leaves and shift positional indexes
+                if col.path_in_schema != ts_col:
+                    continue
+                st = col.statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+        return lo
+
+    keyed = [(_min_ts(p), p) for p in sorted(paths)]
+    with_ts = [(t, p) for t, p in keyed if t is not None]
+    without = [p for t, p in keyed if t is None]
+    return [p for _, p in sorted(with_ts, key=lambda x: (x[0], x[1]))] + without
+
+
 def parse_doc_index(doc_id: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Vectorized parse of the trailing index of ``doc-{source}-{i:010d}``.
 

@@ -431,3 +431,30 @@ def test_asof_join_bucketed_matches_broadcast(ray_session):
         if inner:
             pd.testing.assert_frame_equal(norm(got_b), norm(want))
             assert len(got_b) > 0
+
+
+def test_order_paths_by_time(tmp_path):
+    """Footer-stat time sort: name order is adversarially reversed vs time
+    order; a list column is present (leaf-column indexing must match the
+    ts path, not the arrow field position); a stats-less file sorts last."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mimirsbrunn_ray.sources.ingest import order_paths_by_time
+
+    def write(name, ts_lo, stats=True):
+        t = pa.table({
+            "tokens": pa.array([[1, 2], [3]], type=pa.list_(pa.int32())),
+            "ts": pa.array([ts_lo, ts_lo + 10], type=pa.timestamp("us")),
+        })
+        p = str(tmp_path / name)
+        pq.write_table(t, p, write_statistics=stats)
+        return p
+
+    # names z,y,x,w -> glob order REVERSES time order
+    a = write("z.parquet", 100)
+    b = write("y.parquet", 200)
+    c = write("x.parquet", 300)
+    d = write("w.parquet", 400, stats=False)
+    got = order_paths_by_time([c, a, d, b])
+    assert got == [a, b, c, d]  # time order, stats-less last
