@@ -1197,13 +1197,23 @@ def q_media_features(sf_dir):
     feats = decode_media(resized, impl="real", concurrency=(1, 4))
 
     def finish(b: pa.Table) -> pa.Table:
-        lists = b["features"].combine_chunks()
-        offs = lists.offsets.to_numpy(zero_copy_only=False)
-        vals = lists.values.to_numpy(zero_copy_only=False)
-        sums = np.add.reduceat(vals, offs[:-1]) if len(vals) else np.array([])
-        n_feat = np.diff(offs)
-        # per-row argmax over the ragged values, vectorized via reduceat max
-        mx = np.maximum.reduceat(vals, offs[:-1]) if len(vals) else np.array([])
+        # list_flatten / list_value_length honor slice offsets — raw
+        # .offsets/.values on a sliced ListArray would mis-segment, and
+        # reduceat would raise on an empty trailing list (start == len)
+        n_feat = pc.fill_null(
+            pc.list_value_length(b["features"]), 0
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = pc.list_flatten(b["features"]).to_numpy(zero_copy_only=False)
+        starts = np.zeros(len(n_feat) + 1, dtype=np.int64)
+        np.cumsum(n_feat, out=starts[1:])
+        sums = np.zeros(len(n_feat))
+        mx = np.zeros(len(n_feat))
+        nz = n_feat > 0
+        if nz.any():
+            # empty rows contribute no values, so segments between
+            # consecutive NON-EMPTY starts are exactly those rows' values
+            sums[nz] = np.add.reduceat(vals, starts[:-1][nz])
+            mx[nz] = np.maximum.reduceat(vals, starts[:-1][nz])
         return pa.table(
             {
                 "media_id": b["media_id"],

@@ -212,19 +212,30 @@ def run_tiering_job(
     # pinning it in the object store is safe even at 10^12-row scale.
     prev_mat = None  # materialized Dataset of the previous (finer) tier
 
+    raw_footer: dict = {}  # ONE footer pass serves ordering + row count
+
+    def _raw_stats():
+        if not raw_footer:
+            from mimirsbrunn_ray.sources.ingest import order_and_count_paths
+
+            paths, rows = order_and_count_paths(store.latest_data_paths("raw"))
+            raw_footer["paths"], raw_footer["rows"] = paths, rows
+        return raw_footer
+
     def _fine(prev: str):
         if prev_mat is not None:
             return prev_mat
         cols = ["source", "ts", "n_tok"] if prev == "raw" else None
-        from mimirsbrunn_ray.sources.ingest import num_blocks_for, order_paths_by_time
+        from mimirsbrunn_ray.sources.ingest import num_blocks_for
 
-        paths = store.latest_data_paths(prev)
         if prev == "raw":
             # time-sort the uuid-named files (footer stats only) so blocks
             # that pack several files cover CONTIGUOUS time -> per-block
             # rollup partials stay ~sources x buckets-in-block instead of
             # sources x buckets-in-corpus (the raw->1m serial-combine wall)
-            paths = order_paths_by_time(paths)
+            paths = _raw_stats()["paths"]
+        else:
+            paths = store.latest_data_paths(prev)
         return rd.read_parquet(paths, columns=cols,
                                override_num_blocks=num_blocks_for(paths))
 
@@ -236,12 +247,7 @@ def run_tiering_job(
         if rollup_shards is not None:
             return max(1, rollup_shards)
         # auto: footer-only row count of the committed raw tier (no scan)
-        import pyarrow.parquet as pq
-
-        rows = sum(
-            pq.read_metadata(p).num_rows for p in store.latest_data_paths("raw")
-        )
-        if rows <= 8_000_000:
+        if _raw_stats()["rows"] <= 8_000_000:
             return 1
         from mimirsbrunn_ray.context import pool_size
 

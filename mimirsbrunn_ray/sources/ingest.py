@@ -88,11 +88,24 @@ def order_paths_by_time(paths: list[str], ts_col: str = "ts") -> list[str]:
     """
     import pyarrow.parquet as pq
 
-    def _min_ts(path: str):
+    return order_and_count_paths(paths, ts_col)[0]
+
+
+def order_and_count_paths(
+    paths: list[str], ts_col: str = "ts"
+) -> tuple[list[str], int]:
+    """One footer pass per file -> (time-ordered paths, total row count).
+
+    Callers that need both the time ordering AND the tier's row count
+    (tiering's raw->1m hop sizes its final combine from the count) share a
+    single metadata read per file instead of two."""
+    import pyarrow.parquet as pq
+
+    def _stats(path: str):
         try:
             md = pq.read_metadata(path)
         except Exception:
-            return None
+            return None, 0
         lo = None
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
@@ -105,12 +118,16 @@ def order_paths_by_time(paths: list[str], ts_col: str = "ts") -> list[str]:
                 st = col.statistics
                 if st is not None and st.has_min_max:
                     lo = st.min if lo is None else min(lo, st.min)
-        return lo
+        return lo, md.num_rows
 
-    keyed = [(_min_ts(p), p) for p in sorted(paths)]
-    with_ts = [(t, p) for t, p in keyed if t is not None]
-    without = [p for t, p in keyed if t is None]
-    return [p for _, p in sorted(with_ts, key=lambda x: (x[0], x[1]))] + without
+    keyed = [(*_stats(p), p) for p in sorted(paths)]
+    rows = sum(n for _, n, _ in keyed)
+    with_ts = [(t, p) for t, _, p in keyed if t is not None]
+    without = [p for t, _, p in keyed if t is None]
+    ordered = [
+        p for _, p in sorted(with_ts, key=lambda x: (x[0], x[1]))
+    ] + without
+    return ordered, rows
 
 
 def parse_doc_index(doc_id: pa.ChunkedArray | pa.Array) -> np.ndarray:

@@ -229,25 +229,30 @@ def _candidate_pairs_from_bands(band_rows: "rd.Dataset", num_buckets: int = 32):
 
 
 class _CandidateShingles:
-    """Shipped-instance stage: emit (doc_id, shingles) for CANDIDATE docs
-    only. The candidate-id set (bounded by the near-dup count) travels once
-    with the task spec (Ray broadcasts the fn via the object store); the
-    corpus streams through and non-candidates are filtered out with a
-    vectorized ``is_in`` — no driver-side corpus scan."""
+    """Shipped-instance stage: emit (doc_id, shingles) rows. With ``cand``
+    set, only CANDIDATE docs pass (the candidate-id set — bounded by the
+    near-dup count — travels once with the task spec and filters via a
+    vectorized ``is_in``); with ``cand=None`` every doc gets a row (the
+    unbounded path, which attaches shingles by Dataset.join instead of a
+    broadcast). Shingle sets are BINARY-encoded sorted int64 (Acero hash
+    joins reject list payload columns — the stages/simjoin.py lesson)."""
 
-    def __init__(self, cand: pa.Array, k: int):
+    def __init__(self, cand: pa.Array | None, k: int):
         self.cand = cand
         self.k = k
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        keep = pc.fill_null(pc.is_in(b["doc_id"], value_set=self.cand), False)
-        b = b.filter(keep)
+        if self.cand is not None:
+            keep = pc.fill_null(
+                pc.is_in(b["doc_id"], value_set=self.cand), False
+            )
+            b = b.filter(keep)
         texts = b["text"].to_pylist()
         if not texts:
             return pa.table(
                 {
                     "doc_id": b["doc_id"],
-                    "shingles": pa.array([], type=pa.list_(pa.int64())),
+                    "shingles": pa.array([], type=pa.binary()),
                 }
             )
         vals, offsets = _batch_shingle_hashes(texts, self.k)
@@ -256,33 +261,33 @@ class _CandidateShingles:
             {
                 "doc_id": b["doc_id"],
                 "shingles": pa.array(
-                    [np.unique(s) for s in splits], type=pa.list_(pa.int64())
+                    [np.unique(s).tobytes() for s in splits],
+                    type=pa.binary(),
                 ),
             }
         )
 
 
-class _VerifyPairs:
-    """Shipped-instance stage over the candidate-pair dataset: exact
-    Jaccard against the broadcast candidate-shingle map, keep pairs >=
-    threshold."""
+class _VerifyShinglesJoined:
+    """Shuffle-join verify: each candidate-pair row arrives with BOTH
+    binary-encoded shingle sets attached after two Dataset.joins — no
+    driver state of any size. Exact Jaccard, keep pairs >= threshold."""
 
-    def __init__(self, shingles: dict, threshold: float):
-        self.shingles = shingles  # {doc_id: sorted int64 array}
-        self.threshold = threshold
+    def __init__(self, threshold: float):
+        self.t = threshold
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        a_ids = b["a"].to_pylist()
-        b_ids = b["b"].to_pylist()
-        empty = np.array([], dtype=np.int64)
-        keep = np.zeros(len(a_ids), dtype=bool)
-        for i, (x, y) in enumerate(zip(a_ids, b_ids)):
-            sa = self.shingles.get(x, empty)
-            sb = self.shingles.get(y, empty)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            uni = len(sa) + len(sb) - inter
-            keep[i] = bool(uni) and inter / uni >= self.threshold
-        return b.filter(pa.array(keep))
+        sa = b["sh_a"].to_pylist()
+        sb = b["sh_b"].to_pylist()
+        keep = np.zeros(b.num_rows, dtype=bool)
+        for i, (x, y) in enumerate(zip(sa, sb)):
+            xa = np.frombuffer(x or b"", dtype=np.int64)
+            ya = np.frombuffer(y or b"", dtype=np.int64)
+            inter = len(np.intersect1d(xa, ya, assume_unique=True))
+            uni = len(xa) + len(ya) - inter
+            keep[i] = bool(uni) and inter / uni >= self.t
+        m = pa.array(keep)
+        return pa.table({"a": b["a"].filter(m), "b": b["b"].filter(m)})
 
 
 def minlabel_propagation(
@@ -297,12 +302,18 @@ def minlabel_propagation(
     verified pair list itself exceeds driver memory (VERDICT r2 item 1).
 
     Iterated label propagation: every node starts labeled with itself;
-    each round joins the symmetric edge list against the current labels
-    and takes the per-node min of (own label, neighbor labels). Converges
-    in <= diameter rounds (near-dup clusters are shallow); convergence is
-    detected EXACTLY by counting changed labels via a join — no
-    probabilistic fingerprint. All state lives in Datasets; the driver
-    sees only per-round change counts.
+    each round joins the symmetric edge list — AUGMENTED with shortcut
+    edges (node <-> its current label), the pointer-jumping trick — against
+    the current labels and takes the per-node min of (own label, neighbor
+    labels). Shortcut edges let the min label travel 2^k hops by round k,
+    so convergence is O(log diameter) rounds, not O(diameter): a
+    64-round cap covers any component a physical corpus can hold.
+    Shortcut edges never cross components (a node's label is always some
+    member of its own component), so the fixpoint is unchanged.
+    Convergence is detected EXACTLY by counting changed labels via a join
+    — no probabilistic fingerprint — and a non-converged exit RAISES
+    rather than returning split clusters. All state lives in Datasets;
+    the driver sees only per-round change counts.
 
     Returns (node, cluster) for every node appearing in a pair.
     """
@@ -340,8 +351,21 @@ def minlabel_propagation(
         .materialize()
     )
 
+    def shortcut_edges(b: pa.Table) -> pa.Table:
+        n = b["node"].combine_chunks() if isinstance(
+            b["node"], pa.ChunkedArray) else b["node"]
+        l = b["label"].combine_chunks() if isinstance(
+            b["label"], pa.ChunkedArray) else b["label"]
+        return pa.table(
+            {"u": pa.concat_arrays([n, l]), "v": pa.concat_arrays([l, n])}
+        )
+
     for _ in range(max_iters):
-        nbr = edges.join(
+        aug = edges.union(
+            labels.map_batches(shortcut_edges, batch_format="pyarrow",
+                               batch_size=None)
+        )
+        nbr = aug.join(
             labels, join_type="inner", num_partitions=n_part,
             on=("v",), right_on=("node",),
         ).map_batches(
@@ -375,6 +399,12 @@ def minlabel_propagation(
         labels = new_labels
         if not changed:
             break
+    else:
+        raise RuntimeError(
+            f"minlabel_propagation: not converged after {max_iters} rounds "
+            "(with shortcut edges this needs a component of diameter "
+            f"> 2^{max_iters}; raise max_iters or check for label churn)"
+        )
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "cluster": b["label"]}),
         batch_format="pyarrow", batch_size=None,
@@ -427,10 +457,13 @@ def minhash_lsh_dedup(
 
     ``cluster_mode``: ``"driver"`` (default) runs union-find over the
     verified pair list on the driver — right while the pair list is
-    near-dup-scale. ``"propagate"`` runs ``minlabel_propagation`` — the
-    verified pairs stay a DATASET, labels converge by iterated
-    join+groupby-min, and the corpus labeling is a distributed left-outer
-    join — for adversarial corpora whose pair list exceeds driver memory.
+    near-dup-scale. ``"propagate"`` is the UNBOUNDED path: candidate pairs
+    stay a Dataset end-to-end (batch-local dedup only), shingles are
+    computed for the whole corpus in-stream and attached by two
+    hash-shuffle ``Dataset.join``s (the simjoin.py unbounded-verify
+    shape), and ``minlabel_propagation`` + a distributed left-outer join
+    produce the labels — nothing driver-sized anywhere, for adversarial
+    corpora whose pair list exceeds driver memory.
     Both modes return identical output (tests/test_unbounded_paths.py).
     """
     import ray
@@ -445,32 +478,17 @@ def minhash_lsh_dedup(
         batch_format="pyarrow",
         batch_size=None,
     )
-    # candidate pairs: bounded by the near-dup count -> driver-safe
-    cand = _candidate_pairs_from_bands(band_rows).to_pandas().drop_duplicates()
 
     schema = docs_small.schema()
     arrow_schema = getattr(schema, "base_schema", schema)
     id_type = arrow_schema.field("doc_id").type
-    if len(cand) == 0:
+
+    def identity_clusters() -> "rd.Dataset":
         return docs_small.map_batches(
             lambda b: pa.table({"doc_id": b["doc_id"], "cluster": b["doc_id"]}),
             batch_format="pyarrow",
             batch_size=None,
         )
-
-    cand_ids = pd.unique(pd.concat([cand["a"], cand["b"]], ignore_index=True))
-
-    # shingles for candidate docs, computed IN the stream (corpus never
-    # leaves the workers); collected result is O(candidates)
-    cand_shingles = docs_small.map_batches(
-        _CandidateShingles(pa.array(cand_ids, type=id_type), k),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).take_all()
-    shingle_map = {
-        r["doc_id"]: np.asarray(r["shingles"], dtype=np.int64)
-        for r in cand_shingles
-    }
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -481,18 +499,59 @@ def minhash_lsh_dedup(
         )
 
     if cluster_mode == "propagate":
-        # pairs stay a DATASET end-to-end: distributed verify feeding the
-        # label-propagation joins
-        pairs_ds = rd.from_arrow(
-            pa.Table.from_pandas(cand, preserve_index=False)
+        from mimirsbrunn_ray.stages.simjoin import _unique_pair_rows
+
+        n_part = max(8, pool_size())
+        # batch-local pair dedup only (lexsort over real ids, lossless);
+        # cross-batch duplicate witnesses are verified redundantly and are
+        # harmless to min-label propagation (duplicate edges don't change
+        # the fixpoint) — trading a full pair shuffle for repeated work
+        cand_ds = (
+            _candidate_pairs_from_bands(band_rows)
+            .map_batches(
+                lambda b: b.take(pa.array(_unique_pair_rows(b))),
+                batch_format="pyarrow", batch_size=None,
+            )
+            .materialize()
         )
-        verified_ds = pairs_ds.map_batches(
-            _VerifyPairs(shingle_map, threshold),
+        if cand_ds.count() == 0:
+            return identity_clusters()
+        # whole-corpus shingle table, computed in-stream; consumed by BOTH
+        # verify joins, so materialize once
+        shingle_tbl = docs_small.map_batches(
+            _CandidateShingles(None, k),
+            batch_format="pyarrow", batch_size=None,
+        ).materialize()
+        # repartition squashes the schema-less empty blocks bucketed
+        # map_groups can emit — one reaching a join partition crashes Acero
+        pairs_r = cand_ds.repartition(n_part)
+        j1 = pairs_r.join(
+            shingle_tbl, join_type="inner", num_partitions=n_part,
+            on=("a",), right_on=("doc_id",),
+        ).map_batches(
+            lambda b: pa.table(
+                {"a": b["a"], "b": b["b"], "sh_a": b["shingles"]}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        ).repartition(n_part)  # squash the join's own schema-less empties
+        j2 = j1.join(
+            shingle_tbl, join_type="inner", num_partitions=n_part,
+            on=("b",), right_on=("doc_id",),
+        ).map_batches(
+            lambda b: pa.table(
+                {"a": b["a"], "b": b["b"], "sh_a": b["sh_a"],
+                 "sh_b": b["shingles"]}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        verified_ds = j2.map_batches(
+            _VerifyShinglesJoined(threshold),
             batch_format="pyarrow",
             batch_size=None,
-        )
+        ).materialize()
+        if verified_ds.count() == 0:  # every candidate refuted by Jaccard
+            return identity_clusters()
         labels = minlabel_propagation(verified_ds)
-        n_part = max(8, pool_size())
         labeled = (
             docs_small.select_columns(["doc_id"])
             .repartition(n_part)
@@ -504,6 +563,25 @@ def minhash_lsh_dedup(
         return labeled.map_batches(
             finish, batch_format="pyarrow", batch_size=None
         )
+
+    # candidate pairs: bounded by the near-dup count -> driver-safe
+    cand = _candidate_pairs_from_bands(band_rows).to_pandas().drop_duplicates()
+    if len(cand) == 0:
+        return identity_clusters()
+
+    cand_ids = pd.unique(pd.concat([cand["a"], cand["b"]], ignore_index=True))
+
+    # shingles for candidate docs, computed IN the stream (corpus never
+    # leaves the workers); collected result is O(candidates)
+    cand_shingles = docs_small.map_batches(
+        _CandidateShingles(pa.array(cand_ids, type=id_type), k),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
+    shingle_map = {
+        r["doc_id"]: np.frombuffer(r["shingles"] or b"", dtype=np.int64)
+        for r in cand_shingles
+    }
 
     # driver mode: the pair list AND the shingle map are already on the
     # driver (both O(near-dups)), so verifying locally saves a whole Ray

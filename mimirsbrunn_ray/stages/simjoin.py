@@ -553,7 +553,7 @@ def ngram_jaccard_join(
         gram_tbl = docs.map_batches(
             _GramSets(None, n), batch_format="pyarrow", batch_size=None,
             **mb_kwargs,
-        )
+        ).materialize()  # consumed by BOTH joins — don't recompute the grams
         n_part = max(8, pool_size())
         # repartition squashes the schema-less empty blocks that bucketed
         # map_groups emits — one reaching a join partition crashes Acero
@@ -567,7 +567,7 @@ def ngram_jaccard_join(
                 {"a": b["a"], "b": b["b"], "grams_a": b["grams"]}
             ),
             batch_format="pyarrow", batch_size=None,
-        )
+        ).repartition(n_part)  # squash the join's own schema-less empties
         j2 = j1.join(
             gram_tbl, join_type="inner", num_partitions=n_part,
             on=("b",), right_on=("doc_id",),

@@ -384,9 +384,15 @@ def tdigest_quantiles_per_key(
 
     def partial(b: pa.Table) -> pa.Table:
         keys, vals = val_fn(b)
+        keys = np.asarray(keys)
         vals = np.asarray(vals, dtype=np.float64)
+        # defensive: one NaN/inf would poison its cluster's weighted mean
+        # and every later merge — drop here regardless of the adapter
+        ok = np.isfinite(vals)
+        if not ok.all():
+            keys, vals = keys[ok], vals[ok]
         return _summarize(
-            np.asarray(keys), vals, np.ones(len(vals), dtype=np.float64)
+            keys, vals, np.ones(len(vals), dtype=np.float64)
         )
 
     def combine(b: pa.Table) -> pa.Table:

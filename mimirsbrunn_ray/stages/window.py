@@ -206,10 +206,13 @@ def asof_join_bucketed(
         if left_mask.any():
             keys = g[key].to_numpy()
             uk, kidx = np.unique(keys, return_inverse=True)
-            t0 = ts.min()
-            span = np.int64(ts.max() - t0 + 2)
-            max_keys = max(1, int((np.iinfo(np.int64).max // 2) // span))
             usable = ~null_ts
+            # span over NON-NULL ts only: a fillna(0) row would stretch the
+            # span to the full epoch and shrink max_keys ~500x (chunk storm)
+            tu = ts[usable] if usable.any() else np.zeros(1, dtype=np.int64)
+            t0 = tu.min()
+            span = np.int64(tu.max() - t0 + 2)
+            max_keys = max(1, int((np.iinfo(np.int64).max // 2) // span))
             for start in range(0, len(uk), max_keys):
                 stop = min(start + max_keys, len(uk))
                 sel = (kidx >= start) & (kidx < stop) & usable
