@@ -448,12 +448,14 @@ def minhash_lsh_dedup(
     the near-dup group (the deterministic keep-min winner rule,
     /root/reference/src/osm_reader/street.rs:202-234).
 
-    Scale shape: signatures/banding shuffle once; candidate pairs are
-    verified with exact shingle Jaccard in an actor pool against a
-    broadcast candidate-shingle map; the final labeling is a broadcast-map
-    join over the streaming corpus. Driver memory is bounded by the
-    candidate-pair count (O(near-dups)); the corpus is never pulled to the
-    driver.
+    Scale shape (driver mode): signatures/banding shuffle once; candidate
+    shingles are computed in-stream behind a broadcast ``is_in`` filter
+    and collected; pairs are verified with exact shingle Jaccard locally
+    (the pair list and shingle map are already driver-held and tiny, so a
+    local verify saves one whole Ray execution); the final labeling is a
+    broadcast-map join over the streaming corpus. Driver memory is
+    bounded by the candidate-pair count (O(near-dups)); the corpus is
+    never pulled to the driver.
 
     ``cluster_mode``: ``"driver"`` (default) runs union-find over the
     verified pair list on the driver — right while the pair list is
