@@ -604,11 +604,15 @@ def ngram_jaccard_join(
             for did, buf in zip(ids, bt["grams"].to_pylist()):
                 gram_map[did] = np.frombuffer(buf or b"", dtype=np.int64)
 
-        verified = pairs.map_batches(
-            _VerifyJaccard(gram_map, threshold),
-            batch_format="pyarrow",
-            batch_size=None,
-            **mb_kwargs,
+        # driver-local verify + dedup: the pair list AND the gram map are
+        # already driver-held (both bounded by the candidate count), so
+        # verifying here saves a whole Ray execution's fixed cost — the
+        # same trade stages/neardup.py makes in its driver cluster mode
+        vt = _VerifyJaccard(gram_map, threshold)(cand_tbl)
+        if vt.num_rows == 0:
+            return rd.from_arrow(_empty_result())
+        return rd.from_arrow(
+            vt.take(pa.array(_unique_pair_rows(vt, "doc_a", "doc_b")))
         )
 
     def final_dedup(b: pa.Table) -> pa.Table:
