@@ -1887,3 +1887,32 @@ def q_tdigest_chars_per_word(sf_dir):
 QUERIES["tdigest_chars_per_word"] = q_tdigest_chars_per_word
 # no oracle: t-digest is approximate by construction; pytest bounds the
 # rank error against exact quantiles on the same corpus
+
+
+def q_topk_docs_per_lang(sf_dir):
+    """Per-group top-k: for each language, the 3 largest documents by
+    n_chars (doc_id ascending on ties) — the windowed ROW_NUMBER analog
+    of bragi's top-k paging applied per partition key (O4 family)."""
+    from mimirsbrunn_ray.stages.search import grouped_top_k
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "doc_id", "n_chars"]
+    )
+    return grouped_top_k(
+        docs, ["lang"], "n_chars", k=3, descending=True,
+        tiebreak_cols=["doc_id"],
+    )
+
+
+TOPK_PER_LANG_SQL = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 3
+"""
+
+QUERIES["topk_docs_per_lang"] = q_topk_docs_per_lang
+ORACLES["topk_docs_per_lang"] = TOPK_PER_LANG_SQL

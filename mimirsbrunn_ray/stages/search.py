@@ -157,3 +157,58 @@ def autocomplete(
     if first.count() > 0:
         return first
     return fuzzy_search(docs, query, k=k, offset=offset, **kwargs)
+
+
+def _group_rank_prune(group_cols, sort_cols, k: int):
+    """Vectorized per-block prune: keep the best ``k`` rows of every group
+    PRESENT IN THE BLOCK. Sort once, then a numpy segment-rank (no per-group
+    loop) — the same segment arithmetic as simjoin's prefix ranking."""
+
+    def prune(b: pa.Table) -> pa.Table:
+        if b.num_rows <= 1:
+            return b
+        b = b.sort_by(sort_cols)
+        new_seg = np.zeros(b.num_rows, dtype=bool)
+        new_seg[0] = True
+        for c in group_cols:
+            v = b[c].to_numpy(zero_copy_only=False)
+            new_seg[1:] |= v[1:] != v[:-1]
+        seg_starts = np.flatnonzero(new_seg)
+        seg_sizes = np.diff(np.append(seg_starts, b.num_rows))
+        rank = np.arange(b.num_rows) - np.repeat(seg_starts, seg_sizes)
+        return b.filter(pa.array(rank < k))
+
+    return prune
+
+
+def grouped_top_k(
+    ds: "rd.Dataset",
+    group_cols,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_cols=(),
+) -> "rd.Dataset":
+    """Per-group top-k — the windowed `ROW_NUMBER() OVER (PARTITION BY g
+    ORDER BY v) <= k` analog of bragi's global top-k paging (O4 family,
+    /root/reference/libs/bragi/src/routes/autocomplete.rs:56-73 applied
+    per partition key).
+
+    Scale shape: a per-batch PARTIAL prune first (each batch keeps at most
+    k rows per group it sees, so the shuffle moves <= k x groups-per-batch
+    rows, never the corpus) -> ONE hash shuffle on the group key ->
+    the same vectorized rank-filter as the final per-group top-k. No
+    global sort; ``tiebreak_cols`` make the result deterministic under
+    ties (always pass them when ``order_col`` has duplicates).
+    """
+    group_cols = list(group_cols)
+    sort_cols = (
+        [(c, "ascending") for c in group_cols]
+        + [(order_col, "descending" if descending else "ascending")]
+        + [(c, "ascending") for c in tiebreak_cols]
+    )
+    prune = _group_rank_prune(group_cols, sort_cols, k)
+    partial = ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
+    return partial.groupby(group_cols).map_groups(
+        prune, batch_format="pyarrow"
+    )

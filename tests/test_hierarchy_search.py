@@ -177,3 +177,40 @@ def test_fuzzy_driver_query_fires_fallback(ray_session):
     out = q_fuzzy_search_docs(sf).to_pandas()
     assert len(out) == _FUZZY_K
     assert (out["score"] > 0).all()
+
+
+def test_grouped_top_k_matches_pandas(ray_session):
+    """Per-group top-k vs pandas groupby/head: string keys, ties broken by
+    id asc, groups smaller than k, and a group key absent in some batches
+    (the partial prune must stay per-block-exact)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.search import grouped_top_k
+
+    rng = np.random.default_rng(7)
+    n = 5_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["en", "fr", "de", "zz_rare"], n, p=[0.5, 0.3, 0.199, 0.001]),
+            "v": rng.integers(0, 50, n),  # heavy ties
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    got = (
+        grouped_top_k(ds, ["g"], "v", k=5, tiebreak_cols=["id"])
+        .to_pandas()
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .groupby("g", sort=True)
+        .head(5)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "v", "id"]], want[["g", "v", "id"]])
+    # the rare group has fewer rows than k and must survive whole
+    assert (want.g == "zz_rare").sum() == (got.g == "zz_rare").sum()
