@@ -1916,3 +1916,97 @@ SELECT lang, doc_id, n_chars FROM (
 
 QUERIES["topk_docs_per_lang"] = q_topk_docs_per_lang
 ORACLES["topk_docs_per_lang"] = TOPK_PER_LANG_SQL
+
+
+def q_customers_without_events(sf_dir):
+    """Bloom-pruned EXACT anti-join (D4 at scale): customers with no
+    activity in the events stream. A fixed-size bloom of the event
+    user_ids is built distributed (fixed-size partial blooms OR-merged by
+    tree reduction) and broadcast once per actor; customers the bloom
+    calls DEFINITELY absent are final results with NO shuffle (a bloom
+    has no false negatives), and only the maybe-present survivors go
+    through the exact distributed anti-join (left_outer + null-marker
+    filter) — the late-batch anti-join discipline of pipelines/late.py
+    as a standalone operator. On this corpus ~90% of customers skip the
+    join; the result stays exact, so the oracle is a plain NOT EXISTS."""
+    import ray
+
+    from mimirsbrunn_ray.context import pool_size
+    from mimirsbrunn_ray.sources.synth import _splitmix64
+    from mimirsbrunn_ray.stages.sketch import bloom_contains, bloom_from_dataset
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def key_hashes(b: pa.Table):
+        return _splitmix64(
+            b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+
+    bloom_ref = ray.put(bloom_from_dataset(events, key_hashes, n_bits=1 << 21))
+
+    class _BloomFlag:
+        def __init__(self, ref):
+            self.words = ray.get(ref)  # once per actor
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            h = _splitmix64(
+                b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            return b.append_column(
+                "maybe", pa.array(bloom_contains(self.words, h))
+            )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    flagged = cust.map_batches(
+        _BloomFlag, fn_constructor_kwargs={"ref": bloom_ref},
+        batch_format="pyarrow", batch_size=None,
+        concurrency=(1, pool_size()),
+    ).materialize()  # ONE customer scan feeds both branches
+
+    def drop_flag(b: pa.Table) -> pa.Table:
+        return b.select(["c_custkey", "c_name"])
+
+    absent = flagged.filter(expr="maybe == False").map_batches(
+        drop_flag, batch_format="pyarrow", batch_size=None
+    )
+
+    n_part = max(8, pool_size())
+    right = (
+        events.groupby("user_id")
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {"user_id": b["user_id"],
+                 "has_event": pa.array(np.ones(b.num_rows, np.int8))}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        .repartition(n_part)
+    )
+    confirmed = (
+        flagged.filter(expr="maybe == True")
+        .map_batches(drop_flag, batch_format="pyarrow", batch_size=None)
+        .repartition(n_part)
+        .join(
+            right, join_type="left_outer", num_partitions=n_part,
+            on=("c_custkey",), right_on=("user_id",),
+        )
+        .map_batches(
+            lambda b: b.filter(pc.is_null(b["has_event"])).select(
+                ["c_custkey", "c_name"]
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+    )
+    return absent.union(confirmed)
+
+
+CUST_NO_EVENTS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events ev WHERE ev.user_id = c.c_custkey)
+"""
+
+QUERIES["customers_without_events"] = q_customers_without_events
+ORACLES["customers_without_events"] = CUST_NO_EVENTS_SQL

@@ -413,3 +413,89 @@ def tdigest_quantiles_per_key(
         rows.append({key_col: k, **dict(zip(q_names, est))})
     cols = [key_col, *q_names]
     return pd.DataFrame(rows, columns=cols)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — EXACT-result pruning at broadcast cost (Bloom, CACM 1970).
+#
+# The 100-TB dedup use-case: "drop everything already in the seen set"
+# without shuffling the corpus. A fixed-size bit array built from the seen
+# keys is broadcast once per actor; rows the filter calls DEFINITELY ABSENT
+# skip the join entirely (no false negatives), and only the maybe-present
+# survivors go through an exact distributed anti-join — so the final result
+# is exact while the all-to-all exchange sees a fraction of the rows.
+# Partial blooms are fixed n_bits/8-byte rows merged by bitwise OR — the
+# same associative partial + tree_merge shape as the HLL above.
+
+_BLOOM_SEED = np.uint64(0x9E3779B97F4A7C15)
+
+
+def bloom_new(n_bits: int) -> np.ndarray:
+    assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
+    return np.zeros(n_bits >> 6, dtype=np.uint64)
+
+
+def _bloom_positions(hashes: np.ndarray, n_bits: int, n_probes: int):
+    """Double hashing (Kirsch-Mitzenmacher): pos_i = h1 + i*h2 mod n_bits."""
+    h1 = hashes.astype(np.uint64)
+    h2 = _splitmix64(h1 ^ _BLOOM_SEED) | np.uint64(1)
+    mask = np.uint64(n_bits - 1)
+    for i in range(n_probes):
+        yield (h1 + np.uint64(i) * h2) & mask
+
+
+def bloom_add(words: np.ndarray, hashes: np.ndarray, n_probes: int = 6):
+    n_bits = len(words) << 6
+    for pos in _bloom_positions(hashes, n_bits, n_probes):
+        np.bitwise_or.at(
+            words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+
+def bloom_contains(
+    words: np.ndarray, hashes: np.ndarray, n_probes: int = 6
+) -> np.ndarray:
+    """Vectorized membership: True = maybe present, False = DEFINITELY absent."""
+    n_bits = len(words) << 6
+    hit = np.ones(len(hashes), dtype=bool)
+    for pos in _bloom_positions(hashes, n_bits, n_probes):
+        bit = words[(pos >> np.uint64(6)).astype(np.int64)] & (
+            np.uint64(1) << (pos & np.uint64(63))
+        )
+        hit &= bit != 0
+    return hit
+
+
+def bloom_from_dataset(
+    ds: "rd.Dataset",
+    hashes_fn,
+    n_bits: int = 1 << 21,
+    n_probes: int = 6,
+) -> np.ndarray:
+    """Distributed build: one fixed-size partial bloom per block, OR-merged
+    by tree reduction; the driver holds only the final n_bits/8 bytes.
+    ``hashes_fn(batch) -> uint64 ndarray`` supplies the key hashes."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = bloom_new(n_bits)
+        h = hashes_fn(b)
+        if len(h):
+            bloom_add(words, h, n_probes)
+        return pa.table({"bits": pa.array([words.tobytes()], pa.binary())})
+
+    def combine(b: pa.Table) -> pa.Table:
+        acc = bloom_new(n_bits)
+        for buf in b["bits"].to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = tree_merge(partials, combine)
+    for bt in merged.iter_batches(batch_format="pyarrow"):
+        if bt.num_rows:
+            return np.frombuffer(
+                bt["bits"][0].as_py(), dtype=np.uint64
+            ).copy()
+    return bloom_new(n_bits)

@@ -248,3 +248,46 @@ def test_tdigest_driver_query_vs_exact(ray_session):
             exact[col].to_numpy()
         )
         assert (rel < 0.02).all(), (col, rel)
+
+
+def test_bloom_no_false_negatives_and_low_fpr(ray_session):
+    """Bloom invariants: every inserted key reports maybe-present (NO false
+    negatives — the exactness the anti-join prune depends on), absent-key
+    FPR stays well under the theoretical bound, and the DISTRIBUTED
+    OR-merged build is bit-identical to a single-pass local build."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.sources.synth import _splitmix64
+    from mimirsbrunn_ray.stages.sketch import (
+        bloom_add,
+        bloom_contains,
+        bloom_from_dataset,
+        bloom_new,
+    )
+
+    rng = np.random.default_rng(11)
+    present = np.unique(rng.integers(0, 2**62, 20_000).astype(np.uint64))
+    absent = np.setdiff1d(
+        rng.integers(0, 2**62, 200_000).astype(np.uint64), present
+    )
+
+    local = bloom_new(1 << 19)
+    bloom_add(local, _splitmix64(present))
+    assert bloom_contains(local, _splitmix64(present)).all()
+    fpr = bloom_contains(local, _splitmix64(absent)).mean()
+    # m/n ~ 26 bits/key, k=6 -> theoretical fpr ~ 2e-4; assert an order above
+    assert fpr < 2e-3, fpr
+
+    ds = rd.from_arrow(
+        pa.table({"k": present.astype(np.int64)})
+    ).repartition(7)
+    dist = bloom_from_dataset(
+        ds,
+        lambda b: _splitmix64(
+            b["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ),
+        n_bits=1 << 19,
+    )
+    assert np.array_equal(dist, local)
