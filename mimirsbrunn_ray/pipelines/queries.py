@@ -1929,41 +1929,64 @@ def q_customers_without_events(sf_dir):
     filter) — the late-batch anti-join discipline of pipelines/late.py
     as a standalone operator. On this corpus ~90% of customers skip the
     join; the result stays exact, so the oracle is a plain NOT EXISTS."""
-    import ray
-
     from mimirsbrunn_ray.context import pool_size
     from mimirsbrunn_ray.sources.synth import _splitmix64
-    from mimirsbrunn_ray.stages.sketch import bloom_contains, bloom_from_dataset
+    from mimirsbrunn_ray.stages.sketch import bloom_add, bloom_contains, bloom_new
 
+    n_bits = 1 << 21
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
 
-    def key_hashes(b: pa.Table):
-        return _splitmix64(
-            b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    # combiner-first, ONE events pass: each block collapses to its
+    # DISTINCT keys (so the later groupby shuffles per-block distinct rows,
+    # never the event stream) PLUS one fixed-size partial-bloom row over
+    # those keys (user_id NULL marks it). The driver then OR-merges only
+    # the per-block bloom rows — one n_bits/8-byte row per block, bounded
+    # by block count, with stages/sketch.bloom_from_dataset's tree merge
+    # as the escape hatch when block count itself is huge.
+    def partial_distinct(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].to_numpy(zero_copy_only=False))
+        words = bloom_new(n_bits)
+        bloom_add(words, _splitmix64(u.astype(np.uint64)))
+        return pa.table(
+            {
+                "user_id": pa.concat_arrays(
+                    [
+                        pa.array(u.astype(np.int64)),
+                        pa.array([None], type=pa.int64()),
+                    ]
+                ),
+                "bits": pa.array(
+                    [None] * len(u) + [words.tobytes()], type=pa.binary()
+                ),
+            }
         )
 
-    bloom_ref = ray.put(bloom_from_dataset(events, key_hashes, n_bits=1 << 21))
+    distinct_partials = events.map_batches(
+        partial_distinct, batch_format="pyarrow", batch_size=None
+    ).materialize()
 
-    class _BloomFlag:
-        def __init__(self, ref):
-            self.words = ray.get(ref)  # once per actor
+    acc = bloom_new(n_bits)
+    for bt in distinct_partials.iter_batches(batch_format="pyarrow"):
+        for buf in bt.filter(pc.is_valid(bt["bits"]))["bits"].to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint64)
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            h = _splitmix64(
-                b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            )
-            return b.append_column(
-                "maybe", pa.array(bloom_contains(self.words, h))
-            )
+    # plain-task closure, NOT an actor pool: the bloom is a small fixed
+    # immutable array (n_bits/8 bytes), so shipping it in the task spec is
+    # cheaper than paying pool startup twice (one pool per branch below)
+    def flag(b: pa.Table) -> pa.Table:
+        h = _splitmix64(
+            b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return b.append_column("maybe", pa.array(bloom_contains(acc, h)))
 
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
-    flagged = cust.map_batches(
-        _BloomFlag, fn_constructor_kwargs={"ref": bloom_ref},
-        batch_format="pyarrow", batch_size=None,
-        concurrency=(1, pool_size()),
-    ).materialize()  # ONE customer scan feeds both branches
+    # LAZY on purpose: both branches below re-derive this node, so the
+    # dimension-sized customer scan runs twice — but inside the ONE final
+    # union execution, which beats paying a whole extra materialize
+    # execution's fixed cost (the corpus-sized side is never re-scanned)
+    flagged = cust.map_batches(flag, batch_format="pyarrow", batch_size=None)
 
     def drop_flag(b: pa.Table) -> pa.Table:
         return b.select(["c_custkey", "c_name"])
@@ -1973,18 +1996,20 @@ def q_customers_without_events(sf_dir):
     )
 
     n_part = max(8, pool_size())
-    right = (
-        events.groupby("user_id")
-        .count()
-        .map_batches(
-            lambda b: pa.table(
-                {"user_id": b["user_id"],
-                 "has_event": pa.array(np.ones(b.num_rows, np.int8))}
-            ),
-            batch_format="pyarrow", batch_size=None,
-        )
-        .repartition(n_part)
-    )
+    # NO global distinct needed: with left_outer + null-marker filtering,
+    # a key duplicated across blocks only multiplies MATCHED survivor rows
+    # — which are discarded — while unmatched survivors still emit exactly
+    # once. Joining the per-block-distinct key rows directly saves the
+    # whole groupby shuffle.
+    right = distinct_partials.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": (v := b.filter(pc.is_valid(b["user_id"]))["user_id"]),
+                "has_event": pa.array(np.ones(len(v), np.int8)),
+            }
+        ),
+        batch_format="pyarrow", batch_size=None,
+    ).repartition(n_part)
     confirmed = (
         flagged.filter(expr="maybe == True")
         .map_batches(drop_flag, batch_format="pyarrow", batch_size=None)

@@ -1,5 +1,5 @@
 """Mergeable sketches: HyperLogLog approximate distinct counting,
-Misra-Gries heavy hitters, t-digest quantiles.
+Misra-Gries heavy hitters, t-digest quantiles, Bloom membership filters.
 
 The reference has no approximate aggregates (SURVEY.md §2.6); at
 10^12-sequence scale exact distinct counts of token values per source would

@@ -70,6 +70,7 @@ def test_every_query_has_an_oracle(registry):
         "lineitem_pricing", "knn_bruteforce", "embedding_stats",
         "order_priority_revenue", "distinct_sources",
         "doc_categories", "doc_labels",
+        "topk_docs_per_lang", "customers_without_events",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
