@@ -1931,20 +1931,27 @@ def q_customers_without_events(sf_dir):
     join; the result stays exact, so the oracle is a plain NOT EXISTS."""
     from mimirsbrunn_ray.context import pool_size
     from mimirsbrunn_ray.sources.synth import _splitmix64
-    from mimirsbrunn_ray.stages.sketch import bloom_add, bloom_contains, bloom_new
+    from mimirsbrunn_ray.stages.sketch import (
+        bloom_add,
+        bloom_contains,
+        bloom_new,
+        bloom_or_merge,
+    )
 
     n_bits = 1 << 21
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
 
     # combiner-first, ONE events pass: each block collapses to its
-    # DISTINCT keys (so the later groupby shuffles per-block distinct rows,
+    # DISTINCT keys (so the later join shuffles per-block distinct rows,
     # never the event stream) PLUS one fixed-size partial-bloom row over
-    # those keys (user_id NULL marks it). The driver then OR-merges only
-    # the per-block bloom rows — one n_bits/8-byte row per block, bounded
-    # by block count, with stages/sketch.bloom_from_dataset's tree merge
-    # as the escape hatch when block count itself is huge.
+    # those keys (user_id NULL marks it). NULL keys are dropped up front:
+    # a NULL never equality-matches any customer key (same as the SQL
+    # NOT EXISTS), and a null-bearing int64 column round-trips through
+    # float64 in numpy, corrupting keys above 2^53.
     def partial_distinct(b: pa.Table) -> pa.Table:
-        u = np.unique(b["user_id"].to_numpy(zero_copy_only=False))
+        u = np.unique(
+            b["user_id"].drop_null().to_numpy(zero_copy_only=False)
+        )
         words = bloom_new(n_bits)
         bloom_add(words, _splitmix64(u.astype(np.uint64)))
         return pa.table(
@@ -1965,10 +1972,18 @@ def q_customers_without_events(sf_dir):
         partial_distinct, batch_format="pyarrow", batch_size=None
     ).materialize()
 
-    acc = bloom_new(n_bits)
-    for bt in distinct_partials.iter_batches(batch_format="pyarrow"):
-        for buf in bt.filter(pc.is_valid(bt["bits"]))["bits"].to_pylist():
-            acc |= np.frombuffer(buf, dtype=np.uint64)
+    # OR-merge ONLY the per-block bloom rows: project them out in-stream
+    # (one fixed-size row per block crosses to the merge; the per-block
+    # distinct keys never leave the object store) and tree-merge
+    acc = bloom_or_merge(
+        distinct_partials.map_batches(
+            lambda b: pa.table(
+                {"bits": b.filter(pc.is_valid(b["bits"]))["bits"]}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        n_bits,
+    )
 
     # plain-task closure, NOT an actor pool: the bloom is a small fixed
     # immutable array (n_bits/8 bytes), so shipping it in the task spec is
@@ -1988,11 +2003,8 @@ def q_customers_without_events(sf_dir):
     # execution's fixed cost (the corpus-sized side is never re-scanned)
     flagged = cust.map_batches(flag, batch_format="pyarrow", batch_size=None)
 
-    def drop_flag(b: pa.Table) -> pa.Table:
-        return b.select(["c_custkey", "c_name"])
-
-    absent = flagged.filter(expr="maybe == False").map_batches(
-        drop_flag, batch_format="pyarrow", batch_size=None
+    absent = flagged.filter(expr="maybe == False").select_columns(
+        ["c_custkey", "c_name"]
     )
 
     n_part = max(8, pool_size())
@@ -2012,7 +2024,7 @@ def q_customers_without_events(sf_dir):
     ).repartition(n_part)
     confirmed = (
         flagged.filter(expr="maybe == True")
-        .map_batches(drop_flag, batch_format="pyarrow", batch_size=None)
+        .select_columns(["c_custkey", "c_name"])
         .repartition(n_part)
         .join(
             right, join_type="left_outer", num_partitions=n_part,

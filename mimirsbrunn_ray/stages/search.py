@@ -172,7 +172,14 @@ def _group_rank_prune(group_cols, sort_cols, k: int):
         new_seg[0] = True
         for c in group_cols:
             v = b[c].to_numpy(zero_copy_only=False)
-            new_seg[1:] |= v[1:] != v[:-1]
+            neq = v[1:] != v[:-1]
+            if np.issubdtype(v.dtype, np.floating):
+                # NaN != NaN is True elementwise, which would rank every
+                # null/NaN-keyed row 0 and emit them all; sort_by groups
+                # them together, so treat adjacent NaNs as one segment
+                nan = np.isnan(v)
+                neq &= ~(nan[1:] & nan[:-1])
+            new_seg[1:] |= neq
         seg_starts = np.flatnonzero(new_seg)
         seg_sizes = np.diff(np.append(seg_starts, b.num_rows))
         rank = np.arange(b.num_rows) - np.repeat(seg_starts, seg_sizes)

@@ -59,6 +59,12 @@ from mimirsbrunn_ray.stages.neardup import _mix64  # shared avalanche hash
 _B1 = np.uint64(0x9E3779B97F4A7C15)
 _B2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
+# below this many candidate pairs, verification runs on the driver (the
+# fixed cost of one more Ray execution exceeds the serial intersect work);
+# above it, the same broadcast gram map is verified by a distributed
+# map_batches so the driver never serializes a large pair list
+_DRIVER_VERIFY_PAIRS = 50_000
+
 
 def word_ngram_hashes(texts: pa.Array, n: int = 3):
     """Vectorized word-n-gram hashing for a whole batch.
@@ -604,15 +610,26 @@ def ngram_jaccard_join(
             for did, buf in zip(ids, bt["grams"].to_pylist()):
                 gram_map[did] = np.frombuffer(buf or b"", dtype=np.int64)
 
-        # driver-local verify + dedup: the pair list AND the gram map are
-        # already driver-held (both bounded by the candidate count), so
-        # verifying here saves a whole Ray execution's fixed cost — the
-        # same trade stages/neardup.py makes in its driver cluster mode
-        vt = _VerifyJaccard(gram_map, threshold)(cand_tbl)
-        if vt.num_rows == 0:
-            return rd.from_arrow(_empty_result())
-        return rd.from_arrow(
-            vt.take(pa.array(_unique_pair_rows(vt, "doc_a", "doc_b")))
+        if n_pairs <= _DRIVER_VERIFY_PAIRS:
+            # driver-local verify + dedup: the pair list AND the gram map
+            # are already driver-held (both bounded by the candidate
+            # count), so for SMALL candidate sets verifying here saves a
+            # whole Ray execution's fixed cost — the same trade
+            # stages/neardup.py makes in its driver cluster mode
+            vt = _VerifyJaccard(gram_map, threshold)(cand_tbl)
+            if vt.num_rows == 0:
+                return rd.from_arrow(_empty_result())
+            return rd.from_arrow(
+                vt.take(pa.array(_unique_pair_rows(vt, "doc_a", "doc_b")))
+            )
+        # larger (but still broadcast-bounded) candidate sets: the
+        # per-pair intersect work dominates the execution's fixed cost,
+        # so spread it across the pool instead of serializing the driver
+        verified = pairs.map_batches(
+            _VerifyJaccard(gram_map, threshold),
+            batch_format="pyarrow",
+            batch_size=None,
+            **mb_kwargs,
         )
 
     def final_dedup(b: pa.Table) -> pa.Table:

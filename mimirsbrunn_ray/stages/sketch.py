@@ -467,6 +467,28 @@ def bloom_contains(
     return hit
 
 
+def bloom_or_merge(bits_ds: "rd.Dataset", n_bits: int) -> np.ndarray:
+    """OR-merge a dataset of partial-bloom rows (binary ``bits`` column,
+    null rows ignored) by tree reduction; the driver holds only the final
+    n_bits/8 bytes. The tree merge keeps this scale-robust when the
+    partial-row count itself is huge."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def combine(b: pa.Table) -> pa.Table:
+        acc = bloom_new(n_bits)
+        for buf in b["bits"].drop_null().to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    merged = tree_merge(bits_ds, combine)
+    for bt in merged.iter_batches(batch_format="pyarrow"):
+        if bt.num_rows:
+            return np.frombuffer(
+                bt["bits"][0].as_py(), dtype=np.uint64
+            ).copy()
+    return bloom_new(n_bits)
+
+
 def bloom_from_dataset(
     ds: "rd.Dataset",
     hashes_fn,
@@ -474,9 +496,8 @@ def bloom_from_dataset(
     n_probes: int = 6,
 ) -> np.ndarray:
     """Distributed build: one fixed-size partial bloom per block, OR-merged
-    by tree reduction; the driver holds only the final n_bits/8 bytes.
-    ``hashes_fn(batch) -> uint64 ndarray`` supplies the key hashes."""
-    from mimirsbrunn_ray.stages.rollup import tree_merge
+    by ``bloom_or_merge``. ``hashes_fn(batch) -> uint64 ndarray`` supplies
+    the key hashes."""
 
     def partial(b: pa.Table) -> pa.Table:
         words = bloom_new(n_bits)
@@ -485,17 +506,5 @@ def bloom_from_dataset(
             bloom_add(words, h, n_probes)
         return pa.table({"bits": pa.array([words.tobytes()], pa.binary())})
 
-    def combine(b: pa.Table) -> pa.Table:
-        acc = bloom_new(n_bits)
-        for buf in b["bits"].to_pylist():
-            acc |= np.frombuffer(buf, dtype=np.uint64)
-        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
-
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    merged = tree_merge(partials, combine)
-    for bt in merged.iter_batches(batch_format="pyarrow"):
-        if bt.num_rows:
-            return np.frombuffer(
-                bt["bits"][0].as_py(), dtype=np.uint64
-            ).copy()
-    return bloom_new(n_bits)
+    return bloom_or_merge(partials, n_bits)

@@ -214,3 +214,28 @@ def test_grouped_top_k_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got[["g", "v", "id"]], want[["g", "v", "id"]])
     # the rare group has fewer rows than k and must survive whole
     assert (want.g == "zz_rare").sum() == (got.g == "zz_rare").sum()
+
+
+def test_grouped_top_k_nan_group_keys(ray_session):
+    """Float NaN group keys must form ONE group capped at k, not leak every
+    NaN row at rank 0 (NaN != NaN is elementwise True)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.search import grouped_top_k
+
+    df = pd.DataFrame(
+        {
+            "g": [1.0, 1.0, np.nan, np.nan, np.nan, np.nan, 2.0],
+            "v": [5, 3, 9, 8, 7, 6, 1],
+            "id": np.arange(7, dtype=np.int64),
+        }
+    )
+    got = (
+        grouped_top_k(rd.from_pandas(df), ["g"], "v", k=2, tiebreak_cols=["id"])
+        .to_pandas()
+    )
+    nan_rows = got[got.g.isna()]
+    assert len(nan_rows) == 2, nan_rows
+    assert sorted(nan_rows.v) == [8, 9]
+    assert len(got) == 5  # two from 1.0, two from NaN, one from 2.0
