@@ -2047,3 +2047,56 @@ WHERE NOT EXISTS (SELECT 1 FROM events ev WHERE ev.user_id = c.c_custkey)
 
 QUERIES["customers_without_events"] = q_customers_without_events
 ORACLES["customers_without_events"] = CUST_NO_EVENTS_SQL
+
+
+def q_doc_chunk_spans(sf_dir):
+    """Context-window chunking (the pre-embedding flat-map of a RAG /
+    training pipeline): one row per <=32-token chunk of every document,
+    vectorized np.repeat expansion — see stages/text.chunk_documents."""
+    from mimirsbrunn_ray.stages.text import chunk_documents
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(docs, cap=32)
+
+
+DOC_CHUNKS_SQL = """
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+         GREATEST(1, CAST(CEIL(len(string_split(text, ' ')) / 32.0) AS BIGINT))
+           AS n_chunks
+  FROM documents
+), expanded AS (
+  SELECT doc_id, n_tok, n_chunks, unnest(range(n_chunks)) AS chunk_id
+  FROM toks
+)
+SELECT doc_id, chunk_id,
+       CASE WHEN chunk_id < n_chunks - 1 THEN 32
+            ELSE n_tok - (n_chunks - 1) * 32 END AS chunk_len
+FROM expanded
+"""
+
+QUERIES["doc_chunk_spans"] = q_doc_chunk_spans
+ORACLES["doc_chunk_spans"] = DOC_CHUNKS_SQL
+
+
+def q_packed_sequences(sf_dir):
+    """Greedy per-source sequence packing into <=256-token training
+    sequences (stages/text.pack_sequences): deterministic independent of
+    read parallelism (in-group doc_id order), pack-boundary scan is one
+    searchsorted per PACK. No SQL oracle — greedy reset-on-overflow
+    packing is a recursive scan; pytest asserts the invariants (cap
+    respected except singleton packs, every doc packed exactly once,
+    greedy tightness)."""
+    from mimirsbrunn_ray.stages.text import pack_sequences
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return pack_sequences(docs, "source", cap=256)
+
+
+QUERIES["packed_sequences"] = q_packed_sequences
+# no oracle: recursive greedy scan is not expressible in plain SQL;
+# invariants are pytest-asserted (tests/test_stages_unit.py)

@@ -11,6 +11,7 @@ vectorized ``map_batches`` stage; the language-ID stage is an actor pool
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -228,3 +229,113 @@ def deterministic_stratified_sample(
         return b.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def chunk_documents(
+    ds: "rd.Dataset", cap: int = 512, text_col: str = "text"
+) -> "rd.Dataset":
+    """Context-window chunking: split each document's token span into
+    fixed-size chunks of <= ``cap`` tokens, emitting one row per chunk
+    (doc_id, chunk_id, chunk_len) — the flat-map expansion an embedding /
+    RAG pipeline runs before batched inference. Tokens follow the
+    token_stats convention (split on single space) so the SQL oracle
+    (LATERAL generate_series) states the identical arithmetic.
+
+    Fully vectorized expansion: np.repeat for the doc index, offset
+    arithmetic for per-chunk ids — no per-row loop, rows-in to rows-out
+    ratio bounded by max_doc_tokens/cap."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        n_tok = (
+            pc.list_value_length(pc.split_pattern(b[text_col], pattern=" "))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n_chunks = np.maximum(1, -(-n_tok // cap))  # ceil, min one chunk
+        total = int(n_chunks.sum())
+        doc_idx = np.repeat(np.arange(len(n_tok)), n_chunks)
+        starts = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        chunk_id = np.arange(total) - np.repeat(starts, n_chunks)
+        last = chunk_id == np.repeat(n_chunks - 1, n_chunks)
+        lens = np.where(
+            last,
+            np.repeat(n_tok - (n_chunks - 1) * cap, n_chunks),
+            cap,
+        )
+        ids = b["doc_id"].combine_chunks() if isinstance(
+            b["doc_id"], pa.ChunkedArray
+        ) else b["doc_id"]
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(doc_idx)),
+                "chunk_id": pa.array(chunk_id.astype(np.int64)),
+                "chunk_len": pa.array(lens.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def pack_sequences(
+    ds: "rd.Dataset",
+    group_col: str,
+    cap: int = 2048,
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Greedy sequence packing — concatenate documents (in doc_id order,
+    independently per ``group_col`` corpus) into training sequences of
+    <= ``cap`` tokens; a document larger than ``cap`` gets a pack of its
+    own. The per-group determinism makes the output independent of block
+    boundaries (same packing whatever the read parallelism).
+
+    Emits one row per pack: (group, pack_id, n_docs, pack_tokens,
+    first_doc_id). The in-group scan loops over PACKS, not rows: each
+    pack boundary is one np.searchsorted on the token cumsum
+    (O(n_packs * log n_docs) per group)."""
+
+    def pack_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("doc_id", kind="mergesort")
+        tok = g["n_tok"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        cs = np.cumsum(tok)
+        rows = []
+        start, base, pack_id = 0, 0, 0
+        n = len(tok)
+        while start < n:
+            j = int(np.searchsorted(cs, base + cap, side="right"))
+            if j <= start:  # single doc exceeds cap: it packs alone
+                j = start + 1
+            rows.append(
+                (
+                    g[group_col].iat[0],
+                    pack_id,
+                    j - start,
+                    int(cs[j - 1] - base),
+                    ids[start],
+                )
+            )
+            base = int(cs[j - 1])
+            start = j
+            pack_id += 1
+        return pd.DataFrame(
+            rows,
+            columns=[group_col, "pack_id", "n_docs", "pack_tokens",
+                     "first_doc_id"],
+        )
+
+    def with_tok(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                group_col: b[group_col],
+                "n_tok": pc.list_value_length(
+                    pc.split_pattern(b[text_col], pattern=" ")
+                ).cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(with_tok, batch_format="pyarrow", batch_size=None)
+        .groupby(group_col)
+        .map_groups(pack_group, batch_format="pandas")
+    )

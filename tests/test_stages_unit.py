@@ -458,3 +458,51 @@ def test_order_paths_by_time(tmp_path):
     d = write("w.parquet", 400, stats=False)
     got = order_paths_by_time([c, a, d, b])
     assert got == [a, b, c, d]  # time order, stats-less last
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Greedy packing: cap respected except singleton oversized packs,
+    every doc packed exactly once, greedy tightness (the next pack's first
+    doc would not have fit), and block-layout independence."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.text import pack_sequences
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": rng.choice(["a", "b", "c"], n),
+            # a few oversized docs to force singleton packs
+            "text": [
+                " ".join(["w"] * int(t))
+                for t in rng.integers(1, 120, n) + (np.arange(n) % 97 == 0) * 400
+            ],
+        }
+    )
+    cap = 256
+    out1 = (
+        pack_sequences(rd.from_pandas(df).repartition(1), "source", cap=cap)
+        .to_pandas().sort_values(["source", "pack_id"]).reset_index(drop=True)
+    )
+    out8 = (
+        pack_sequences(rd.from_pandas(df).repartition(8), "source", cap=cap)
+        .to_pandas().sort_values(["source", "pack_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out1, out8)  # block-layout independent
+
+    tok = df.assign(n_tok=df.text.str.split(" ").str.len())
+    assert out1.n_docs.sum() == n  # every doc packed exactly once
+    over = out1[out1.pack_tokens > cap]
+    assert (over.n_docs == 1).all()  # only oversized singletons exceed cap
+    for src, g in out1.groupby("source"):
+        g = g.sort_values("pack_id")
+        toks = tok[tok.source == src].sort_values("doc_id")
+        # greedy tightness: pack i could not absorb pack i+1's first doc
+        firsts = g.first_doc_id.to_numpy()
+        for i in range(len(g) - 1):
+            nxt = toks[toks.doc_id == firsts[i + 1]].n_tok.iat[0]
+            assert g.pack_tokens.iat[i] + nxt > cap
