@@ -2100,3 +2100,51 @@ def q_packed_sequences(sf_dir):
 QUERIES["packed_sequences"] = q_packed_sequences
 # no oracle: recursive greedy scan is not expressible in plain SQL;
 # invariants are pytest-asserted (tests/test_stages_unit.py)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+
+
+def q_tfidf_top_terms(sf_dir):
+    """Per-doc top-3 TF-IDF terms (fixed-point idf so the oracle hashes
+    identically; token-ascending tie-break) — corpus-statistic weighting
+    via a broadcast df vocabulary with a Dataset.join fallback past the
+    byte budget; see stages/text.tfidf_top_terms."""
+    from mimirsbrunn_ray.stages.text import tfidf_top_terms
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_top_terms(docs, k=3)
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df
+  FROM toks WHERE token <> '' GROUP BY token
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * CAST(FLOOR(
+             ln((SELECT n_docs FROM n) / df.df) * 1e6 + 0.5
+         ) AS BIGINT) AS score_x1e6
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, score_x1e6 FROM (
+  SELECT doc_id, token, score_x1e6,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score_x1e6 DESC, token ASC
+         ) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+ORACLES["tfidf_top_terms"] = TFIDF_SQL

@@ -339,3 +339,245 @@ def pack_sequences(
         .groupby(group_col)
         .map_groups(pack_group, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms — the corpus-statistic weighting every retrieval /
+# quality-filtering pipeline computes (the A1 join-then-project-weight
+# family of the reference, /root/reference/src/admin.rs weight derivation,
+# generalized from a broadcast dimension to a corpus-derived statistic).
+
+
+def _doc_token_codes(texts, text_col_hint: str = "text"):
+    """Batch tokenizer shared by the tf and df stages: lowercase, split on
+    single spaces (the token_stats / oracle convention), drop empty tokens
+    (consecutive spaces, null text). Returns (codes int64[], vocab
+    StringArray, doc_idx int64[]) where ``codes`` index into ``vocab`` —
+    dictionary-encoded so the per-doc counting is pure integer work."""
+    lowered = pc.utf8_lower(pc.fill_null(texts, ""))
+    words = pc.split_pattern(lowered, " ")
+    flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    offsets = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    enc = pc.dictionary_encode(flat.values)
+    codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    vocab = enc.dictionary
+    nonempty = pc.not_equal(vocab, "").to_numpy(zero_copy_only=False)
+    keep = nonempty[codes] if len(codes) else np.empty(0, bool)
+    return codes[keep], vocab, doc_idx[keep]
+
+
+def _distinct_doc_token(codes: np.ndarray, doc_idx: np.ndarray, n_vocab: int):
+    """Distinct (doc, token) pairs with occurrence counts — one np.unique
+    over a packed int64 key (doc * |vocab| + code; both batch-local)."""
+    key = doc_idx * np.int64(max(n_vocab, 1)) + codes
+    uk, cnt = np.unique(key, return_counts=True)
+    return uk // np.int64(max(n_vocab, 1)), uk % np.int64(max(n_vocab, 1)), cnt
+
+
+class _TfRows:
+    """map_batches stage: (doc_id, text) -> (doc_id, token, tf) rows."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks() if isinstance(
+            b["doc_id"], pa.ChunkedArray
+        ) else b["doc_id"]
+        codes, vocab, doc_idx = _doc_token_codes(b[self.text_col])
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], ids.type),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        d_i, c_i, tf = _distinct_doc_token(codes, doc_idx, len(vocab))
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(d_i)),
+                "token": vocab.take(pa.array(c_i)),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+
+class _TokenDfPartial:
+    """map_batches stage: per-batch PARTIAL document frequencies —
+    one (token, n) row per distinct token per batch (associatively
+    summable; a doc never spans batches so partials never double-count)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        codes, vocab, doc_idx = _doc_token_codes(b[self.text_col])
+        if len(codes) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        _d, c_i, _cnt = _distinct_doc_token(codes, doc_idx, len(vocab))
+        uc, n = np.unique(c_i, return_counts=True)
+        return pa.table(
+            {"token": vocab.take(pa.array(uc)),
+             "n": pa.array(n.astype(np.int64))}
+        )
+
+
+def _idf_x1e6(n_docs: int, df: np.ndarray) -> np.ndarray:
+    """Fixed-point idf shared by both modes and stated verbatim in the SQL
+    oracle: FLOOR(ln(N/df) * 1e6 + 0.5) — half-up rounding (np.round's
+    half-to-even would diverge from SQL ROUND semantics)."""
+    return np.floor(
+        np.log(float(n_docs) / df.astype(np.float64)) * 1e6 + 0.5
+    ).astype(np.int64)
+
+
+class _ScoreBounded:
+    """Fused tf+score stage (bounded mode): tokenize, count tf, resolve
+    each token's idf from the broadcast vocabulary via a hash-based
+    get_indexer — one stage, no tf-rows materialization."""
+
+    def __init__(self, vocab_idx, idf: np.ndarray, text_col: str):
+        self.vocab_idx = vocab_idx  # pd.Index over every corpus token
+        self.idf = idf
+        self.tf = _TfRows(text_col)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        t = self.tf(b)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "token": t["token"],
+                    "score_x1e6": pa.array([], pa.int64()),
+                }
+            )
+        pos = self.vocab_idx.get_indexer(t["token"].to_pandas())
+        # every token comes from the same corpus the df scan covered
+        assert (pos >= 0).all(), "token missing from df vocabulary"
+        score = t["tf"].to_numpy() * self.idf[pos]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "token": t["token"],
+                "score_x1e6": pa.array(score.astype(np.int64)),
+            }
+        )
+
+
+def tfidf_top_terms(
+    ds: "rd.Dataset",
+    k: int = 3,
+    text_col: str = "text",
+    mode: str = "auto",
+    broadcast_byte_budget: int = 256 << 20,
+    concurrency=None,
+) -> "rd.Dataset":
+    """Per-document top-``k`` TF-IDF terms: score = tf * idf_x1e6 with
+    idf_x1e6 = FLOOR(ln(N/df)*1e6 + 0.5) (fixed-point so the SQL oracle
+    hashes identically), ties broken by token ascending.
+
+    ``mode`` picks the scale shape (IDENTICAL output, pytest-asserted):
+
+    * ``"bounded"`` — df partials tree-merged and broadcast as a driver
+      vocabulary (pd.Index + idf array); one fused tokenize+tf+score pass,
+      then the grouped_top_k prune+shuffle. Two tokenize passes, two
+      executions — right while the vocabulary fits the byte budget.
+    * ``"unbounded"`` — NOTHING vocabulary-sized on the driver: tf rows
+      joined against a shuffled df table (``Dataset.join`` on token), the
+      engine's big-big join discipline (stages/simjoin.py unbounded path).
+    * ``"auto"`` — bounded until the drained vocabulary exceeds
+      ``broadcast_byte_budget``, then the join path.
+    """
+    from mimirsbrunn_ray.context import pool_size
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+    from mimirsbrunn_ray.stages.search import grouped_top_k
+
+    if mode not in ("auto", "bounded", "unbounded"):
+        raise ValueError(f"unknown mode {mode!r}")
+    mb_kwargs = {"concurrency": concurrency} if concurrency is not None else {}
+    n_docs = ds.count()  # parquet metadata fast path on read datasets
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["token"]).aggregate([("n", "sum")])
+        return g.rename_columns(["token", "n"])
+
+    vocab_idx = None
+    if mode != "unbounded":
+        partials = ds.map_batches(
+            _TokenDfPartial(text_col), batch_format="pyarrow",
+            batch_size=None, **mb_kwargs,
+        )
+        merged = tree_merge(partials, combine)
+        toks, dfs, total = [], [], 0
+        for bt in merged.iter_batches(batch_format="pyarrow"):
+            total += bt.nbytes
+            if mode == "auto" and total > broadcast_byte_budget:
+                toks = None  # budget tripped: fall back to the join path
+                break
+            toks.append(bt["token"].to_pandas())
+            dfs.append(bt["n"].to_numpy(zero_copy_only=False))
+        if toks is not None:
+            vocab = (
+                pd.concat(toks, ignore_index=True)
+                if toks else pd.Series([], dtype=object)
+            )
+            vocab_idx = pd.Index(vocab)
+            idf = _idf_x1e6(
+                n_docs,
+                np.concatenate(dfs) if dfs else np.empty(0, np.int64),
+            )
+
+    if vocab_idx is not None:
+        scored = ds.map_batches(
+            _ScoreBounded(vocab_idx, idf, text_col),
+            batch_format="pyarrow", batch_size=None, **mb_kwargs,
+        )
+    else:
+        # unbounded: tf rows x df table via a hash-shuffle join on token
+        n_part = max(8, pool_size())
+        tf_rows = ds.map_batches(
+            _TfRows(text_col), batch_format="pyarrow", batch_size=None,
+            **mb_kwargs,
+        ).repartition(n_part)  # squash empty blocks before Acero (late.py lesson)
+        df_tbl = tree_merge(
+            ds.map_batches(
+                _TokenDfPartial(text_col), batch_format="pyarrow",
+                batch_size=None, **mb_kwargs,
+            ),
+            combine,
+            final_shards=n_part,
+            shard_cols=["token"],
+        ).repartition(n_part)
+        joined = tf_rows.join(
+            df_tbl, join_type="inner", num_partitions=n_part,
+            on=("token",),
+        )
+
+        def score(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "token": b["token"],
+                    "score_x1e6": pa.array(
+                        b["tf"].to_numpy()
+                        * _idf_x1e6(
+                            n_docs, b["n"].to_numpy(zero_copy_only=False)
+                        )
+                    ),
+                }
+            )
+
+        scored = joined.map_batches(
+            score, batch_format="pyarrow", batch_size=None
+        )
+
+    return grouped_top_k(
+        scored, ["doc_id"], "score_x1e6", k=k, descending=True,
+        tiebreak_cols=["token"],
+    )

@@ -71,7 +71,7 @@ def test_every_query_has_an_oracle(registry):
         "order_priority_revenue", "distinct_sources",
         "doc_categories", "doc_labels",
         "topk_docs_per_lang", "customers_without_events",
-        "doc_chunk_spans",
+        "doc_chunk_spans", "tfidf_top_terms",
     ],
 )
 def test_query_matches_oracle(registry, con, name):

