@@ -145,7 +145,7 @@ class _GramDf:
 
 
 def _shared_grams(
-    docs: "rd.Dataset", n: int, conc, byte_budget: int | None = None
+    docs: "rd.Dataset", n: int, conc=None, byte_budget: int | None = None
 ):
     """Sorted uint64 array of grams with document frequency >= 2, or None
     when the array would exceed ``byte_budget`` (the caller then switches
@@ -163,9 +163,12 @@ def _shared_grams(
     """
     from mimirsbrunn_ray.stages.rollup import tree_merge
 
+    mb_kwargs = {"concurrency": conc} if conc is not None else {}
+    # shipped INSTANCE -> task-based stage: the state is one int, so an
+    # autoscaling actor pool here would pay seconds of startup for nothing
+    # (the engine's task-closure-for-small-state rule)
     partials = docs.map_batches(
-        _GramDf, fn_constructor_kwargs={"n": n},
-        batch_format="pyarrow", concurrency=conc,
+        _GramDf(n), batch_format="pyarrow", batch_size=None, **mb_kwargs,
     )
 
     def combine(b: pa.Table) -> pa.Table:
@@ -487,7 +490,6 @@ def ngram_jaccard_join(
 
     if mode not in ("auto", "bounded", "unbounded"):
         raise ValueError(f"unknown mode {mode!r}")
-    conc = concurrency if concurrency is not None else (1, pool_size())
     mb_kwargs = {"concurrency": concurrency} if concurrency is not None else {}
     # thread the real id type into every empty-result table so string ids
     # unify with pair-bearing blocks (ADVICE r2)
@@ -509,7 +511,7 @@ def ngram_jaccard_join(
         shared = None
     else:
         shared = _shared_grams(
-            docs, n, conc,
+            docs, n, concurrency,
             byte_budget=None if mode == "bounded" else broadcast_byte_budget,
         )
     prefix = docs.map_batches(
