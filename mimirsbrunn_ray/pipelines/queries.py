@@ -2148,3 +2148,200 @@ SELECT doc_id, token, score_x1e6 FROM (
 
 QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
 ORACLES["tfidf_top_terms"] = TFIDF_SQL
+
+
+# ---------------------------------------------------------------------------
+# ordered-per-key analytics: the SQL window-function family (LAG, rolling
+# RANGE frames, running totals, argmax-per-partition) — stages/ordered.py
+
+
+def q_event_interarrival(sf_dir):
+    """Per-user LAG(ts) inter-arrival gap stats (mean/max seconds) —
+    one hash shuffle on a coarse key bucket, one sort + C-groupby per
+    bucket; see stages/ordered.interarrival_stats."""
+    from mimirsbrunn_ray.stages.ordered import interarrival_stats
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return interarrival_stats(ev, key="user_id", ts_col="ts")
+
+
+INTERARRIVAL_SQL = """
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (CAST(SUM(gap) AS DOUBLE) / COUNT(gap)) / 1000000.0 AS mean_gap_s,
+       CAST(MAX(gap) AS DOUBLE) / 1000000.0 AS max_gap_s
+FROM d GROUP BY user_id HAVING COUNT(gap) > 0
+"""
+
+QUERIES["event_interarrival"] = q_event_interarrival
+ORACLES["event_interarrival"] = INTERARRIVAL_SQL
+
+
+def q_rolling_value_5m(sf_dir):
+    """Trailing 5-minute rolling SUM/COUNT/MEAN of event value per type
+    over 1m bucket grain (SUM OVER ... RANGE 4 MINUTE PRECEDING) —
+    bucket-grain pre-aggregation first, so the windowed pass touches
+    keys x buckets rows; see stages/ordered.rolling_bucket_agg."""
+    from mimirsbrunn_ray.stages.ordered import rolling_bucket_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return rolling_bucket_agg(
+        ev, key="event_type", ts_col="ts", value_col="value",
+        bucket="1m", window_buckets=5,
+    )
+
+
+ROLLING_SQL = """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS s
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, bucket,
+       CAST(SUM(n) OVER w AS BIGINT) AS roll_n,
+       CAST(ROUND(SUM(s) OVER w * 100, 0) AS BIGINT) AS roll_sum,
+       CAST(ROUND(
+         CAST(CAST(ROUND(SUM(s) OVER w * 100, 0) AS BIGINT) AS DOUBLE)
+           / CAST(SUM(n) OVER w AS BIGINT), 0) AS BIGINT) AS roll_mean
+FROM b
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+             RANGE BETWEEN INTERVAL 4 MINUTE PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["rolling_value_5m"] = q_rolling_value_5m
+ORACLES["rolling_value_5m"] = ROLLING_SQL
+
+
+def q_cumulative_value_1d(sf_dir):
+    """Per-type running totals over 1d bucket grain (SUM OVER ... ROWS
+    UNBOUNDED PRECEDING): day_n, cum_n, cum_sum; the prefix scan runs in
+    ascending bucket order — the SQL running frame's exact summation
+    order; see stages/ordered.cumulative_bucket_agg."""
+    from mimirsbrunn_ray.stages.ordered import cumulative_bucket_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return cumulative_bucket_agg(
+        ev, key="event_type", ts_col="ts", value_col="value", bucket="1d"
+    )
+
+
+CUMULATIVE_SQL = """
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS s
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, bucket, n AS day_n,
+       CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+       CAST(ROUND(SUM(s) OVER w * 100, 0) AS BIGINT) AS cum_sum
+FROM b
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["cumulative_value_1d"] = q_cumulative_value_1d
+ORACLES["cumulative_value_1d"] = CUMULATIVE_SQL
+
+
+def q_top_event_type_per_user(sf_dir):
+    """Most frequent event type per user, ties to the ascending type —
+    the argmax analog of the reference's keep-min winner rule (D1);
+    combiner-first partial counts, one shuffle on the user key; see
+    stages/ordered.mode_per_key."""
+    from mimirsbrunn_ray.stages.ordered import mode_per_key
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return mode_per_key(
+        ev, key="user_id", value_col="event_type", out_col="top_type"
+    )
+
+
+MODE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT user_id, event_type AS top_type, n_events FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY n_events DESC, event_type ASC
+  ) AS rn FROM c
+) WHERE rn = 1
+"""
+
+QUERIES["top_event_type_per_user"] = q_top_event_type_per_user
+ORACLES["top_event_type_per_user"] = MODE_SQL
+
+
+def q_distinct_users_per_type(sf_dir):
+    """EXACT COUNT(DISTINCT user_id) per event type — the exact
+    complement of the HLL sketch query (approx_distinct_tokens):
+    per-block pair distinct, ONE value-hash shuffle, additive per-bucket
+    counts; see stages/dedup.exact_distinct_per_group."""
+    from mimirsbrunn_ray.stages.dedup import exact_distinct_per_group
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return exact_distinct_per_group(
+        ev, group_col="event_type", distinct_col="user_id", out_col="n_users"
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type
+"""
+
+QUERIES["distinct_users_per_type"] = q_distinct_users_per_type
+ORACLES["distinct_users_per_type"] = DISTINCT_USERS_SQL
+
+
+def q_orders_with_returns(sf_dir):
+    """Bloom-pruned EXACT semi-join (EXISTS): orders with >= 1 returned
+    lineitem — the inverse prune direction of customers_without_events
+    (bloom-absent rows drop with no shuffle; maybe-present rows pay the
+    exact join); see stages/join.bloom_semi_join."""
+    from mimirsbrunn_ray.stages.join import bloom_semi_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    returned = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["l_returnflag"], "R")).select(
+            ["l_orderkey"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return bloom_semi_join(
+        orders, returned, left_key="o_orderkey", right_key="l_orderkey"
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+"""
+
+QUERIES["orders_with_returns"] = q_orders_with_returns
+ORACLES["orders_with_returns"] = SEMI_JOIN_SQL

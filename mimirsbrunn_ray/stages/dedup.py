@@ -295,3 +295,84 @@ class ClaimFilterStage:
         if self.counters is not None and dropped:
             self.counters.inc.remote({"rows_deduped": dropped})
         return batch.filter(pa.array(keep))
+
+
+def exact_distinct_per_group(
+    ds: "rd.Dataset",
+    group_col: str,
+    distinct_col: str,
+    out_col: str = "n_distinct",
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """EXACT COUNT(DISTINCT distinct_col) GROUP BY group_col — the exact
+    complement of the HLL approximate-distinct sketch (stages/sketch.py),
+    built on the same hash-bucket discipline as ``dedup_exact``.
+
+    Shape (combiner-first, ONE shuffle, nothing corpus-sized anywhere):
+
+      1. per-batch PARTIAL pair distinct inside ``map_batches`` — each
+         block collapses to its distinct (group, value) pairs, so the
+         shuffle moves per-block distinct pairs, never rows;
+      2. ONE hash shuffle bucketing on the VALUE (every occurrence of a
+         value lands in exactly one bucket, so a per-bucket distinct is
+         globally exact); per bucket: one vectorized pair-dedup + a
+         C-level count per group;
+      3. the per-bucket (group, n) partial counts are additive across
+         buckets (value-disjoint by construction) — tree-merged, no
+         second shuffle.
+
+    NULL values are dropped (SQL COUNT(DISTINCT) semantics); NULL group
+    keys are dropped too (engine-divergent GROUP BY NULL semantics — the
+    oracle filters identically).
+    """
+    import pyarrow.compute as pc
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.is_valid(b[group_col]), pc.is_valid(b[distinct_col]))
+        )
+        g = b.select([group_col, distinct_col]).group_by(
+            [group_col, distinct_col]
+        ).aggregate([])
+        return g
+
+    pairs = ds.map_batches(
+        pair_partial, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        lambda b: add_bucket(b, distinct_col, num_buckets),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.drop_columns([_BUCKET])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], t.schema.field(group_col).type),
+                    "_n": pa.array([], pa.int64()),
+                }
+            )
+        # exact pair dedup then per-group count, both C-level
+        d = t.group_by([group_col, distinct_col]).aggregate([])
+        c = d.group_by([group_col]).aggregate([([], "count_all")])
+        c = c.select([group_col, "count_all"])
+        return c.rename_columns([group_col, "_n"])
+
+    partial_counts = pairs.groupby(_BUCKET).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by([group_col]).aggregate([("_n", "sum")])
+        g = g.select([group_col, "_n_sum"])
+        return g.rename_columns([group_col, "_n"])
+
+    merged = tree_merge(partial_counts, combine)
+    return merged.map_batches(
+        lambda b: b.rename_columns([group_col, out_col]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -139,3 +139,112 @@ def conditional_override(
         batch_size=batch_size,
         concurrency=concurrency if concurrency is not None else (1, pool_size()),
     )
+
+
+def bloom_semi_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    left_key: str,
+    right_key: str,
+    n_bits: int = 1 << 21,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """EXACT semi-join (SQL EXISTS): left rows with >= 1 matching right
+    key, each emitted exactly once — the inverse of the bloom-pruned
+    anti-join (``customers_without_events``; D4 family, SURVEY.md §2.5's
+    semi/anti-join shapes, /root/reference/src/osm_reader/street.rs:161-175).
+
+    Bloom prune direction flips vs the anti-join: a bloom has no false
+    NEGATIVES, so bloom-absent left rows are *definitely unmatched* and
+    drop immediately with NO shuffle; only the maybe-present survivors pay
+    the exact distributed join that weeds out false positives.
+
+    ONE right-side pass emits per-block DISTINCT keys plus one fixed-size
+    partial-bloom row (key NULL marks bloom rows — the fused-scan shape);
+    the per-block distinct keys are then made GLOBALLY distinct (bounded
+    hash-bucket dedup) because an inner join against a key present in k
+    blocks would emit k copies of a matched left row — the semi-join
+    contract is exactly-once. int64 keys only (hashed via _splitmix64).
+
+    Null left keys never match (SQL EXISTS equality semantics); null
+    right keys are dropped at the scan.
+    """
+    import pyarrow.compute as pc
+
+    from mimirsbrunn_ray.context import pool_size
+    from mimirsbrunn_ray.sources.synth import _splitmix64
+    from mimirsbrunn_ray.stages.dedup import dedup_exact
+    from mimirsbrunn_ray.stages.sketch import (
+        bloom_add,
+        bloom_contains,
+        bloom_new,
+        bloom_or_merge,
+    )
+
+    def partial_distinct(b: pa.Table) -> pa.Table:
+        u = np.unique(
+            b[right_key].drop_null().to_numpy(zero_copy_only=False)
+        )
+        words = bloom_new(n_bits)
+        bloom_add(words, _splitmix64(u.astype(np.uint64)))
+        return pa.table(
+            {
+                right_key: pa.concat_arrays(
+                    [pa.array(u.astype(np.int64)),
+                     pa.array([None], type=pa.int64())]
+                ),
+                "_bits": pa.array(
+                    [None] * len(u) + [words.tobytes()], type=pa.binary()
+                ),
+            }
+        )
+
+    distinct_partials = right.map_batches(
+        partial_distinct, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    acc = bloom_or_merge(
+        distinct_partials.map_batches(
+            lambda b: pa.table(
+                {"bits": b.filter(pc.is_valid(b["_bits"]))["_bits"]}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        n_bits,
+    )
+
+    # task closure, not an actor pool: the bloom is small fixed immutable
+    # state (n_bits/8 bytes) shipped once per task spec
+    def flag(b: pa.Table) -> pa.Table:
+        keys = b[left_key].to_numpy(zero_copy_only=False)
+        valid = ~pa.compute.is_null(b[left_key]).to_numpy(
+            zero_copy_only=False
+        )
+        maybe = np.zeros(b.num_rows, dtype=bool)
+        if valid.any():
+            h = _splitmix64(keys[valid].astype(np.uint64))
+            maybe[valid] = bloom_contains(acc, h)
+        return b.filter(pa.array(maybe))
+
+    survivors = left.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+    n_part = num_partitions or max(8, pool_size())
+    right_distinct = dedup_exact(
+        distinct_partials.map_batches(
+            lambda b: b.filter(pc.is_valid(b[right_key])).select([right_key]),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        key=right_key,
+    ).repartition(n_part)
+
+    joined = survivors.repartition(n_part).join(
+        right_distinct, join_type="inner", num_partitions=n_part,
+        on=(left_key,), right_on=(right_key,),
+    )
+    if right_key != left_key:
+        joined = joined.map_batches(
+            lambda b: b.drop_columns([right_key])
+            if right_key in b.schema.names else b,
+            batch_format="pyarrow", batch_size=None,
+        )
+    return joined

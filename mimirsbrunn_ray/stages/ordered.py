@@ -1,0 +1,401 @@
+"""Ordered-per-key analytics — the SQL window-function family (LAG,
+SUM OVER RANGE/ROWS, argmax-per-partition) as distributed Ray Data stages.
+
+The reference has no window functions; its closest shapes are the
+order-dependent in-group rules it enforces by construction — deterministic
+in-group sorts before keep-first dedup (O1/D1,
+/root/reference/src/osm_reader/street.rs:202-246) and the "first stop
+wins" cross-dataset merge (/root/reference/src/stops.rs:165-187). This
+module generalizes that "sorted group, then a vectorized scan over it"
+discipline to the classic log analytics every time-series engine needs:
+
+* ``interarrival_stats`` — per-key LAG(ts) deltas reduced to gap stats.
+* ``rolling_bucket_agg`` — bucket-grain rolling window (SUM/COUNT/MEAN
+  OVER ... RANGE BETWEEN k-1 buckets PRECEDING AND CURRENT ROW),
+  aggregated to bucket grain FIRST so the windowed pass touches
+  keys x buckets rows, never the raw stream.
+* ``cumulative_bucket_agg`` — running totals over bucket grain (SUM OVER
+  ... ROWS UNBOUNDED PRECEDING), same pre-aggregation discipline.
+* ``mode_per_key`` — the most frequent value per key with a deterministic
+  tiebreak (ROW_NUMBER()=1 over count DESC, value ASC).
+
+Scale shapes: every operator pre-reduces inside ``map_batches`` (partial
+counts / bucket-grain partials) before its ONE hash shuffle, and every
+per-group body is a vectorized sort + segment scan — never a Python loop
+over rows, never one pandas group per key (the tiny-groups anti-pattern
+stages/dedup.py documents). Keys are hash-bucketed into coarse partitions
+where per-key groups would be tiny (interarrival), and grouped directly
+where the grouped rows are already bounded (bucket-grain windows: rows =
+keys x buckets in the run window, the generic_rollup bound).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from mimirsbrunn_ray.functions.timeutil import BUCKET_US, trunc_us, ts_array
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """SQL ROUND semantics (half away from zero) as int64 — np.round is
+    half-EVEN and silently diverges from the DuckDB oracle on .5 values
+    (same reason the rollup path uses pc.round half_towards_infinity)."""
+    return np.trunc(x + np.copysign(0.5, x)).astype(np.int64)
+
+
+def interarrival_stats(
+    ds: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """Per key: stats over the LAG(ts) inter-arrival deltas.
+
+    Output: key, n_events int64, mean_gap_s double, max_gap_s double —
+    keys with a single (non-null-ts) event are omitted (no gaps exist;
+    SQL HAVING COUNT(*) >= 2). mean_gap_s mirrors the SQL expression
+    ``(SUM(delta_us)::DOUBLE / COUNT(delta_us)) / 1e6`` exactly.
+
+    Shape: the sessionize bucketing — one hash shuffle on a coarse key
+    bucket, then each bucket sorts ONCE by (key, ts) and reduces the
+    diff column per key segment (C-level groupby, no per-key loop).
+    Null-ts rows are dropped up front (LAG ordering over NULL ts is
+    undefined; the oracle filters identically).
+    """
+    from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
+
+    def project(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[ts_col]))
+        return pa.table(
+            {
+                key: b[key],
+                "_ts": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    bucketed = ds.map_batches(
+        project, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        lambda b: add_bucket(b, key, num_buckets),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=g[key].dtype if key in g else "int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "mean_gap_s": pd.Series([], dtype="float64"),
+                    "max_gap_s": pd.Series([], dtype="float64"),
+                }
+            )
+        g = g.sort_values([key, "_ts"], kind="mergesort")
+        ts = g["_ts"].to_numpy(dtype=np.int64)
+        same_key = g[key].eq(g[key].shift()).to_numpy()
+        d = np.diff(ts, prepend=ts[:1])
+        # masked columns so the per-key reduce is a pure C groupby —
+        # never a Python lambda per group (the tiny-groups anti-pattern)
+        agg = (
+            g.assign(
+                _gap_sum=np.where(same_key, d, 0),
+                _gap_n=same_key.astype(np.int64),
+                _gap_max=np.where(same_key, d, np.int64(-1)),
+            )
+            .groupby(key, sort=True)
+            .agg(
+                n_events=(key, "size"),
+                _sum_gap=("_gap_sum", "sum"),
+                _n_gap=("_gap_n", "sum"),
+                _max_gap=("_gap_max", "max"),
+            )
+            .reset_index()
+        )
+        agg = agg[agg["_n_gap"] > 0]
+        mean_s = (
+            agg["_sum_gap"].astype(np.float64) / agg["_n_gap"]
+        ) / 1e6
+        return pd.DataFrame(
+            {
+                key: agg[key],
+                "n_events": agg["n_events"].astype(np.int64),
+                "mean_gap_s": mean_s,
+                "max_gap_s": agg["_max_gap"].astype(np.float64) / 1e6,
+            }
+        )
+
+    return bucketed.groupby(_BUCKET).map_groups(
+        lambda g: per_bucket(g.drop(columns=[_BUCKET])),
+        batch_format="pandas",
+    )
+
+
+def _bucket_grain_partials(
+    ds: "rd.Dataset", key: str, ts_col: str, value_col: str, bucket: str
+) -> "rd.Dataset":
+    """(key, bucket) -> (n int64, s double) partial aggregate rows,
+    combiner-first + tree-merged (the generic_rollup discipline): the
+    downstream windowed pass sees keys x buckets rows, never the stream."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[ts_col]))
+        ts_us = (
+            b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                key: b[key],
+                "bucket": ts_array(trunc_us(ts_us, bucket)),
+                "v": b[value_col].cast(pa.float64()),
+            }
+        )
+        g = t.group_by([key, "bucket"]).aggregate(
+            [([], "count_all"), ("v", "sum")]
+        )
+        g = g.select([key, "bucket", "count_all", "v_sum"])
+        return g.rename_columns([key, "bucket", "n", "s"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by([key, "bucket"]).aggregate(
+            [("n", "sum"), ("s", "sum")]
+        )
+        g = g.select([key, "bucket", "n_sum", "s_sum"])
+        return g.rename_columns([key, "bucket", "n", "s"])
+
+    return tree_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        combine,
+    )
+
+
+def rolling_bucket_agg(
+    ds: "rd.Dataset",
+    key: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1m",
+    window_buckets: int = 5,
+    scale: float = 100.0,
+) -> "rd.Dataset":
+    """Rolling window over bucket grain: for each (key, bucket) present in
+    the stream, SUM/COUNT/MEAN of the value over the trailing
+    ``window_buckets`` buckets (RANGE frame — absent buckets contribute
+    nothing but DO advance the window).
+
+    Output: key, bucket timestamp[us], roll_n int64, roll_sum int64
+    (snapped x``scale``, the engine's cross-engine float convention),
+    roll_mean int64 (ROUND(roll_sum_snapped / roll_n)).
+
+    Shape: ONE bucket-grain pre-aggregation (partials + tree merge), then
+    ONE hash shuffle on the key over the bounded (key x bucket) rows; each
+    group sorts by bucket once and resolves every window by at most
+    ``window_buckets`` vectorized shifted adds (buckets are grid-aligned
+    and distinct per key, so a trailing RANGE window never holds more than
+    ``window_buckets`` rows) — no per-window loop, no row replication of
+    the raw stream (the hopping_window_rollup lesson).
+    """
+    width = BUCKET_US[bucket]
+    span_us = window_buckets * width
+    grain = _bucket_grain_partials(ds, key, ts_col, value_col, bucket)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=g[key].dtype if key in g else "int64"),
+                    "bucket": pd.Series([], dtype="datetime64[us]"),
+                    "roll_n": pd.Series([], dtype="int64"),
+                    "roll_sum": pd.Series([], dtype="int64"),
+                    "roll_mean": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values([key, "bucket"], kind="mergesort")
+        bu = (
+            g["bucket"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        same_key = g[key].eq(g[key].shift()).to_numpy()
+        n = g["n"].to_numpy(dtype=np.int64)
+        s = g["s"].to_numpy(dtype=np.float64)
+        roll_n = n.copy()
+        roll_s = s.copy()
+        for j in range(1, window_buckets):
+            # row i-j is in i's trailing window iff same key and the
+            # bucket distance stays under the window span
+            in_win = np.zeros(len(bu), dtype=bool)
+            if len(bu) > j:
+                contiguous = same_key[j:].copy()
+                for jj in range(1, j):
+                    contiguous &= same_key[j - jj:-jj]
+                in_win[j:] = contiguous & ((bu[j:] - bu[:-j]) < span_us)
+            roll_n[in_win] += n[np.flatnonzero(in_win) - j]
+            roll_s[in_win] += s[np.flatnonzero(in_win) - j]
+        snapped = _round_half_away(roll_s * scale)
+        mean = _round_half_away(snapped.astype(np.float64) / roll_n)
+        return pd.DataFrame(
+            {
+                key: g[key],
+                "bucket": g["bucket"],
+                "roll_n": roll_n,
+                "roll_sum": snapped,
+                "roll_mean": mean,
+            }
+        )
+
+    out = grain.groupby(key).map_groups(per_key, batch_format="pandas")
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("bucket"),
+            "bucket",
+            b["bucket"].cast(pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def cumulative_bucket_agg(
+    ds: "rd.Dataset",
+    key: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1d",
+    scale: float = 100.0,
+) -> "rd.Dataset":
+    """Running totals over bucket grain: for each (key, bucket), the
+    cumulative COUNT/SUM of everything at or before it (SUM OVER ...
+    ROWS UNBOUNDED PRECEDING on the bucket-grain aggregate).
+
+    Output: key, bucket timestamp[us], day_n int64, cum_n int64,
+    cum_sum int64 (snapped x``scale``).
+
+    Shape: same bounded pre-aggregation as ``rolling_bucket_agg``; each
+    key's prefix sums accumulate in ascending bucket order — the exact
+    summation order of the SQL running frame, so the snapped values agree
+    bit-for-bit in practice. Per-key history at bucket grain is bounded
+    by the run window (the generic_rollup bound), which is what makes a
+    sequential prefix scan per key acceptable; the scan itself is one
+    ``np.cumsum`` per group segment.
+    """
+    grain = _bucket_grain_partials(ds, key, ts_col, value_col, bucket)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=g[key].dtype if key in g else "int64"),
+                    "bucket": pd.Series([], dtype="datetime64[us]"),
+                    "day_n": pd.Series([], dtype="int64"),
+                    "cum_n": pd.Series([], dtype="int64"),
+                    "cum_sum": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values([key, "bucket"], kind="mergesort")
+        n = g["n"].to_numpy(dtype=np.int64)
+        s = g["s"].to_numpy(dtype=np.float64)
+        # segment-local cumsum: subtract each key segment's running
+        # baseline (vectorized per-segment reset, no per-key loop)
+        new_seg = ~g[key].eq(g[key].shift()).to_numpy()
+        seg_id = np.cumsum(new_seg) - 1
+        cn = np.cumsum(n)
+        cs = np.cumsum(s)
+        starts = np.flatnonzero(new_seg)
+        base_n = np.where(starts > 0, cn[starts - 1], 0)[seg_id]
+        base_s = np.where(starts > 0, cs[starts - 1], 0.0)[seg_id]
+        cum_n = cn - base_n
+        cum_s = cs - base_s
+        return pd.DataFrame(
+            {
+                key: g[key],
+                "bucket": g["bucket"],
+                "day_n": n,
+                "cum_n": cum_n.astype(np.int64),
+                "cum_sum": _round_half_away(cum_s * scale),
+            }
+        )
+
+    out = grain.groupby(key).map_groups(per_key, batch_format="pandas")
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("bucket"),
+            "bucket",
+            b["bucket"].cast(pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def mode_per_key(
+    ds: "rd.Dataset",
+    key: str,
+    value_col: str,
+    out_col: str = "top_value",
+    count_col: str = "n_events",
+) -> "rd.Dataset":
+    """Most frequent value per key, ties broken by ascending value —
+    ROW_NUMBER()=1 OVER (PARTITION BY key ORDER BY n DESC, value ASC).
+
+    The argmax analog of the reference's keep-min-id winner rule (D1,
+    /root/reference/src/osm_reader/street.rs:222-231): a deterministic
+    single winner per group regardless of arrival order.
+
+    Shape: combiner-first — per-batch PARTIAL (key, value) counts inside
+    ``map_batches`` (the shuffle moves distinct pairs per batch, never
+    rows), ONE hash shuffle on the key, then each group merges partial
+    counts and takes its argmax in two vectorized sorts. Null keys or
+    values are dropped (SQL GROUP BY + COUNT semantics over NULL pairs
+    are engine-divergent; the oracle filters identically).
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.is_valid(b[key]), pc.is_valid(b[value_col]))
+        )
+        g = b.select([key, value_col]).group_by([key, value_col]).aggregate(
+            [([], "count_all")]
+        )
+        g = g.select([key, value_col, "count_all"])
+        return g.rename_columns([key, value_col, "_n"])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=g[key].dtype if key in g else "int64"),
+                    out_col: pd.Series(
+                        [], dtype=g[value_col].dtype if value_col in g else "object"
+                    ),
+                    count_col: pd.Series([], dtype="int64"),
+                }
+            )
+        c = (
+            g.groupby([key, value_col], sort=False, as_index=False)["_n"]
+            .sum()
+        )
+        c = c.sort_values(
+            [key, "_n", value_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        first = ~c[key].eq(c[key].shift()).to_numpy()
+        win = c[first]
+        return pd.DataFrame(
+            {
+                key: win[key],
+                out_col: win[value_col],
+                count_col: win["_n"].astype(np.int64),
+            }
+        )
+
+    return partials.groupby(key).map_groups(argmax, batch_format="pandas")

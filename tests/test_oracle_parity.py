@@ -72,6 +72,9 @@ def test_every_query_has_an_oracle(registry):
         "doc_categories", "doc_labels",
         "topk_docs_per_lang", "customers_without_events",
         "doc_chunk_spans", "tfidf_top_terms",
+        "event_interarrival", "rolling_value_5m", "cumulative_value_1d",
+        "top_event_type_per_user", "distinct_users_per_type",
+        "orders_with_returns",
     ],
 )
 def test_query_matches_oracle(registry, con, name):

@@ -1,0 +1,189 @@
+"""Edge-case semantics of the window-function family (stages/ordered.py,
+stages/dedup.exact_distinct_per_group, stages/join.bloom_semi_join):
+null timestamps, ts ties, window gaps, argmax tiebreaks, duplicate right
+keys. The cross-engine value parity is covered by test_oracle_parity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _ts(*minutes):
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    return [
+        None if m is None else base + np.timedelta64(int(m * 60_000_000), "us")
+        for m in minutes
+    ]
+
+
+def test_interarrival_null_ts_and_singletons(ray_session):
+    from mimirsbrunn_ray.stages.ordered import interarrival_stats
+
+    t = pa.table(
+        {
+            "user_id": [1, 1, 1, 2, 3, 3],
+            # user 1: gaps 1m and 3m; user 2: singleton (omitted);
+            # user 3: one null ts -> effectively a singleton (omitted)
+            "ts": pa.array(_ts(0, 1, 4, 0, None, 7), pa.timestamp("us")),
+        }
+    )
+    out = (
+        interarrival_stats(rd.from_arrow(t), num_buckets=4)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1]
+    assert out["n_events"].tolist() == [3]
+    assert out["mean_gap_s"].tolist() == [120.0]
+    assert out["max_gap_s"].tolist() == [180.0]
+
+
+def test_interarrival_ties_are_zero_gaps(ray_session):
+    from mimirsbrunn_ray.stages.ordered import interarrival_stats
+
+    t = pa.table(
+        {
+            "user_id": [7, 7, 7],
+            "ts": pa.array(_ts(5, 5, 8), pa.timestamp("us")),
+        }
+    )
+    out = interarrival_stats(rd.from_arrow(t), num_buckets=2).to_pandas()
+    assert out["mean_gap_s"].tolist() == [90.0]  # (0 + 180) / 2
+    assert out["max_gap_s"].tolist() == [180.0]
+
+
+def test_rolling_window_respects_gaps(ray_session):
+    from mimirsbrunn_ray.stages.ordered import rolling_bucket_agg
+
+    # minutes 0,1,2 then a jump to 10: the window at 10 must NOT reach
+    # back across the gap (RANGE frame, not ROWS frame)
+    t = pa.table(
+        {
+            "k": ["a"] * 4,
+            "ts": pa.array(_ts(0, 1, 2, 10), pa.timestamp("us")),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    out = (
+        rolling_bucket_agg(
+            rd.from_arrow(t), key="k", ts_col="ts", value_col="v",
+            bucket="1m", window_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert out["roll_n"].tolist() == [1, 2, 3, 1]
+    assert out["roll_sum"].tolist() == [100, 300, 600, 400]
+    assert out["roll_mean"].tolist() == [100, 150, 200, 400]
+
+
+def test_rolling_window_trailing_partial(ray_session):
+    from mimirsbrunn_ray.stages.ordered import rolling_bucket_agg
+
+    # bucket at minute 4 sees minutes 0..4 (5 buckets); minute 5 drops 0
+    t = pa.table(
+        {
+            "k": ["a"] * 6,
+            "ts": pa.array(_ts(0, 1, 2, 3, 4, 5), pa.timestamp("us")),
+            "v": pa.array([1.0] * 6),
+        }
+    )
+    out = (
+        rolling_bucket_agg(
+            rd.from_arrow(t), key="k", ts_col="ts", value_col="v",
+            bucket="1m", window_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert out["roll_n"].tolist() == [1, 2, 3, 4, 5, 5]
+
+
+def test_cumulative_resets_per_key(ray_session):
+    from mimirsbrunn_ray.stages.ordered import cumulative_bucket_agg
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "b"],
+            "ts": pa.array(
+                [np.datetime64("2026-01-01", "us"),
+                 np.datetime64("2026-01-03", "us"),
+                 np.datetime64("2026-01-02", "us")],
+                pa.timestamp("us"),
+            ),
+            "v": pa.array([1.5, 2.5, 10.0]),
+        }
+    )
+    out = (
+        cumulative_bucket_agg(
+            rd.from_arrow(t), key="k", ts_col="ts", value_col="v", bucket="1d"
+        )
+        .to_pandas()
+        .sort_values(["k", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert out["cum_n"].tolist() == [1, 2, 1]
+    assert out["cum_sum"].tolist() == [150, 400, 1000]  # b resets, not 1400
+
+
+def test_mode_per_key_tiebreak_ascending(ray_session):
+    from mimirsbrunn_ray.stages.ordered import mode_per_key
+
+    t = pa.table(
+        {
+            "k": [1, 1, 1, 1, 2, 2],
+            # key 1: b x2, a x2 -> tie broken to 'a'; key 2: unanimous 'z'
+            "v": ["b", "a", "b", "a", "z", "z"],
+        }
+    )
+    out = (
+        mode_per_key(rd.from_arrow(t), key="k", value_col="v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["top_value"].tolist() == ["a", "z"]
+    assert out["n_events"].tolist() == [2, 2]
+
+
+def test_exact_distinct_counts_across_blocks(ray_session):
+    from mimirsbrunn_ray.stages.dedup import exact_distinct_per_group
+
+    # the same (group, value) pair split across input blocks must count once
+    t1 = pa.table({"g": ["x", "x", "y"], "u": [1, 2, 1]})
+    t2 = pa.table({"g": ["x", "y", "y"], "u": [2, 1, None]})
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    out = (
+        exact_distinct_per_group(ds, "g", "u", out_col="n_users", num_buckets=4)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["g"].tolist() == ["x", "y"]
+    assert out["n_users"].tolist() == [2, 1]
+
+
+def test_bloom_semi_join_exactly_once_with_dup_right_keys(ray_session):
+    from mimirsbrunn_ray.stages.join import bloom_semi_join
+
+    left = rd.from_arrow(
+        pa.table({"k": [1, 2, 3, 4], "name": ["a", "b", "c", "d"]})
+    )
+    # key 2 appears in TWO right blocks — the semi-join must still emit
+    # left row 2 exactly once
+    right = rd.from_arrow(pa.table({"rk": [2, 2, 3]})).union(
+        rd.from_arrow(pa.table({"rk": [2]}))
+    )
+    out = (
+        bloom_semi_join(left, right, left_key="k", right_key="rk")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [2, 3]
+    assert out["name"].tolist() == ["b", "c"]
