@@ -7,26 +7,34 @@ with Jaccard >= t must share at least one token among each set's first
 ``m - ceil(t*m) + 1`` tokens (the prefix). Only pairs sharing a prefix
 token are candidates; everything else is provably below threshold.
 
-Distributed shape (all stages stream; nothing corpus-sized on the driver):
-  1. shared-gram scan: partial per-batch document frequencies, tree-merged
-     and filtered to df >= 2 — a df == 1 gram can never witness a pair, so
-     the broadcast side is bounded by the SHARED-gram count (near-dup
-     scale), not the gram space.
-  2. prefix stage (``map_batches``): per doc, distinct word-n-gram hashes
-     ordered df-ASCENDING by the broadcast shared-gram rank (rare first —
-     the classic AllPairs candidate minimizer; any consistent total order
+Distributed shape (tokenize ONCE; nothing corpus-sized on the driver in
+unbounded mode):
+  0. gram table: one corpus pass materializes (doc_id, sorted-distinct
+     gram hashes, size) — every later stage derives from it with offset
+     arithmetic instead of re-tokenizing (profiled: the old 3-pass shape
+     spent most of its wall re-tokenizing + tree-merging).
+  1. shared-gram scan (bounded mode only): per-block distinct-gram df
+     partials pulled to the driver under a byte budget and merged with
+     one ``np.unique`` — filtered to df >= 2; a df == 1 gram can never
+     witness a pair, so the BROADCAST is bounded by the SHARED-gram count
+     (near-dup scale). The pull itself is vocabulary x blocks scale,
+     which the budget guards; past it the join falls back to unbounded.
+  2. prefix stage (``map_batches`` over the gram table): grams ordered
+     df-ASCENDING by the broadcast shared-gram rank (rare first — the
+     classic AllPairs candidate minimizer; any consistent total order
      keeps the filter exact), emit (gram, doc_id, size, pos) rows for the
-     PREFIX grams only — fully vectorized (one lexsort per batch).
+     PREFIX grams only — in unbounded (hash-order) mode the stored order
+     IS the global order and the prefix is a pure offset slice.
   3. candidate stage: hash-bucket by gram, within-bucket group by gram,
      emit id pairs passing the LENGTH filter (min >= t * max; J <= min/max)
      and PPJoin's POSITIONAL filter (suffix length from the witness
      position must reach the minimum overlap ceil(t/(1+t)*(sx+sy)); the
      smallest common gram of a true pair always passes).
   4. verify: batch-local pair dedup (duplicate witnesses tolerated — no
-     pair shuffle), exact Jaccard either against a gram-set map built from
-     a second candidate-filtered corpus pass (the bounded-broadcast
-     pattern of stages/neardup.py) or — past the broadcast budgets — via
-     two ``Dataset.join``s of the pair list against the streaming
+     pair shuffle), exact Jaccard either against a gram-set map built by
+     a candidate-filtered gram-table pass (the bounded-broadcast pattern
+     of stages/neardup.py) or — past the broadcast budgets — via two
+     ``Dataset.join``s of the pair list against the binary-encoded
      (doc_id, grams) table (``mode`` on ``ngram_jaccard_join``), then one
      coalesced collapse of the TINY verified set.
 
@@ -122,86 +130,121 @@ def _distinct_sorted_per_doc(grams: np.ndarray, doc_idx: np.ndarray):
     return g, d, rank, size
 
 
-class _GramDf:
-    """map_batches stage: per-batch PARTIAL document frequencies of the
-    distinct grams (one (gram, n) row per distinct gram per batch)."""
+class _GramTable:
+    """map_batches stage: (doc_id, text) -> (doc_id, grams list<int64>,
+    size int32) — each doc's DISTINCT grams in ascending hash order.
+
+    The join's tokenize-once backbone: this table is materialized a single
+    time and every later stage (df scan, prefix, verification gram sets)
+    derives from it with pure offset arithmetic — the profile showed the
+    old shape re-tokenizing the corpus in three separate executions, with
+    the wall dominated by that repeated work plus the df tree-merge.
+    Corpus-sized but object-store-resident (Ray spills it like any other
+    materialized Dataset); zero-gram docs keep an empty-list row so the
+    table stays a total map of the corpus.
+    """
 
     def __init__(self, n: int):
         self.n = n
 
     def __call__(self, b: pa.Table) -> pa.Table:
         grams, doc_idx = word_ngram_hashes(b["text"], self.n)
+        ids = b["doc_id"].combine_chunks() if isinstance(
+            b["doc_id"], pa.ChunkedArray
+        ) else b["doc_id"]
+        n_docs = b.num_rows
         if len(grams) == 0:
+            offsets = np.zeros(n_docs + 1, dtype=np.int32)
+            values = pa.array([], pa.int64())
+        else:
+            g, d, _rank, _size = _distinct_sorted_per_doc(grams, doc_idx)
+            counts = np.bincount(d, minlength=n_docs)
+            offsets = np.concatenate(
+                ([0], np.cumsum(counts))
+            ).astype(np.int32)
+            values = pa.array(g.view(np.int64))
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+        sizes = np.diff(offsets).astype(np.int32)
+        return pa.table(
+            {"doc_id": ids, "grams": lists, "size": pa.array(sizes)}
+        )
+
+
+def _flatten_grams(b: pa.Table):
+    """(values int64[], offsets int64[]) of a gram-table batch — zero-copy
+    offset arithmetic, no per-row work."""
+    col = b["grams"].combine_chunks() if isinstance(
+        b["grams"], pa.ChunkedArray
+    ) else b["grams"]
+    values = col.values.to_numpy(zero_copy_only=False)
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return values, offsets
+
+
+def _shared_grams(gram_tbl: "rd.Dataset", byte_budget: int | None = None):
+    """Sorted uint64 array of grams with document frequency >= 2, or None
+    when the pull would exceed ``byte_budget`` (the caller then switches
+    to the unbounded hash-order path — see ``ngram_jaccard_join``).
+
+    The classic AllPairs df-ascending optimization needs each gram's df;
+    a gram with df == 1 can NEVER witness a candidate pair, so the
+    BROADCAST side is bounded by the SHARED-gram count (near-dup scale).
+    The driver-side merge below additionally pulls each block's distinct
+    grams once (vocabulary x blocks scale), which is what the byte budget
+    guards — in natural-language corpora shared grams scale with
+    vocabulary (ADVICE r2) and the bounded mode is wrong there anyway.
+    Per-block rows are already distinct (the gram table stores distinct
+    sets), so the partial df is one vectorized unique-count per block and
+    the merge is one np.unique over the pulled chunks — no tree-merge
+    execution, no re-tokenization.
+
+    Returns the shared grams sorted by (df ascending, gram) — their RANK
+    in this array is the global prefix order.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        values, _ = _flatten_grams(b)
+        if len(values) == 0:
             return pa.table(
                 {"gram": pa.array([], pa.int64()),
                  "n": pa.array([], pa.int64())}
             )
-        g, d, _rank, _size = _distinct_sorted_per_doc(grams, doc_idx)
-        uniq, counts = np.unique(g, return_counts=True)
+        uniq, counts = np.unique(values, return_counts=True)
         return pa.table(
-            {"gram": pa.array(uniq.view(np.int64)),
-             "n": pa.array(counts.astype(np.int64))}
+            {"gram": pa.array(uniq), "n": pa.array(counts.astype(np.int64))}
         )
 
-
-def _shared_grams(
-    docs: "rd.Dataset", n: int, conc=None, byte_budget: int | None = None
-):
-    """Sorted uint64 array of grams with document frequency >= 2, or None
-    when the array would exceed ``byte_budget`` (the caller then switches
-    to the unbounded hash-order path — see ``ngram_jaccard_join``).
-
-    The classic AllPairs df-ascending optimization needs each gram's df;
-    here only *whether df >= 2* is needed for pruning plus df for
-    ordering — and a gram with df == 1 can NEVER witness a candidate
-    pair, so the broadcast side is bounded by the SHARED-gram count (the
-    near-dup scale) — EXCEPT in natural-language corpora where shared
-    grams scale with vocabulary (any trigram in >= 2 docs), which is what
-    the byte budget guards (ADVICE r2).
-    Returns the shared grams sorted by (df ascending, gram) — their RANK
-    in this array is the global prefix order.
-    """
-    from mimirsbrunn_ray.stages.rollup import tree_merge
-
-    mb_kwargs = {"concurrency": conc} if conc is not None else {}
-    # shipped INSTANCE -> task-based stage: the state is one int, so an
-    # autoscaling actor pool here would pay seconds of startup for nothing
-    # (the engine's task-closure-for-small-state rule)
-    partials = docs.map_batches(
-        _GramDf(n), batch_format="pyarrow", batch_size=None, **mb_kwargs,
-    )
-
-    def combine(b: pa.Table) -> pa.Table:
-        g = b.group_by(["gram"]).aggregate([("n", "sum")])
-        return g.rename_columns(["gram", "n"])
-
-    def only_shared(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater(b["n"], 1))
-
-    counts = tree_merge(partials, combine).map_batches(
-        only_shared, batch_format="pyarrow", batch_size=None
+    partials = gram_tbl.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
     )
     chunks_g, chunks_n = [], []
     total_bytes = 0
-    for bt in counts.iter_batches(batch_format="pyarrow"):
+    for bt in partials.iter_batches(batch_format="pyarrow"):
         arr = bt["gram"].to_numpy(zero_copy_only=False)
-        # the broadcast ships three same-length arrays (shared, val_sorted,
-        # val_rank) per task spec — budget 24 bytes per shared gram
-        total_bytes += len(arr) * 24
+        total_bytes += len(arr) * 16  # (gram, n) rows pulled
         if byte_budget is not None and total_bytes > byte_budget:
             return None
         chunks_g.append(arr)
         chunks_n.append(bt["n"].to_numpy(zero_copy_only=False))
     if not chunks_g:
         return np.empty(0, np.uint64)
-    g = np.concatenate(chunks_g).view(np.uint64)
-    n_arr = np.concatenate(chunks_n)
-    order = np.lexsort((g, n_arr))  # df ascending, gram tiebreak
-    return g[order]
+    g_all = np.concatenate(chunks_g)
+    n_all = np.concatenate(chunks_n)
+    uniq, inv = np.unique(g_all, return_inverse=True)
+    df = np.bincount(inv, weights=n_all).astype(np.int64)
+    shared = uniq[df >= 2].view(np.uint64)
+    df = df[df >= 2]
+    # the broadcast ships three same-length arrays (shared, val_sorted,
+    # val_rank) per task spec — budget 24 bytes per shared gram
+    if byte_budget is not None and len(shared) * 24 > byte_budget:
+        return None
+    order = np.lexsort((shared, df))  # df ascending, gram tiebreak
+    return shared[order]
 
 
 class _PrefixGrams:
-    """map_batches stage: (doc_id, text) -> prefix rows (gram, doc_id, size).
+    """map_batches stage over the GRAM TABLE: (doc_id, grams, size) ->
+    prefix rows (gram, doc_id, size, pos).
 
     Gram order is df-ASCENDING over the broadcast shared-gram rank (grams
     absent from it have df == 1 and sort AFTER every shared gram, mutually
@@ -213,12 +256,13 @@ class _PrefixGrams:
     ``shared=None`` is the UNBOUNDED mode: no broadcast at all, grams
     ordered by their (avalanched) hash value — still a consistent global
     total order, so the prefix filter stays exact; df == 1 grams are kept
-    and die later as singleton gram groups in the candidate shuffle.
+    and die later as singleton gram groups in the candidate shuffle. In
+    this mode the gram table's per-doc lists are ALREADY in order, so the
+    prefix is a pure offset slice — no sort at all.
     """
 
-    def __init__(self, threshold: float, n: int, shared=None):
+    def __init__(self, threshold: float, shared=None):
         self.t = threshold
-        self.n = n
         self.prune = shared is not None
         # sorted-by-(df,gram) shared grams (plain array: the instance is
         # SHIPPED with the task spec — tiny immutable state, so paying
@@ -248,29 +292,34 @@ class _PrefixGrams:
         return key
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        grams, doc_idx = word_ngram_hashes(b["text"], self.n)
         ids = b["doc_id"].combine_chunks() if isinstance(
             b["doc_id"], pa.ChunkedArray
         ) else b["doc_id"]
-        if len(grams) == 0:
+        values, offsets = _flatten_grams(b)
+        if len(values) == 0:
             return pa.table(
                 {
                     "gram": pa.array([], pa.int64()),
                     "doc_id": pa.array([], ids.type),
                     "size": pa.array([], pa.int32()),
+                    "pos": pa.array([], pa.int32()),
                 }
             )
-        g, d, _rank, size = _distinct_sorted_per_doc(grams, doc_idx)
-        # re-rank each doc's grams in the GLOBAL order: df-ascending rank
-        # (bounded mode) or the raw hash value (unbounded mode)
-        key = self._order_key(g) if self.prune else g
-        order = np.lexsort((key, d))
-        g, d, size, key = g[order], d[order], size[order], key[order]
-        new_seg = np.ones(len(d), dtype=bool)
-        new_seg[1:] = d[1:] != d[:-1]
-        seg_starts = np.flatnonzero(new_seg)
-        seg_sizes = np.diff(np.append(seg_starts, len(d)))
-        rank = np.arange(len(d)) - np.repeat(seg_starts, seg_sizes)
+        g = values.view(np.uint64)
+        counts = np.diff(offsets)
+        d = np.repeat(np.arange(b.num_rows, dtype=np.int64), counts)
+        size = np.repeat(counts, counts)
+        if self.prune:
+            # re-rank each doc's grams in the df-ascending global order;
+            # the sort keeps rows grouped per doc (d is the primary key),
+            # so offsets stay valid as segment starts
+            key = self._order_key(g)
+            order = np.lexsort((key, d))
+            g, d, size, key = g[order], d[order], size[order], key[order]
+        else:
+            # hash order == stored order: no sort at all
+            key = g
+        rank = np.arange(len(d)) - np.repeat(offsets[:-1], counts)
         # prefix filter: first m - ceil(t*m) + 1 grams of each doc; in
         # bounded mode also drop unshared grams (df == 1 -> pair-free)
         p = size - np.ceil(self.t * size).astype(np.int64) + 1
@@ -341,18 +390,19 @@ def _pairs_in_bucket(threshold: float):
 
 
 class _GramSets:
-    """Corpus pass -> (doc_id, gram set) rows; ``cand`` filters to the
+    """Gram-table pass -> (doc_id, gram set) rows; ``cand`` filters to the
     candidate docs (bounded-broadcast mode), ``cand=None`` emits every doc
     (the unbounded shuffle-join mode).
 
     Gram sets are encoded as BINARY (sorted int64 little-endian bytes),
     not list<int64>: Acero hash joins reject list payload columns, and the
     unbounded verify path ships these rows through two ``Dataset.join``s.
+    The per-row ``tobytes`` is an O(rows) encode over already-sorted
+    slices — no tokenization, no per-row set building.
     """
 
-    def __init__(self, cand, n: int):
+    def __init__(self, cand):
         self.cand = cand
-        self.n = n
 
     def __call__(self, b: pa.Table) -> pa.Table:
         if self.cand is not None:
@@ -360,17 +410,11 @@ class _GramSets:
                 pc.is_in(b["doc_id"], value_set=self.cand), False
             )
             b = b.filter(keep)
-        grams, doc_idx = word_ngram_hashes(b["text"], self.n)
-        empty = np.empty(0, np.int64).tobytes()
-        sets = [empty] * b.num_rows
-        if len(grams):
-            order = np.lexsort((grams, doc_idx))
-            g, d = grams[order], doc_idx[order]
-            bounds = np.flatnonzero(np.diff(d)) + 1
-            for di, seg in zip(
-                np.unique(d), np.split(g.view(np.int64), bounds)
-            ):
-                sets[di] = np.unique(seg).tobytes()
+        values, offsets = _flatten_grams(b)
+        sets = [
+            values[offsets[i]:offsets[i + 1]].tobytes()
+            for i in range(b.num_rows)
+        ]
         return pa.table(
             {
                 "doc_id": b["doc_id"],
@@ -506,16 +550,23 @@ def ngram_jaccard_join(
         )
     # shipped-instance stages throughout (the MinHasher trade): every
     # stage's state is small and immutable, so task pools that scale with
-    # the read beat fixed actor pools plus their startup cost
+    # the read beat fixed actor pools plus their startup cost.
+    # Tokenize ONCE: the gram table is the single corpus-derived
+    # intermediate; df scan, prefix emission, and verification gram sets
+    # are all offset arithmetic over it (profiled 8.1 s -> the fused shape
+    # at sf0.1; the old shape re-tokenized in three executions).
+    gram_tbl = docs.map_batches(
+        _GramTable(n), batch_format="pyarrow", batch_size=None, **mb_kwargs,
+    ).materialize()
     if mode == "unbounded":
         shared = None
     else:
         shared = _shared_grams(
-            docs, n, concurrency,
+            gram_tbl,
             byte_budget=None if mode == "bounded" else broadcast_byte_budget,
         )
-    prefix = docs.map_batches(
-        _PrefixGrams(threshold, n, shared),
+    prefix = gram_tbl.map_batches(
+        _PrefixGrams(threshold, shared),
         batch_format="pyarrow",
         batch_size=None,
         **mb_kwargs,
@@ -556,19 +607,19 @@ def ngram_jaccard_join(
     )
     if use_join:
         # UNBOUNDED verify: ship each pair through two hash-shuffle joins
-        # against the streaming (doc_id, grams) table — no driver-held
+        # against the binary-encoded (doc_id, grams) table — no driver-held
         # candidate set or gram map of any size
-        gram_tbl = docs.map_batches(
-            _GramSets(None, n), batch_format="pyarrow", batch_size=None,
+        gram_bin = gram_tbl.map_batches(
+            _GramSets(None), batch_format="pyarrow", batch_size=None,
             **mb_kwargs,
-        ).materialize()  # consumed by BOTH joins — don't recompute the grams
+        ).materialize()  # consumed by BOTH joins — don't recompute
         n_part = max(8, pool_size())
         # repartition squashes the schema-less empty blocks that bucketed
         # map_groups emits — one reaching a join partition crashes Acero
         # (the pipelines/late.py lesson)
         pairs_r = pairs.repartition(n_part)
         j1 = pairs_r.join(
-            gram_tbl, join_type="inner", num_partitions=n_part,
+            gram_bin, join_type="inner", num_partitions=n_part,
             on=("a",), right_on=("doc_id",),
         ).map_batches(
             lambda b: pa.table(
@@ -577,7 +628,7 @@ def ngram_jaccard_join(
             batch_format="pyarrow", batch_size=None,
         ).repartition(n_part)  # squash the join's own schema-less empties
         j2 = j1.join(
-            gram_tbl, join_type="inner", num_partitions=n_part,
+            gram_bin, join_type="inner", num_partitions=n_part,
             on=("b",), right_on=("doc_id",),
         ).map_batches(
             lambda b: pa.table(
@@ -602,8 +653,8 @@ def ngram_jaccard_join(
                 [cand_tbl["a"].combine_chunks(), cand_tbl["b"].combine_chunks()]
             )
         )
-        gram_rows = docs.map_batches(
-            _GramSets(cand_ids, n), batch_format="pyarrow", batch_size=None,
+        gram_rows = gram_tbl.map_batches(
+            _GramSets(cand_ids), batch_format="pyarrow", batch_size=None,
             **mb_kwargs,
         )
         gram_map = {}
