@@ -2345,3 +2345,109 @@ WHERE EXISTS (
 
 QUERIES["orders_with_returns"] = q_orders_with_returns
 ORACLES["orders_with_returns"] = SEMI_JOIN_SQL
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (M8 parse/validate converter) + repetition
+# quality scoring (Gopher top-n-gram fraction)
+
+
+def q_props_k_stats(sf_dir):
+    """Per-type integer stats of the JSON 'k' property — a vectorized
+    regex parse (one RE2 pass per batch, functions/jsonx.py), combiner
+    partials + tree merge; null/malformed rows drop from the aggregate
+    exactly like SQL CAST(json_extract_string(...)) nulls."""
+    from mimirsbrunn_ray.functions.jsonx import extract_int_key
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = extract_int_key(b["props"], "k")
+        t = pa.table({"event_type": b["event_type"], "k": k})
+        g = t.group_by(["event_type"]).aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        g = g.select(["event_type", "k_count", "k_sum", "k_min", "k_max"])
+        return g.rename_columns(["event_type", "n_k", "sum_k", "min_k", "max_k"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"]).aggregate(
+            [("n_k", "sum"), ("sum_k", "sum"), ("min_k", "min"), ("max_k", "max")]
+        )
+        g = g.select(
+            ["event_type", "n_k_sum", "sum_k_sum", "min_k_min", "max_k_max"]
+        )
+        return g.rename_columns(["event_type", "n_k", "sum_k", "min_k", "max_k"])
+
+    merged = tree_merge(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        combine,
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "n_k": b["n_k"].cast(pa.int64()),
+                "sum_k": b["sum_k"].cast(pa.int64()),
+                "min_k": b["min_k"].cast(pa.int64()),
+                "max_k": b["max_k"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+PROPS_K_SQL = """
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+QUERIES["props_k_stats"] = q_props_k_stats
+ORACLES["props_k_stats"] = PROPS_K_SQL
+
+
+def q_doc_repetition_scores(sf_dir):
+    """Per-doc top-bigram repetition fraction (the Gopher/C4 quality
+    signal for training-data filtering) — no shuffle, one lexsort +
+    reduceat per batch; see stages/text.repetition_scores."""
+    from mimirsbrunn_ray.stages.text import repetition_scores
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return repetition_scores(docs, n=2)
+
+
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), b AS (
+  SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS bg
+  FROM t WHERE len(w) >= 2
+), c AS (
+  SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY 1, 2
+), a AS (
+  SELECT doc_id, SUM(n) AS total, MAX(n) AS top FROM c GROUP BY 1
+)
+SELECT doc_id,
+       CAST(total AS BIGINT) AS n_grams,
+       CAST(top AS BIGINT) AS top_gram_n,
+       CAST(ROUND(top * 1e6 / total, 0) AS BIGINT) AS top_frac_x1e6
+FROM a
+"""
+
+QUERIES["doc_repetition_scores"] = q_doc_repetition_scores
+ORACLES["doc_repetition_scores"] = REPETITION_SQL

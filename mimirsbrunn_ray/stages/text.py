@@ -581,3 +581,66 @@ def tfidf_top_terms(
         scored, ["doc_id"], "score_x1e6", k=k, descending=True,
         tiebreak_cols=["token"],
     )
+
+
+def repetition_scores(ds: "rd.Dataset", n: int = 2) -> "rd.Dataset":
+    """Gopher-style repetition quality signal: per document, the fraction
+    of word-n-gram occurrences taken by the single most frequent n-gram
+    (Rae et al. 2021's "top n-gram fraction" family — high values flag
+    boilerplate/spam for training-data filtering).
+
+    Output: doc_id, n_grams int64 (total n-gram occurrences), top_gram_n
+    int64 (count of the most frequent one), top_frac_x1e6 int64
+    (ROUND(top * 1e6 / total) — the engine's fixed-point float
+    convention). Documents with fewer than ``n`` words emit nothing (no
+    n-grams exist; the oracle's len(w) >= n filter matches).
+
+    Purely per-batch (embarrassingly parallel, no shuffle): one lexsort
+    per batch over the NON-deduplicated gram stream, run-length counts,
+    and two ``reduceat`` reductions per doc segment. Grams are compared
+    as 64-bit hashes (simjoin's collision-bound caveat applies: a
+    cross-gram collision within one doc merges two counts — probability
+    ~g^2/2^65 per doc, negligible below ~10^8 grams per doc).
+    """
+    from mimirsbrunn_ray.stages.simjoin import word_ngram_hashes
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks() if isinstance(
+            b["doc_id"], pa.ChunkedArray
+        ) else b["doc_id"]
+        g, d = word_ngram_hashes(b["text"], n)
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], ids.type),
+                    "n_grams": pa.array([], pa.int64()),
+                    "top_gram_n": pa.array([], pa.int64()),
+                    "top_frac_x1e6": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((g, d))
+        gs, ds_ = g[order], d[order]
+        new_run = np.ones(len(gs), dtype=bool)
+        new_run[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_counts = np.diff(np.append(run_starts, len(gs)))
+        run_docs = ds_[run_starts]
+        doc_start = np.ones(len(run_docs), dtype=bool)
+        doc_start[1:] = run_docs[1:] != run_docs[:-1]
+        seg_starts = np.flatnonzero(doc_start)
+        tops = np.maximum.reduceat(run_counts, seg_starts)
+        totals = np.add.reduceat(run_counts, seg_starts)
+        # SQL ROUND is half away from zero; values here are positive
+        frac = np.floor(
+            tops.astype(np.float64) * 1e6 / totals + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(run_docs[seg_starts])),
+                "n_grams": pa.array(totals.astype(np.int64)),
+                "top_gram_n": pa.array(tops.astype(np.int64)),
+                "top_frac_x1e6": pa.array(frac),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

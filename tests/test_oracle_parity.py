@@ -74,7 +74,7 @@ def test_every_query_has_an_oracle(registry):
         "doc_chunk_spans", "tfidf_top_terms",
         "event_interarrival", "rolling_value_5m", "cumulative_value_1d",
         "top_event_type_per_user", "distinct_users_per_type",
-        "orders_with_returns",
+        "orders_with_returns", "props_k_stats", "doc_repetition_scores",
     ],
 )
 def test_query_matches_oracle(registry, con, name):

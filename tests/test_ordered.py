@@ -187,3 +187,42 @@ def test_bloom_semi_join_exactly_once_with_dup_right_keys(ray_session):
     )
     assert out["k"].tolist() == [2, 3]
     assert out["name"].tolist() == ["b", "c"]
+
+
+def test_extract_int_key_edge_cases():
+    import pyarrow as pa
+
+    from mimirsbrunn_ray.functions.jsonx import extract_int_key
+
+    arr = pa.array(
+        ['{"k": 69}', '{"k": -3}', None, "oops", '{"other": 1}',
+         '{"k":0}', '{ "k" : 42 }']
+    )
+    out = extract_int_key(arr, "k").to_pylist()
+    assert out == [69, -3, None, None, None, 0, 42]
+
+
+def test_repetition_scores_counts(ray_session):
+    import pyarrow as pa
+
+    from mimirsbrunn_ray.stages.text import repetition_scores
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            # doc 1: bigrams (a b) x2, (b a) x1 -> top 2/3
+            # doc 2: single word -> no bigrams -> omitted
+            # doc 3: all distinct bigrams -> top 1/3
+            "text": ["a b a b", "solo", "w x y z"],
+        }
+    )
+    out = (
+        repetition_scores(rd.from_arrow(t), n=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["n_grams"].tolist() == [3, 3]
+    assert out["top_gram_n"].tolist() == [2, 1]
+    assert out["top_frac_x1e6"].tolist() == [666667, 333333]
