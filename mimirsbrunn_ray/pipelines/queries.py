@@ -2451,3 +2451,125 @@ FROM a
 
 QUERIES["doc_repetition_scores"] = q_doc_repetition_scores
 ORACLES["doc_repetition_scores"] = REPETITION_SQL
+
+
+# ---------------------------------------------------------------------------
+# composition queries: windowed distinct, latest-per-key, value histogram
+
+
+def q_hourly_active_users(sf_dir):
+    """Distinct active users per 1h window — the windowed form of the
+    exact distinct count (composite (bucket) group through
+    stages/dedup.exact_distinct_per_group)."""
+    from mimirsbrunn_ray.functions.timeutil import trunc_us, ts_array
+    from mimirsbrunn_ray.stages.dedup import exact_distinct_per_group
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["ts"]))
+        ts_us = (
+            b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {"bucket": ts_array(trunc_us(ts_us, "1h")), "user_id": b["user_id"]}
+        )
+
+    bucketed = ev.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    return exact_distinct_per_group(
+        bucketed, group_col=["bucket"], distinct_col="user_id",
+        out_col="n_users",
+    )
+
+
+HOURLY_ACTIVE_SQL = """
+SELECT date_trunc('hour', ts) AS bucket,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1
+"""
+
+QUERIES["hourly_active_users"] = q_hourly_active_users
+ORACLES["hourly_active_users"] = HOURLY_ACTIVE_SQL
+
+
+def q_latest_event_per_user(sf_dir):
+    """Each user's most recent event (first_value/last_value family):
+    per-group top-1 by ts descending with an event_id tiebreak — the
+    grouped_top_k partial-prune shape, so the shuffle moves <= 1 row per
+    (user, batch), never the stream."""
+    from mimirsbrunn_ray.stages.search import grouped_top_k
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    return grouped_top_k(
+        ev, ["user_id"], "ts", k=1, descending=True,
+        tiebreak_cols=["event_id"],
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id ASC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+QUERIES["latest_event_per_user"] = q_latest_event_per_user
+ORACLES["latest_event_per_user"] = LATEST_EVENT_SQL
+
+
+def q_value_histogram(sf_dir):
+    """Fixed-width value histogram per event type (bin = FLOOR(value/10))
+    — combiner partials + tree merge; the classic distribution profile
+    over a metric column."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["value"]))
+        bins = pc.cast(
+            pc.floor(pc.divide(b["value"].cast(pa.float64()), 10.0)),
+            pa.int64(),
+        )
+        t = pa.table({"event_type": b["event_type"], "bin": bins})
+        g = t.group_by(["event_type", "bin"]).aggregate([([], "count_all")])
+        g = g.select(["event_type", "bin", "count_all"])
+        return g.rename_columns(["event_type", "bin", "n"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "bin"]).aggregate([("n", "sum")])
+        g = g.select(["event_type", "bin", "n_sum"])
+        return g.rename_columns(["event_type", "bin", "n"])
+
+    merged = tree_merge(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        combine,
+    )
+    return merged.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n"), "n", b["n"].cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+VALUE_HIST_SQL = """
+SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+QUERIES["value_histogram"] = q_value_histogram
+ORACLES["value_histogram"] = VALUE_HIST_SQL

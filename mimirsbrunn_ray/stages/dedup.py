@@ -299,14 +299,16 @@ class ClaimFilterStage:
 
 def exact_distinct_per_group(
     ds: "rd.Dataset",
-    group_col: str,
+    group_col,
     distinct_col: str,
     out_col: str = "n_distinct",
     num_buckets: int = 64,
 ) -> "rd.Dataset":
-    """EXACT COUNT(DISTINCT distinct_col) GROUP BY group_col — the exact
-    complement of the HLL approximate-distinct sketch (stages/sketch.py),
-    built on the same hash-bucket discipline as ``dedup_exact``.
+    """EXACT COUNT(DISTINCT distinct_col) GROUP BY group_col(s) — the
+    exact complement of the HLL approximate-distinct sketch
+    (stages/sketch.py), built on the same hash-bucket discipline as
+    ``dedup_exact``. ``group_col`` is one column name or a list (composite
+    keys, e.g. (event_type, hour bucket)).
 
     Shape (combiner-first, ONE shuffle, nothing corpus-sized anywhere):
 
@@ -329,14 +331,15 @@ def exact_distinct_per_group(
 
     from mimirsbrunn_ray.stages.rollup import tree_merge
 
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    pair_cols = group_cols + [distinct_col]
+
     def pair_partial(b: pa.Table) -> pa.Table:
-        b = b.filter(
-            pc.and_(pc.is_valid(b[group_col]), pc.is_valid(b[distinct_col]))
-        )
-        g = b.select([group_col, distinct_col]).group_by(
-            [group_col, distinct_col]
-        ).aggregate([])
-        return g
+        valid = pc.is_valid(b[distinct_col])
+        for c in group_cols:
+            valid = pc.and_(valid, pc.is_valid(b[c]))
+        b = b.filter(valid)
+        return b.select(pair_cols).group_by(pair_cols).aggregate([])
 
     pairs = ds.map_batches(
         pair_partial, batch_format="pyarrow", batch_size=None
@@ -349,30 +352,31 @@ def exact_distinct_per_group(
     def per_bucket(group: pa.Table) -> pa.Table:
         t = group.drop_columns([_BUCKET])
         if t.num_rows == 0:
-            return pa.table(
-                {
-                    group_col: pa.array([], t.schema.field(group_col).type),
-                    "_n": pa.array([], pa.int64()),
-                }
-            )
+            cols = {
+                c: pa.array([], t.schema.field(c).type) for c in group_cols
+            }
+            cols["_n"] = pa.array([], pa.int64())
+            return pa.table(cols)
         # exact pair dedup then per-group count, both C-level
-        d = t.group_by([group_col, distinct_col]).aggregate([])
-        c = d.group_by([group_col]).aggregate([([], "count_all")])
-        c = c.select([group_col, "count_all"])
-        return c.rename_columns([group_col, "_n"])
+        d = t.group_by(pair_cols).aggregate([])
+        c = d.group_by(group_cols).aggregate([([], "count_all")])
+        c = c.select(group_cols + ["count_all"])
+        return c.rename_columns(group_cols + ["_n"])
 
     partial_counts = pairs.groupby(_BUCKET).map_groups(
         per_bucket, batch_format="pyarrow"
     )
 
     def combine(b: pa.Table) -> pa.Table:
-        g = b.group_by([group_col]).aggregate([("_n", "sum")])
-        g = g.select([group_col, "_n_sum"])
-        return g.rename_columns([group_col, "_n"])
+        g = b.group_by(group_cols).aggregate([("_n", "sum")])
+        g = g.select(group_cols + ["_n_sum"])
+        return g.rename_columns(group_cols + ["_n"])
 
     merged = tree_merge(partial_counts, combine)
     return merged.map_batches(
-        lambda b: b.rename_columns([group_col, out_col]),
+        lambda b: b.select(group_cols + ["_n"]).rename_columns(
+            group_cols + [out_col]
+        ),
         batch_format="pyarrow",
         batch_size=None,
     )

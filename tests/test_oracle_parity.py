@@ -75,6 +75,7 @@ def test_every_query_has_an_oracle(registry):
         "event_interarrival", "rolling_value_5m", "cumulative_value_1d",
         "top_event_type_per_user", "distinct_users_per_type",
         "orders_with_returns", "props_k_stats", "doc_repetition_scores",
+        "hourly_active_users", "latest_event_per_user", "value_histogram",
     ],
 )
 def test_query_matches_oracle(registry, con, name):

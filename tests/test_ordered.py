@@ -226,3 +226,26 @@ def test_repetition_scores_counts(ray_session):
     assert out["n_grams"].tolist() == [3, 3]
     assert out["top_gram_n"].tolist() == [2, 1]
     assert out["top_frac_x1e6"].tolist() == [666667, 333333]
+
+
+def test_exact_distinct_composite_group(ray_session):
+    from mimirsbrunn_ray.stages.dedup import exact_distinct_per_group
+
+    t = pa.table(
+        {
+            "g1": ["x", "x", "x", "y"],
+            "g2": [1, 1, 2, 1],
+            "u": [10, 10, 10, 10],
+        }
+    )
+    out = (
+        exact_distinct_per_group(
+            rd.from_arrow(t), ["g1", "g2"], "u", out_col="n", num_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["g1", "g2"])
+        .reset_index(drop=True)
+    )
+    assert out["g1"].tolist() == ["x", "x", "y"]
+    assert out["g2"].tolist() == [1, 2, 1]
+    assert out["n"].tolist() == [1, 1, 1]
