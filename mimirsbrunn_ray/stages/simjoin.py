@@ -29,7 +29,12 @@ unbounded mode):
      emit id pairs passing the LENGTH filter (min >= t * max; J <= min/max)
      and PPJoin's POSITIONAL filter (suffix length from the witness
      position must reach the minimum overlap ceil(t/(1+t)*(sx+sy)); the
-     smallest common gram of a true pair always passes).
+     smallest common gram of a true pair always passes). PPJoin+'s SUFFIX
+     filter is deliberately NOT implemented: it needs each candidate's
+     gram array in the bucket (a much heavier shuffle payload than the
+     (size, pos) scalars shipped today) to cut pairs whose verification
+     cost is already sub-second behind the length+positional filters —
+     the measured wall here is per-execution fixed cost, not verify work.
   4. verify: batch-local pair dedup (duplicate witnesses tolerated — no
      pair shuffle), exact Jaccard either against a gram-set map built by
      a candidate-filtered gram-table pass (the bounded-broadcast pattern
