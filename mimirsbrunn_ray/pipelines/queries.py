@@ -2573,3 +2573,206 @@ GROUP BY 1, 2
 
 QUERIES["value_histogram"] = q_value_histogram
 ORACLES["value_histogram"] = VALUE_HIST_SQL
+
+
+# ---------------------------------------------------------------------------
+# sampling / set-op / pivot / grouping-sets family
+
+
+def q_sample_docs_per_lang(sf_dir):
+    """Deterministic k-per-group sample: 3 docs per language chosen by a
+    Knuth-multiplicative hash both engines compute identically (the
+    partition-independent sampling rule of deterministic_stratified_sample
+    applied per group through grouped_top_k's partial-prune shuffle)."""
+    from mimirsbrunn_ray.stages.search import grouped_top_k
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "doc_id"]
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # Knuth multiplicative hash in exact int64 arithmetic — the SQL
+        # (doc_id * 2654435761) % 4294967296 computes the identical value
+        h = (ids * np.int64(2654435761)) % np.int64(4294967296)
+        return pa.table(
+            {"lang": b["lang"], "doc_id": b["doc_id"], "h": pa.array(h)}
+        )
+
+    hashed = docs.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    return grouped_top_k(
+        hashed, ["lang"], "h", k=3, descending=False, tiebreak_cols=["doc_id"]
+    )
+
+
+SAMPLE_PER_LANG_SQL = """
+SELECT lang, doc_id, h FROM (
+  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 3
+"""
+
+QUERIES["sample_docs_per_lang"] = q_sample_docs_per_lang
+ORACLES["sample_docs_per_lang"] = SAMPLE_PER_LANG_SQL
+
+
+def q_users_click_and_purchase(sf_dir):
+    """INTERSECT of per-category key sets (users who BOTH clicked and
+    purchased) in one events pass + one shuffle; see
+    stages/classify.keys_with_all_categories."""
+    from mimirsbrunn_ray.stages.classify import keys_with_all_categories
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return keys_with_all_categories(
+        ev, key="user_id", cat_col="event_type",
+        required=["click", "purchase"],
+    )
+
+
+INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+"""
+
+QUERIES["users_click_and_purchase"] = q_users_click_and_purchase
+ORACLES["users_click_and_purchase"] = INTERSECT_SQL
+
+
+def q_events_pivot_counts(sf_dir):
+    """PIVOT by conditional aggregation: one row per user with a count
+    column per event type (SQL COUNT(*) FILTER) — wide indicator sums in
+    one group_by per batch, fixed-width partials tree-merged; see
+    stages/rollup.pivot_counts."""
+    from mimirsbrunn_ray.stages.rollup import pivot_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_counts(
+        ev, key="user_id", cat_col="event_type",
+        categories=["click", "view", "purchase", "signup", "error"],
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+"""
+
+QUERIES["events_pivot_counts"] = q_events_pivot_counts
+ORACLES["events_pivot_counts"] = PIVOT_SQL
+
+
+def q_events_grouping_sets(sf_dir):
+    """GROUPING SETS ((event_type), (day), ()) from ONE corpus pass:
+    aggregate to the finest (type, day) grain first (combiner partials +
+    tree merge; count/sum are decomposable), then derive all three
+    groupings by regrouping the bounded grain table — the classic
+    rollup-from-finest-grain identity, never three scans."""
+    from mimirsbrunn_ray.functions.timeutil import trunc_us, ts_array
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["ts"]))
+        ts_us = (
+            b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "bucket": ts_array(trunc_us(ts_us, "1d")),
+                "v": b["value"].cast(pa.float64()),
+            }
+        )
+        g = t.group_by(["event_type", "bucket"]).aggregate(
+            [([], "count_all"), ("v", "sum")]
+        )
+        g = g.select(["event_type", "bucket", "count_all", "v_sum"])
+        return g.rename_columns(["event_type", "bucket", "n", "s"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "bucket"]).aggregate(
+            [("n", "sum"), ("s", "sum")]
+        )
+        g = g.select(["event_type", "bucket", "n_sum", "s_sum"])
+        return g.rename_columns(["event_type", "bucket", "n", "s"])
+
+    grain = tree_merge(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        combine,
+    )
+
+    # tree_merge's default final combine is ONE block holding the whole
+    # grain (types x days — bounded by design), so a single map sees it
+    # all and can emit the three regroupings together
+    def expand(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        # sentinel strings instead of the SQL NULL padding: a NULL-bearing
+        # timestamp column would hit NaT != NaT in value comparison and
+        # untested driver null-hash semantics
+        df["day"] = (
+            df["bucket"].astype("datetime64[us]").dt.strftime("%Y-%m-%d")
+        )
+        by_type = df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        )
+        by_type["day"] = "<all>"
+        by_day = df.groupby("day", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        )
+        by_day["event_type"] = "<all>"
+        total = pd.DataFrame(
+            {"event_type": ["<all>"], "day": ["<all>"],
+             "n": [df["n"].sum()], "s": [df["s"].sum()]}
+        )
+        out = pd.concat(
+            [by_type, by_day, total], ignore_index=True
+        )[["event_type", "day", "n", "s"]]
+        snapped = np.trunc(
+            out["s"].to_numpy() * 100.0
+            + np.copysign(0.5, out["s"].to_numpy())
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "day": pa.array(out["day"], pa.string()),
+                "n_rows": pa.array(out["n"].to_numpy().astype(np.int64)),
+                "sum_val": pa.array(snapped),
+            }
+        )
+
+    return grain.map_batches(expand, batch_format="pyarrow", batch_size=None)
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), '<all>') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_val
+FROM events WHERE ts IS NOT NULL
+GROUP BY GROUPING SETS
+  ((event_type), (strftime(date_trunc('day', ts), '%Y-%m-%d')), ())
+"""
+
+QUERIES["events_grouping_sets"] = q_events_grouping_sets
+ORACLES["events_grouping_sets"] = GROUPING_SETS_SQL

@@ -72,3 +72,59 @@ def classify(
         return batch.append_column(out_col, pa.array(out, type=pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def keys_with_all_categories(
+    ds: "rd.Dataset",
+    key: str,
+    cat_col: str,
+    required: list,
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """Keys whose category set covers ALL of ``required`` — the INTERSECT
+    of per-category key sets (SQL: INTERSECT of SELECT DISTINCT key WHERE
+    cat = c), computed as one pass + one shuffle instead of |required|
+    separate scans.
+
+    Shape: per-batch distinct (key, category) pairs restricted to the
+    required set (combiner-first: the shuffle moves distinct pairs per
+    block), ONE hash shuffle on the key bucket, then a vectorized
+    per-bucket distinct + per-key category count — a key qualifies iff
+    its distinct required-category count equals |required|. Output: one
+    ``key`` column, each qualifying key exactly once.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
+
+    req = list(required)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(b[key]),
+            pc.fill_null(pc.is_in(b[cat_col], value_set=pa.array(req)), False),
+        )
+        b = b.filter(keep)
+        return b.select([key, cat_col]).group_by([key, cat_col]).aggregate([])
+
+    pairs = ds.map_batches(
+        pair_partial, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        lambda b: add_bucket(b, key, num_buckets),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.drop_columns([_BUCKET])
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], t.schema.field(key).type)})
+        d = t.group_by([key, cat_col]).aggregate([])
+        c = d.group_by([key]).aggregate([([], "count_all")])
+        full = c.filter(pc.equal(c["count_all"], len(req)))
+        return full.select([key])
+
+    return pairs.groupby(_BUCKET).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )

@@ -367,3 +367,48 @@ def exact_quantiles_small_domain(
         rows.append(row)
     out = pd.DataFrame(rows)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pivot_counts(
+    ds: "rd.Dataset",
+    key: str,
+    cat_col: str,
+    categories: list,
+    prefix: str = "n_",
+) -> "rd.Dataset":
+    """PIVOT: one row per key with a count column per category — the
+    conditional-aggregation form (SQL COUNT(*) FILTER (WHERE cat = c)),
+    not a per-group Python pivot.
+
+    Shape: per-batch partials compute ALL category columns in one
+    ``group_by`` over boolean-cast indicator columns (each category is a
+    vectorized equality + sum — wide and flat, no row explosion), then the
+    fixed-width partial rows tree-merge; the output is keys x |categories|
+    ints. Unlisted categories count nothing (the SQL FILTER analog);
+    NULL keys are dropped.
+    """
+    import pyarrow.compute as pc
+
+    cols = [f"{prefix}{c}" for c in categories]
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[key]))
+        data = {key: b[key]}
+        for c, name in zip(categories, cols):
+            data[name] = pc.cast(
+                pc.fill_null(pc.equal(b[cat_col], c), False), pa.int64()
+            )
+        t = pa.table(data)
+        g = t.group_by([key]).aggregate([(n, "sum") for n in cols])
+        g = g.select([key] + [f"{n}_sum" for n in cols])
+        return g.rename_columns([key] + cols)
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by([key]).aggregate([(n, "sum") for n in cols])
+        g = g.select([key] + [f"{n}_sum" for n in cols])
+        return g.rename_columns([key] + cols)
+
+    return tree_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        combine,
+    )

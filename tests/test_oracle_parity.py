@@ -76,6 +76,8 @@ def test_every_query_has_an_oracle(registry):
         "top_event_type_per_user", "distinct_users_per_type",
         "orders_with_returns", "props_k_stats", "doc_repetition_scores",
         "hourly_active_users", "latest_event_per_user", "value_histogram",
+        "sample_docs_per_lang", "users_click_and_purchase",
+        "events_pivot_counts", "events_grouping_sets",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
