@@ -20,8 +20,14 @@ import pyarrow.compute as pc
 
 
 def extract_int_key(arr, key: str) -> pa.Array:
-    """int64 value of ``"key": <int>`` per row; NULL when absent/invalid."""
-    pattern = rf'"{re.escape(key)}"\s*:\s*(?P<v>-?\d+)'
+    """int64 value of ``"key": <int>`` per row; NULL when absent/invalid.
+
+    The value must be a whole JSON integer: the pattern requires the
+    digits to be followed by a value terminator (comma, closing brace, or
+    whitespace-then-either), so ``"k": 3.5`` is NULL rather than a silent
+    digit-prefix 3 (RE2 has no lookahead — the terminator is matched
+    outside the capture group instead)."""
+    pattern = rf'"{re.escape(key)}"\s*:\s*(?P<v>-?\d+)\s*[,}}]'
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     m = pc.extract_regex(arr, pattern=pattern)

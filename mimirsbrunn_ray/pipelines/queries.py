@@ -2170,7 +2170,7 @@ WITH d AS (
   SELECT user_id,
          epoch_us(ts) - LAG(epoch_us(ts))
            OVER (PARTITION BY user_id ORDER BY ts) AS gap
-  FROM events WHERE ts IS NOT NULL
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -2202,8 +2202,9 @@ def q_rolling_value_5m(sf_dir):
 ROLLING_SQL = """
 WITH b AS (
   SELECT event_type, date_trunc('minute', ts) AS bucket,
-         CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS s
-  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+         CAST(COUNT(*) AS BIGINT) AS n, SUM(COALESCE(value, 0)) AS s
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
 )
 SELECT event_type, bucket,
        CAST(SUM(n) OVER w AS BIGINT) AS roll_n,
@@ -2238,8 +2239,9 @@ def q_cumulative_value_1d(sf_dir):
 CUMULATIVE_SQL = """
 WITH b AS (
   SELECT event_type, date_trunc('day', ts) AS bucket,
-         CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS s
-  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+         CAST(COUNT(*) AS BIGINT) AS n, SUM(COALESCE(value, 0)) AS s
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
 )
 SELECT event_type, bucket, n AS day_n,
        CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
@@ -2678,46 +2680,23 @@ ORACLES["events_pivot_counts"] = PIVOT_SQL
 
 def q_events_grouping_sets(sf_dir):
     """GROUPING SETS ((event_type), (day), ()) from ONE corpus pass:
-    aggregate to the finest (type, day) grain first (combiner partials +
-    tree merge; count/sum are decomposable), then derive all three
-    groupings by regrouping the bounded grain table — the classic
-    rollup-from-finest-grain identity, never three scans."""
-    from mimirsbrunn_ray.functions.timeutil import trunc_us, ts_array
-    from mimirsbrunn_ray.stages.rollup import tree_merge
+    aggregate to the finest (type, day) grain first (the shared
+    stages/ordered bucket-grain partials — combiner + tree merge;
+    count/sum are decomposable), then derive all three groupings by
+    regrouping the bounded grain table — the classic
+    rollup-from-finest-grain identity, never three scans. Null-key /
+    null-ts rows drop and null values sum as 0 (the partials' pinned
+    semantics); the oracle filters and coalesces identically."""
+    from mimirsbrunn_ray.stages.ordered import (
+        _bucket_grain_partials,
+        _round_half_away,
+    )
 
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     )
-
-    def partial(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b["ts"]))
-        ts_us = (
-            b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
-        t = pa.table(
-            {
-                "event_type": b["event_type"],
-                "bucket": ts_array(trunc_us(ts_us, "1d")),
-                "v": b["value"].cast(pa.float64()),
-            }
-        )
-        g = t.group_by(["event_type", "bucket"]).aggregate(
-            [([], "count_all"), ("v", "sum")]
-        )
-        g = g.select(["event_type", "bucket", "count_all", "v_sum"])
-        return g.rename_columns(["event_type", "bucket", "n", "s"])
-
-    def combine(b: pa.Table) -> pa.Table:
-        g = b.group_by(["event_type", "bucket"]).aggregate(
-            [("n", "sum"), ("s", "sum")]
-        )
-        g = g.select(["event_type", "bucket", "n_sum", "s_sum"])
-        return g.rename_columns(["event_type", "bucket", "n", "s"])
-
-    grain = tree_merge(
-        ev.map_batches(partial, batch_format="pyarrow", batch_size=None),
-        combine,
+    grain = _bucket_grain_partials(
+        ev, key="event_type", ts_col="ts", value_col="value", bucket="1d"
     )
 
     # tree_merge's default final combine is ONE block holding the whole
@@ -2748,10 +2727,7 @@ def q_events_grouping_sets(sf_dir):
         out = pd.concat(
             [by_type, by_day, total], ignore_index=True
         )[["event_type", "day", "n", "s"]]
-        snapped = np.trunc(
-            out["s"].to_numpy() * 100.0
-            + np.copysign(0.5, out["s"].to_numpy())
-        ).astype(np.int64)
+        snapped = _round_half_away(out["s"].to_numpy() * 100.0)
         return pa.table(
             {
                 "event_type": pa.array(out["event_type"], pa.string()),
@@ -2768,8 +2744,8 @@ GROUPING_SETS_SQL = """
 SELECT COALESCE(event_type, '<all>') AS event_type,
        COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), '<all>') AS day,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_val
-FROM events WHERE ts IS NOT NULL
+       CAST(ROUND(SUM(COALESCE(value, 0)) * 100, 0) AS BIGINT) AS sum_val
+FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
 GROUP BY GROUPING SETS
   ((event_type), (strftime(date_trunc('day', ts), '%Y-%m-%d')), ())
 """

@@ -93,12 +93,12 @@ def keys_with_all_categories(
     its distinct required-category count equals |required|. Output: one
     ``key`` column, each qualifying key exactly once.
     """
-    import numpy as np
-    import pyarrow.compute as pc
-
     from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
 
-    req = list(required)
+    # dedup while preserving order: a repeated entry would make the
+    # distinct-count == len(req) test unsatisfiable and silently empty
+    # the result
+    req = list(dict.fromkeys(required))
 
     def pair_partial(b: pa.Table) -> pa.Table:
         keep = pc.and_(

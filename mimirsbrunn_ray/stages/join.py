@@ -216,10 +216,13 @@ def bloom_semi_join(
     # task closure, not an actor pool: the bloom is small fixed immutable
     # state (n_bits/8 bytes) shipped once per task spec
     def flag(b: pa.Table) -> pa.Table:
-        keys = b[left_key].to_numpy(zero_copy_only=False)
-        valid = ~pa.compute.is_null(b[left_key]).to_numpy(
-            zero_copy_only=False
-        )
+        col = b[left_key]
+        valid = ~pa.compute.is_null(col).to_numpy(zero_copy_only=False)
+        # fill nulls BEFORE to_numpy: a nullable int64 column converts to
+        # float64, silently rounding keys above 2^53 to the wrong value —
+        # a mis-hashed probe can return a false NEGATIVE and drop a
+        # matching row from an EXACT semi-join
+        keys = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
         maybe = np.zeros(b.num_rows, dtype=bool)
         if valid.any():
             h = _splitmix64(keys[valid].astype(np.uint64))

@@ -64,12 +64,14 @@ def interarrival_stats(
     bucket, then each bucket sorts ONCE by (key, ts) and reduces the
     diff column per key segment (C-level groupby, no per-key loop).
     Null-ts rows are dropped up front (LAG ordering over NULL ts is
-    undefined; the oracle filters identically).
+    undefined) and so are null-KEY rows (SQL PARTITION BY groups nulls
+    into one partition, pandas groupby drops them); the oracle filters
+    identically on both.
     """
     from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
 
     def project(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b[ts_col]))
+        b = b.filter(pc.and_(pc.is_valid(b[ts_col]), pc.is_valid(b[key])))
         return pa.table(
             {
                 key: b[key],
@@ -140,11 +142,20 @@ def _bucket_grain_partials(
 ) -> "rd.Dataset":
     """(key, bucket) -> (n int64, s double) partial aggregate rows,
     combiner-first + tree-merged (the generic_rollup discipline): the
-    downstream windowed pass sees keys x buckets rows, never the stream."""
+    downstream windowed pass sees keys x buckets rows, never the stream.
+
+    Null semantics, pinned so the windowed consumers stay NaN-free and
+    SQL-comparable: null-ts and null-KEY rows are dropped (SQL PARTITION
+    BY groups nulls into one partition, pandas groupby drops them — the
+    paired oracles filter identically), and null VALUES sum as 0 while n
+    counts the row (oracle: SUM(COALESCE(v, 0)) + COUNT(*)); without the
+    coalesce an all-null bucket yields a null Arrow sum that turns into
+    NaN and poisons every downstream prefix/window sum through the int64
+    cast."""
     from mimirsbrunn_ray.stages.rollup import tree_merge
 
     def partial(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b[ts_col]))
+        b = b.filter(pc.and_(pc.is_valid(b[ts_col]), pc.is_valid(b[key])))
         ts_us = (
             b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
             .to_numpy(zero_copy_only=False)
@@ -153,7 +164,7 @@ def _bucket_grain_partials(
             {
                 key: b[key],
                 "bucket": ts_array(trunc_us(ts_us, bucket)),
-                "v": b[value_col].cast(pa.float64()),
+                "v": pc.fill_null(b[value_col].cast(pa.float64()), 0.0),
             }
         )
         g = t.group_by([key, "bucket"]).aggregate(

@@ -176,17 +176,27 @@ class _GramTable:
 
 
 def _flatten_grams(b: pa.Table):
-    """(values int64[], offsets int64[]) of a gram-table batch — zero-copy
-    offset arithmetic, no per-row work."""
+    """(values int64[], offsets int64[]) of a gram-table batch, with a
+    NORMALIZED contract: offsets[0] == 0 and len(values) == offsets[-1]
+    == sum(row lengths). ``pc.list_flatten`` + ``pc.list_value_length``
+    honor array slicing — raw ``.values``/``.offsets`` buffers on a
+    sliced ListArray chunk keep the parent's absolute offsets and would
+    misalign every consumer doing ``arange - repeat(offsets)`` rank math.
+    """
     col = b["grams"].combine_chunks() if isinstance(
         b["grams"], pa.ChunkedArray
     ) else b["grams"]
-    values = col.values.to_numpy(zero_copy_only=False)
-    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    counts = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    offsets = np.concatenate(([0], np.cumsum(counts, dtype=np.int64)))
     return values, offsets
 
 
-def _shared_grams(gram_tbl: "rd.Dataset", byte_budget: int | None = None):
+def _shared_grams(
+    gram_tbl: "rd.Dataset",
+    byte_budget: int | None = None,
+    distributed: bool = False,
+):
     """Sorted uint64 array of grams with document frequency >= 2, or None
     when the pull would exceed ``byte_budget`` (the caller then switches
     to the unbounded hash-order path — see ``ngram_jaccard_join``).
@@ -194,14 +204,18 @@ def _shared_grams(gram_tbl: "rd.Dataset", byte_budget: int | None = None):
     The classic AllPairs df-ascending optimization needs each gram's df;
     a gram with df == 1 can NEVER witness a candidate pair, so the
     BROADCAST side is bounded by the SHARED-gram count (near-dup scale).
-    The driver-side merge below additionally pulls each block's distinct
-    grams once (vocabulary x blocks scale), which is what the byte budget
-    guards — in natural-language corpora shared grams scale with
-    vocabulary (ADVICE r2) and the bounded mode is wrong there anyway.
-    Per-block rows are already distinct (the gram table stores distinct
-    sets), so the partial df is one vectorized unique-count per block and
-    the merge is one np.unique over the pulled chunks — no tree-merge
-    execution, no re-tokenization.
+    Two merge shapes:
+
+    * ``distributed=False`` (the auto-mode fast path): each block's
+      distinct-gram df partials are pulled to the driver and merged with
+      one np.unique — the pull is vocabulary x blocks scale, which the
+      byte budget guards (in natural-language corpora shared grams scale
+      with vocabulary, ADVICE r2). Saves the tree-merge execution.
+    * ``distributed=True`` (explicit bounded mode, where no budget trips
+      and nothing may fall back): the df merge runs as a distributed
+      tree-merge and ONLY the globally-merged df >= 2 survivors reach
+      the driver — driver memory stays near-dup scale even on a
+      low-duplication corpus, at the cost of one more execution.
 
     Returns the shared grams sorted by (df ascending, gram) — their RANK
     in this array is the global prefix order.
@@ -222,11 +236,24 @@ def _shared_grams(gram_tbl: "rd.Dataset", byte_budget: int | None = None):
     partials = gram_tbl.map_batches(
         partial, batch_format="pyarrow", batch_size=None
     )
+
+    if distributed:
+        from mimirsbrunn_ray.stages.rollup import tree_merge
+
+        def combine(b: pa.Table) -> pa.Table:
+            g = b.group_by(["gram"]).aggregate([("n", "sum")])
+            return g.rename_columns(["gram", "n"])
+
+        partials = tree_merge(partials, combine).map_batches(
+            lambda b: b.filter(pc.greater(b["n"], 1)),
+            batch_format="pyarrow", batch_size=None,
+        )
+
     chunks_g, chunks_n = [], []
     total_bytes = 0
     for bt in partials.iter_batches(batch_format="pyarrow"):
         arr = bt["gram"].to_numpy(zero_copy_only=False)
-        total_bytes += len(arr) * 16  # (gram, n) rows pulled
+        total_bytes += len(arr) * (24 if distributed else 16)
         if byte_budget is not None and total_bytes > byte_budget:
             return None
         chunks_g.append(arr)
@@ -566,9 +593,13 @@ def ngram_jaccard_join(
     if mode == "unbounded":
         shared = None
     else:
+        # explicit bounded mode can't fall back, so its df merge must stay
+        # distributed (driver sees only df >= 2 survivors); auto mode uses
+        # the budgeted driver-pull fast path and falls back on a trip
         shared = _shared_grams(
             gram_tbl,
             byte_budget=None if mode == "bounded" else broadcast_byte_budget,
+            distributed=(mode == "bounded"),
         )
     prefix = gram_tbl.map_batches(
         _PrefixGrams(threshold, shared),

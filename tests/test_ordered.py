@@ -249,3 +249,78 @@ def test_exact_distinct_composite_group(ray_session):
     assert out["g1"].tolist() == ["x", "x", "y"]
     assert out["g2"].tolist() == [1, 2, 1]
     assert out["n"].tolist() == [1, 1, 1]
+
+
+def test_rolling_and_cumulative_null_values_and_keys(ray_session):
+    """Null VALUES sum as 0 (never NaN-poison the window); null KEYS drop
+    (SQL-parity rule pinned in _bucket_grain_partials)."""
+    from mimirsbrunn_ray.stages.ordered import (
+        cumulative_bucket_agg,
+        rolling_bucket_agg,
+    )
+
+    t = pa.table(
+        {
+            "k": ["a", "a", None, "a"],
+            "ts": pa.array(_ts(0, 1, 1, 2), pa.timestamp("us")),
+            "v": pa.array([1.0, None, 5.0, 2.0]),  # bucket 1 is all-null
+        }
+    )
+    roll = (
+        rolling_bucket_agg(
+            rd.from_arrow(t), key="k", ts_col="ts", value_col="v",
+            bucket="1m", window_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert roll["k"].tolist() == ["a", "a", "a"]  # null key dropped
+    assert roll["roll_n"].tolist() == [1, 2, 3]
+    assert roll["roll_sum"].tolist() == [100, 100, 300]  # no NaN garbage
+    cum = (
+        cumulative_bucket_agg(
+            rd.from_arrow(t), key="k", ts_col="ts", value_col="v", bucket="1m"
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert cum["cum_n"].tolist() == [1, 2, 3]
+    assert cum["cum_sum"].tolist() == [100, 100, 300]
+
+
+def test_interarrival_drops_null_keys(ray_session):
+    from mimirsbrunn_ray.stages.ordered import interarrival_stats
+
+    t = pa.table(
+        {
+            "user_id": pa.array([None, None, 4, 4], pa.int64()),
+            "ts": pa.array(_ts(0, 5, 0, 2), pa.timestamp("us")),
+        }
+    )
+    out = interarrival_stats(rd.from_arrow(t), num_buckets=2).to_pandas()
+    assert out["user_id"].tolist() == [4]
+
+
+def test_extract_int_key_rejects_float_values():
+    from mimirsbrunn_ray.functions.jsonx import extract_int_key
+
+    arr = pa.array(['{"k": 3.5}', '{"k": 7}', '{"k": 2, "j": 1}'])
+    assert extract_int_key(arr, "k").to_pylist() == [None, 7, 2]
+
+
+def test_keys_with_all_categories_dedups_required(ray_session):
+    from mimirsbrunn_ray.stages.classify import keys_with_all_categories
+
+    t = pa.table(
+        {"u": [1, 1, 2], "c": ["click", "purchase", "click"]}
+    )
+    out = (
+        keys_with_all_categories(
+            rd.from_arrow(t), "u", "c",
+            required=["click", "click", "purchase"], num_buckets=2,
+        )
+        .to_pandas()
+    )
+    assert out["u"].tolist() == [1]
