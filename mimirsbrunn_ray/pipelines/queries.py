@@ -2752,3 +2752,149 @@ GROUP BY GROUPING SETS
 
 QUERIES["events_grouping_sets"] = q_events_grouping_sets
 ORACLES["events_grouping_sets"] = GROUPING_SETS_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style composite: the full pipeline-composition showcase
+
+
+def q_tpch_q3_building(sf_dir):
+    """Shipping-priority revenue (TPC-H Q3 shape): top-10 unshipped
+    BUILDING-segment orders by discounted revenue — every join discipline
+    in one pipeline, each already load-bearing elsewhere:
+
+      1. dimension filter broadcast (J1): BUILDING custkeys ship once in
+         the task spec, orders filter in-stream via ``is_in``;
+      2. combiner-first lineitem partials: per-batch revenue sums per
+         orderkey BEFORE the join, so the exchange moves partial rows,
+         never the lineitem stream;
+      3. big-big hash join (J4) partials x filtered orders on orderkey;
+      4. final decomposable aggregate (tree merge) + fixed-point snap;
+      5. global top-10 via the grouped_top_k partial-prune shuffle over a
+         constant group (<= 10 rows leave any block).
+    """
+    from mimirsbrunn_ray.context import pool_size
+    from mimirsbrunn_ray.stages.ordered import _round_half_away
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+    from mimirsbrunn_ray.stages.search import grouped_top_k
+
+    cutoff = np.datetime64("1998-06-01", "us")
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    building = pa.concat_tables(
+        [
+            b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(
+                ["c_custkey"]
+            )
+            for b in cust.iter_batches(batch_format="pyarrow")
+        ]
+    )["c_custkey"].combine_chunks()
+
+    def filter_orders(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.fill_null(pc.is_in(b["o_custkey"], value_set=building), False),
+            pc.less(b["o_orderdate"], pa.scalar(cutoff)),
+        )
+        return b.filter(keep).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(filter_orders, batch_format="pyarrow", batch_size=None)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cutoff)))
+        rev = pc.multiply(
+            b["l_extendedprice"].cast(pa.float64()),
+            pc.subtract(pa.scalar(1.0), b["l_discount"].cast(pa.float64())),
+        )
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        g = t.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=None)
+
+    n_part = max(8, pool_size())
+    joined = li.repartition(n_part).join(
+        orders.repartition(n_part),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"]
+        ).aggregate([("rev", "sum")])
+        g = g.select(
+            ["l_orderkey", "o_orderdate", "o_orderpriority", "rev_sum"]
+        )
+        return g.rename_columns(
+            ["l_orderkey", "o_orderdate", "o_orderpriority", "rev"]
+        )
+
+    agg = tree_merge(
+        joined.map_batches(
+            lambda b: b.select(
+                ["l_orderkey", "o_orderdate", "o_orderpriority", "rev"]
+            ),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        combine,
+    )
+
+    def snap(b: pa.Table) -> pa.Table:
+        rev = _round_half_away(
+            b["rev"].to_numpy(zero_copy_only=False) * 100.0
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "o_orderdate": b["o_orderdate"].cast(pa.timestamp("us")),
+                "o_orderpriority": b["o_orderpriority"],
+                "revenue": pa.array(rev),
+                "_g": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            }
+        )
+
+    top = grouped_top_k(
+        agg.map_batches(snap, batch_format="pyarrow", batch_size=None),
+        ["_g"], "revenue", k=10, descending=True,
+        tiebreak_cols=["l_orderkey"],
+    )
+    return top.map_batches(
+        lambda b: b.drop_columns(["_g"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
+TPCH_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority, revenue FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0)
+              AS BIGINT) AS revenue,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100,
+                               0) AS BIGINT) DESC,
+                    l_orderkey ASC
+         ) AS rn
+  FROM customer, orders, lineitem
+  WHERE c_mktsegment = 'BUILDING'
+    AND c_custkey = o_custkey
+    AND l_orderkey = o_orderkey
+    AND o_orderdate < DATE '1998-06-01'
+    AND l_shipdate > DATE '1998-06-01'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+) WHERE rn <= 10
+"""
+
+QUERIES["tpch_q3_building"] = q_tpch_q3_building
+ORACLES["tpch_q3_building"] = TPCH_Q3_SQL

@@ -77,7 +77,7 @@ def test_every_query_has_an_oracle(registry):
         "orders_with_returns", "props_k_stats", "doc_repetition_scores",
         "hourly_active_users", "latest_event_per_user", "value_histogram",
         "sample_docs_per_lang", "users_click_and_purchase",
-        "events_pivot_counts", "events_grouping_sets",
+        "events_pivot_counts", "events_grouping_sets", "tpch_q3_building",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
