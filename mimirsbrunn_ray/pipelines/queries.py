@@ -2898,3 +2898,117 @@ SELECT l_orderkey, o_orderdate, o_orderpriority, revenue FROM (
 
 QUERIES["tpch_q3_building"] = q_tpch_q3_building
 ORACLES["tpch_q3_building"] = TPCH_Q3_SQL
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination + distribution moments
+
+
+def q_benchmark_contamination(sf_dir):
+    """Decontamination scan: corpus docs (doc_id >= 20) sharing >= 40
+    distinct bigrams with the 'benchmark' docs (doc_id < 20) — the
+    eval-overlap filter of a training-data pipeline; broadcast benchmark
+    gram hashes + one shuffle-free corpus pass
+    (stages/text.contaminated_doc_ids)."""
+    from mimirsbrunn_ray.stages.text import contaminated_doc_ids
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bench = docs.filter(expr="doc_id < 20")
+    corpus = docs.filter(expr="doc_id >= 20")
+    return contaminated_doc_ids(corpus, bench, n=2, min_hits=40)
+
+
+CONTAMINATION_SQL = """
+WITH cb AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS g
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+        FROM documents WHERE doc_id >= 20)
+  WHERE len(w) >= 2
+), bb AS (
+  SELECT DISTINCT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS g
+  FROM (SELECT string_split(lower(text), ' ') AS w
+        FROM documents WHERE doc_id < 20)
+  WHERE len(w) >= 2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM cb JOIN bb USING (g)
+GROUP BY doc_id HAVING COUNT(*) >= 40
+"""
+
+QUERIES["benchmark_contamination"] = q_benchmark_contamination
+ORACLES["benchmark_contamination"] = CONTAMINATION_SQL
+
+
+def q_value_moments_per_type(sf_dir):
+    """Per-type distribution moments (count / mean / population variance)
+    via the decomposable (n, sum, sumsq) partial triple — the two-pass-free
+    A2-family statistic every normalization stage needs."""
+    from mimirsbrunn_ray.stages.ordered import _round_half_away
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.is_valid(b["event_type"]), pc.is_valid(b["value"]))
+        )
+        v = b["value"].cast(pa.float64())
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "v": v,
+                "v2": pc.multiply(v, v),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [([], "count_all"), ("v", "sum"), ("v2", "sum")]
+        )
+        g = g.select(["event_type", "count_all", "v_sum", "v2_sum"])
+        return g.rename_columns(["event_type", "n", "s", "s2"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("s2", "sum")]
+        )
+        g = g.select(["event_type", "n_sum", "s_sum", "s2_sum"])
+        return g.rename_columns(["event_type", "n", "s", "s2"])
+
+    merged = tree_merge(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        combine,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        s2 = b["s2"].to_numpy(zero_copy_only=False)
+        mean = s / n
+        var = s2 / n - mean * mean  # population variance
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n_vals": pa.array(n.astype(np.int64)),
+                "mean_x100": pa.array(_round_half_away(mean * 100.0)),
+                "var_x100": pa.array(_round_half_away(var * 100.0)),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+MOMENTS_SQL = """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT) AS n_vals,
+       CAST(ROUND(AVG(value) * 100, 0) AS BIGINT) AS mean_x100,
+       CAST(ROUND(VAR_POP(value) * 100, 0) AS BIGINT) AS var_x100
+FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+GROUP BY event_type
+"""
+
+QUERIES["value_moments_per_type"] = q_value_moments_per_type
+ORACLES["value_moments_per_type"] = MOMENTS_SQL

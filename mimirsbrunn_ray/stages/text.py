@@ -644,3 +644,80 @@ def repetition_scores(ds: "rd.Dataset", n: int = 2) -> "rd.Dataset":
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def contaminated_doc_ids(
+    docs: "rd.Dataset",
+    benchmark: "rd.Dataset",
+    n: int = 2,
+    min_hits: int = 3,
+) -> "rd.Dataset":
+    """Benchmark decontamination scan: corpus documents sharing at least
+    ``min_hits`` distinct word-n-grams with the benchmark set — the
+    n-gram-overlap rule large training pipelines use to drop eval
+    contamination before training. Output: (doc_id, n_hits int64).
+
+    Shape: the benchmark side is SMALL BY DEFINITION (an eval suite), so
+    its distinct gram hashes are collected once and shipped sorted in the
+    task spec (the broadcast small-side rule, J1); the corpus pass is one
+    ``map_batches`` doing a vectorized ``searchsorted`` membership test
+    per distinct gram and a per-doc segment count — no shuffle, no
+    per-row loop. Grams are 64-bit hashes (the simjoin collision-bound
+    caveat: collisions can only ADD phantom hits, never hide real
+    overlap, so the scan stays a superset of true contamination).
+    """
+    from mimirsbrunn_ray.stages.simjoin import (
+        _distinct_sorted_per_doc,
+        word_ngram_hashes,
+    )
+
+    bench_chunks = []
+    for bt in benchmark.map_batches(
+        lambda b: pa.table(
+            {
+                "gram": pa.array(
+                    np.unique(word_ngram_hashes(b["text"], n)[0]).view(np.int64)
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).iter_batches(batch_format="pyarrow"):
+        bench_chunks.append(bt["gram"].to_numpy(zero_copy_only=False))
+    # view as uint64 BEFORE unique: sorting the int64 view puts negative
+    # reinterpretations first, leaving the uint64 view UNSORTED and every
+    # searchsorted probe below wrong
+    bench = (
+        np.unique(np.concatenate(bench_chunks).view(np.uint64))
+        if bench_chunks
+        else np.empty(0, np.uint64)
+    )
+
+    def scan(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks() if isinstance(
+            b["doc_id"], pa.ChunkedArray
+        ) else b["doc_id"]
+        grams, doc_idx = word_ngram_hashes(b["text"], n)
+        if len(grams) == 0 or len(bench) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], ids.type),
+                    "n_hits": pa.array([], pa.int64()),
+                }
+            )
+        g, d, _rank, _size = _distinct_sorted_per_doc(grams, doc_idx)
+        pos = np.searchsorted(bench, g)
+        posc = np.clip(pos, 0, len(bench) - 1)
+        hit = (bench[posc] == g).astype(np.int64)
+        hits = np.bincount(d, weights=hit, minlength=b.num_rows).astype(
+            np.int64
+        )
+        keep = hits >= min_hits
+        return pa.table(
+            {
+                "doc_id": ids.filter(pa.array(keep)),
+                "n_hits": pa.array(hits[keep]),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow", batch_size=None)

@@ -78,6 +78,7 @@ def test_every_query_has_an_oracle(registry):
         "hourly_active_users", "latest_event_per_user", "value_histogram",
         "sample_docs_per_lang", "users_click_and_purchase",
         "events_pivot_counts", "events_grouping_sets", "tpch_q3_building",
+        "benchmark_contamination", "value_moments_per_type",
     ],
 )
 def test_query_matches_oracle(registry, con, name):

@@ -324,3 +324,39 @@ def test_keys_with_all_categories_dedups_required(ray_session):
         .to_pandas()
     )
     assert out["u"].tolist() == [1]
+
+
+def test_contaminated_doc_ids_counts(ray_session):
+    from mimirsbrunn_ray.stages.text import contaminated_doc_ids
+
+    bench = rd.from_arrow(
+        pa.table({"doc_id": [0], "text": ["the quick brown fox jumps"]})
+    )
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    # shares "the quick", "quick brown", "brown fox" = 3
+                    "the quick brown fox sleeps",
+                    "a quick brown cat",            # shares "quick brown" = 1
+                    "nothing in common here",       # shares 0
+                ],
+            }
+        )
+    )
+    out = (
+        contaminated_doc_ids(corpus, bench, n=2, min_hits=2)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [1]
+    assert out["n_hits"].tolist() == [3]
+    # min_hits=1 also catches doc 2
+    out1 = (
+        contaminated_doc_ids(corpus, bench, n=2, min_hits=1)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out1["doc_id"].tolist() == [1, 2]
+    assert out1["n_hits"].tolist() == [3, 1]
