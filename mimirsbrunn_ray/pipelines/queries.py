@@ -3012,3 +3012,123 @@ GROUP BY event_type
 
 QUERIES["value_moments_per_type"] = q_value_moments_per_type
 ORACLES["value_moments_per_type"] = MOMENTS_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus-hygiene family: redaction, LM quality scoring, percentile filtering
+
+
+def q_redacted_docs(sf_dir):
+    """PII/policy-term redaction pass (stages/text.redact_terms): one
+    vectorized RE2 replace + match count per document, no shuffle. The
+    synthetic corpus carries no real PII, so the demo masks vocabulary
+    terms — identical code path to an email/phone scrub."""
+    from mimirsbrunn_ray.stages.text import redact_terms
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return redact_terms(
+        docs, pattern=r"\b(the|data|spark)\b", replacement="<TERM>"
+    )
+
+
+REDACT_SQL = r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(the|data|spark)\b', '<TERM>', 'g')
+         AS text_redacted,
+       CAST(len(regexp_extract_all(text, '\b(the|data|spark)\b')) AS BIGINT)
+         AS n_redacted
+FROM documents
+"""
+
+QUERIES["redacted_docs"] = q_redacted_docs
+ORACLES["redacted_docs"] = REDACT_SQL
+
+
+def q_doc_unigram_logprob(sf_dir):
+    """CCNet-style unigram-LM quality score per document
+    (stages/text.unigram_logprob_scores): corpus-fit unigram model via one
+    tree-merged count pass, then broadcast fixed-point log-prob lookup —
+    integer micro-nat sums, so parity with the SQL twin is bit-exact."""
+    from mimirsbrunn_ray.stages.text import unigram_logprob_scores
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return unigram_logprob_scores(docs)
+
+
+UNIGRAM_LP_SQL = """
+WITH words AS (
+  SELECT doc_id, w
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+),
+freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+tot AS (SELECT SUM(c) AS n FROM freq),
+lp AS (
+  SELECT w,
+         CAST(ROUND(-LN(CAST(c AS DOUBLE) / n) * 1e6, 0) AS BIGINT) AS v
+  FROM freq, tot
+)
+SELECT words.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp.v) AS BIGINT) AS sum_neglogp_x1e6
+FROM words JOIN lp USING (w)
+GROUP BY words.doc_id
+"""
+
+QUERIES["doc_unigram_logprob"] = q_doc_unigram_logprob
+ORACLES["doc_unigram_logprob"] = UNIGRAM_LP_SQL
+
+
+def q_docs_above_p90_len(sf_dir):
+    """Percentile-threshold filter — keep documents strictly longer than
+    their language's p90 length. The two-pass compute-threshold-then-
+    filter shape every quality-cut pipeline uses: pass 1 is the exact
+    histogram quantile (stages/rollup.exact_quantiles_small_domain —
+    bounded combine, no sort shuffle), pass 2 broadcasts the tiny
+    per-group threshold table and filters via one vectorized index_in
+    lookup per batch."""
+    from mimirsbrunn_ray.stages.rollup import exact_quantiles_small_domain
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    qt = exact_quantiles_small_domain(
+        docs, key="lang", val_fn=lambda b: b["n_chars"],
+        qs=(0.9,), q_names=("p90",),
+    )
+    thr_langs = qt["lang"].combine_chunks() if isinstance(
+        qt["lang"], pa.ChunkedArray
+    ) else qt["lang"]
+    thr = np.asarray(qt["p90"].to_pylist(), dtype=np.int64)
+
+    def filt(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b["lang"], value_set=thr_langs)
+        found = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        pos = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_chars = pc.fill_null(
+            b["n_chars"].cast(pa.int64()), np.iinfo(np.int64).min
+        ).to_numpy(zero_copy_only=False)
+        keep = found & (n_chars > thr[pos])
+        return b.filter(pa.array(keep))
+
+    return docs.map_batches(filt, batch_format="pyarrow", batch_size=None)
+
+
+P90_FILTER_SQL = """
+WITH q AS (
+  SELECT lang, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN q USING (lang)
+WHERE d.n_chars > q.p90
+"""
+
+QUERIES["docs_above_p90_len"] = q_docs_above_p90_len
+ORACLES["docs_above_p90_len"] = P90_FILTER_SQL

@@ -721,3 +721,148 @@ def contaminated_doc_ids(
         )
 
     return docs.map_batches(scan, batch_format="pyarrow", batch_size=None)
+
+
+def redact_terms(
+    ds: "rd.Dataset",
+    pattern: str,
+    replacement: str = "<REDACTED>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """PII / policy-term scrubbing: replace every regex match in the text
+    column and count the replacements per document — the redaction pass
+    (emails, phone numbers, license-plate strings, banned terms) every
+    training-data pipeline runs before publishing a corpus. The scalar-fn
+    inventory analog of the reference's per-record normalizers
+    (/root/reference/src/utils.rs:37-53) applied to content, not labels.
+
+    Fully vectorized RE2 over Arrow buffers (pc.replace_substring_regex /
+    pc.count_substring_regex — one compiled automaton per batch, zero
+    Python-level row loops) and embarrassingly parallel: no shuffle, no
+    state, so it streams at any corpus size. Null text stays null with a
+    null count (SQL regexp_replace semantics).
+
+    Output: (id_col, text_redacted string, n_redacted int64).
+    """
+
+    def fn(b: pa.Table) -> pa.Table:
+        text = b[text_col]
+        n = pc.count_substring_regex(text, pattern=pattern).cast(pa.int64())
+        red = pc.replace_substring_regex(
+            text, pattern=pattern, replacement=replacement
+        )
+        return pa.table(
+            {id_col: b[id_col], "text_redacted": red, "n_redacted": n}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def unigram_logprob_scores(
+    docs: "rd.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """CCNet-style unigram language-model scoring: fit a unigram LM on the
+    corpus itself (one distributed count pass), then score every document
+    by its total negative log-likelihood — the perplexity-bucket quality
+    signal Wenzek et al. 2020 (CCNet) use to keep/drop web text before
+    LLM training.
+
+    Two passes, both shuffle-free on the document side:
+      1. per-batch word counts -> tree-merged (key space = VOCABULARY,
+         not rows; for open web-scale vocabularies prune with a min-df
+         cut or a Misra-Gries candidate pass first, stages/sketch.py) ->
+         a driver-held (word -> count) table;
+      2. the log-prob table ships sorted in the task spec (broadcast
+         small-side rule, J1) and each batch scores via one searchsorted
+         per word occurrence — vectorized, partition-independent.
+
+    Per-word scores are FIXED-POINT int64 micro-nats
+    (round(-ln(count/total) * 1e6), half away from zero) so the per-doc
+    sum is integer arithmetic — order-independent, bit-reproducible on
+    any engine, cluster size, or partitioning (the engine's float-parity
+    convention). Docs with null text are omitted (SQL UNNEST(NULL)
+    semantics); empty-string tokens count like any token.
+
+    Output: (id_col, n_tokens int64, sum_neglogp_x1e6 int64).
+    """
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b[text_col], pattern=" ")
+        flat = pc.list_flatten(words)
+        t = pa.table({"w": flat})
+        g = t.group_by(["w"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w", "c"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["w"]).aggregate([("c", "sum")])
+        return g.rename_columns(["w", "c"])
+
+    parts = list(
+        tree_merge(
+            docs.map_batches(
+                count_partial, batch_format="pyarrow", batch_size=None
+            ),
+            combine,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "sum_neglogp_x1e6": pa.array([], pa.int64()),
+        }
+    )
+    if not parts:
+        return rd.from_arrow(empty)
+    freq = pa.concat_tables(parts)
+    vocab_arr = freq["w"].combine_chunks()
+    counts = freq["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total = counts.sum()
+    # half-away rounding (SQL ROUND); -ln(c/n) >= 0 so +0.5-floor suffices
+    lp = np.floor(-np.log(counts / total) * 1e6 + 0.5).astype(np.int64)
+
+    def score(b: pa.Table) -> pa.Table:
+        text = b[text_col]
+        valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
+        if not valid.any():
+            return empty.cast(
+                pa.schema(
+                    [
+                        (id_col, b[id_col].type),
+                        ("n_tokens", pa.int64()),
+                        ("sum_neglogp_x1e6", pa.int64()),
+                    ]
+                )
+            )
+        kept = b.filter(pa.array(valid))
+        words = pc.split_pattern(kept[text_col], pattern=" ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        flat = pc.list_flatten(words)
+        # vectorized C-level hash lookup against the broadcast vocabulary
+        # (corpus-fit: every token is present by construction; an
+        # external-LM variant would map index_in nulls to -ln(1/total))
+        pos = pc.index_in(flat, value_set=vocab_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        w_lp = lp[pos]
+        sums = (
+            np.add.reduceat(np.append(w_lp, 0), offsets[:-1])
+            if len(w_lp)
+            else np.zeros(len(kept), np.int64)
+        )
+        # split always yields >= 1 token, so no empty reduceat segments
+        n_tok = np.diff(offsets)
+        return pa.table(
+            {
+                id_col: kept[id_col],
+                "n_tokens": pa.array(n_tok.astype(np.int64)),
+                "sum_neglogp_x1e6": pa.array(sums.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=None)
