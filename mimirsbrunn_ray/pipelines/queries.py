@@ -3132,3 +3132,80 @@ WHERE d.n_chars > q.p90
 
 QUERIES["docs_above_p90_len"] = q_docs_above_p90_len
 ORACLES["docs_above_p90_len"] = P90_FILTER_SQL
+
+
+def q_zscore_events(sf_dir):
+    """Per-group z-score standardization of event values
+    (stages/rollup.group_standardize): decomposable moment partials +
+    broadcast (mean, sd) lookup — the feature-normalization pass, big
+    side never shuffled."""
+    from mimirsbrunn_ray.stages.rollup import group_standardize
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return group_standardize(
+        ev, key="event_type", val_col="value", id_cols=["event_id"]
+    )
+
+
+ZSCORE_SQL = """
+SELECT event_id, event_type,
+       CAST(ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                  / NULLIF(STDDEV_POP(value) OVER (PARTITION BY event_type), 0)
+                  * 100, 0) AS BIGINT) AS z_x100
+FROM events
+WHERE event_type IS NOT NULL AND value IS NOT NULL
+"""
+
+QUERIES["zscore_events"] = q_zscore_events
+ORACLES["zscore_events"] = ZSCORE_SQL
+
+
+def q_session_funnel(sf_dir):
+    """Sessionized click->purchase funnel (stages/window.session_funnel):
+    gap-delimited sessions per user, sessions containing a click, and
+    sessions where a purchase lands strictly after the first click — one
+    coarse hash-bucket shuffle, vectorized inside each bucket."""
+    from mimirsbrunn_ray.stages.window import session_funnel
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return session_funnel(ev)
+
+
+FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, event_type,
+         SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM e
+),
+per AS (
+  SELECT user_id, sid,
+         MIN(ts) FILTER (WHERE event_type = 'click') AS first_click,
+         MAX(ts) FILTER (WHERE event_type = 'purchase') AS last_purchase
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(first_click) AS BIGINT) AS n_click_sessions,
+       CAST(SUM(CASE WHEN last_purchase > first_click THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted
+FROM per GROUP BY user_id
+"""
+
+QUERIES["session_funnel"] = q_session_funnel
+ORACLES["session_funnel"] = FUNNEL_SQL

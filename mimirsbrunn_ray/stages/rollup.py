@@ -412,3 +412,97 @@ def pivot_counts(
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
         combine,
     )
+
+
+def group_standardize(
+    ds: "rd.Dataset",
+    key: str,
+    val_col: str,
+    id_cols: list[str],
+    scale: int = 100,
+) -> "rd.Dataset":
+    """Per-group z-score standardization — the feature-normalization
+    operator ((v - mean_g) / sd_g) ML pipelines run before training,
+    expressed as the engine's canonical two-pass broadcast shape:
+
+      1. one decomposable (n, sum, sumsq) partial pass, tree-merged (the
+         combine is bounded by GROUPS, not rows — same triple as
+         q_value_moments_per_type);
+      2. the tiny per-group (mean, sd) table ships in the task spec and
+         every batch standardizes via one vectorized index_in lookup —
+         no shuffle touches the big side, partitioning-independent.
+
+    Output: id_cols + [key, f"z_x{scale}" int64]. Rows with a null key or
+    null value are dropped (the SQL WHERE twin); groups with zero
+    variance emit NULL z (SQL NULLIF(sd, 0) division semantics). Scores
+    are fixed-point (ROUND half away from zero) per the engine's
+    float-parity convention; the op order mirrors the SQL
+    ``((v - mean) / sd) * scale`` exactly.
+    """
+    import pyarrow.compute as pc
+
+    from mimirsbrunn_ray.stages.ordered import _round_half_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[key]), pc.is_valid(b[val_col])))
+        v = b[val_col].cast(pa.float64())
+        t = pa.table({key: b[key], "v": v, "v2": pc.multiply(v, v)})
+        g = t.group_by([key]).aggregate(
+            [([], "count_all"), ("v", "sum"), ("v2", "sum")]
+        )
+        g = g.select([key, "count_all", "v_sum", "v2_sum"])
+        return g.rename_columns([key, "n", "s", "s2"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by([key]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("s2", "sum")]
+        )
+        g = g.select([key, "n_sum", "s_sum", "s2_sum"])
+        return g.rename_columns([key, "n", "s", "s2"])
+
+    parts = list(
+        tree_merge(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+            combine,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    zcol = f"z_x{scale}"
+    if parts:
+        stats = pa.concat_tables(parts)
+        keys_arr = stats[key].combine_chunks()
+        n = stats["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = stats["s"].to_numpy(zero_copy_only=False)
+        s2 = stats["s2"].to_numpy(zero_copy_only=False)
+        mean = s / n
+        var = s2 / n - mean * mean
+        sd = np.sqrt(np.maximum(var, 0.0))
+    else:
+        keys_arr, mean, sd = None, None, None
+
+    def transform(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[key]), pc.is_valid(b[val_col])))
+        if keys_arr is None or len(b) == 0:
+            # no stats can only coexist with no valid rows; typed empty
+            out = {c: b[c] for c in id_cols}
+            out[key] = b[key]
+            out[zcol] = pa.array([], pa.int64())
+            return pa.table(out)
+        idx = pc.index_in(b[key], value_set=keys_arr)
+        pos = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        v = b[val_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        g_sd = sd[pos]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v - mean[pos]) / g_sd * float(scale)
+        ok = g_sd > 0.0
+        vals = np.where(ok, z, 0.0)
+        z_int = _round_half_away(vals)
+        out = {c: b[c] for c in id_cols}
+        out[key] = b[key]
+        out[zcol] = pa.array(
+            np.ma.masked_array(z_int, mask=~ok), type=pa.int64()
+        )
+        return pa.table(out)
+
+    return ds.map_batches(transform, batch_format="pyarrow", batch_size=None)

@@ -499,3 +499,94 @@ def point_in_window_join(
             batch_format="pandas",
         )
     )
+
+
+def session_funnel(
+    ds: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "click",
+    convert_type: str = "purchase",
+    gap: pd.Timedelta = pd.Timedelta(minutes=30),
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """Sessionized funnel conversion — the product-analytics composition
+    of sessionize: per key, how many gap-delimited sessions exist, how
+    many contain a ``start_type`` event, and in how many a
+    ``convert_type`` event lands STRICTLY AFTER the first start (equal
+    timestamps do not convert, so the answer is independent of the
+    engine's ordering of ts ties).
+
+    Same scale shape as sessionize (one coarse hash-bucket shuffle, then
+    fully vectorized within the bucket: one mergesort by (key, ts), one
+    diff, one session-id cumsum, two per-session groupby aggregates —
+    never a pandas group per key). Null keys / timestamps are dropped
+    (the SQL WHERE twin); a null-ts row can't be placed in a session
+    timeline, unlike sessionize's count-only semantics where it starts a
+    new session.
+
+    Output: key, n_sessions, n_click_sessions, n_converted (all int64).
+    """
+    from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
+
+    filtered = ds.map_batches(
+        lambda b: add_bucket(
+            b.filter(
+                pa.compute.and_(
+                    pa.compute.is_valid(b[key]),
+                    pa.compute.is_valid(b[ts_col]),
+                )
+            ),
+            key,
+            num_buckets,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=g[key].dtype),
+                "n_sessions": pd.Series([], dtype=np.int64),
+                "n_click_sessions": pd.Series([], dtype=np.int64),
+                "n_converted": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        key_change = g[key].ne(g[key].shift())
+        d = g[ts_col].diff()
+        sid = (key_change | (d > gap)).cumsum()
+        ts = g[ts_col]
+        is_start = g[type_col].eq(start_type)
+        is_conv = g[type_col].eq(convert_type)
+        sess = pd.DataFrame(
+            {
+                key: g[key],
+                "_first_start": ts.where(is_start),
+                "_last_conv": ts.where(is_conv),
+            }
+        ).groupby(sid, sort=False).agg(
+            **{
+                key: (key, "first"),
+                "_first_start": ("_first_start", "min"),
+                "_last_conv": ("_last_conv", "max"),
+            }
+        )
+        # NaT comparisons are False: sessions without a start or without a
+        # conversion never count as converted — exactly the SQL CASE twin
+        sess["_hit"] = sess["_first_start"].notna()
+        sess["_conv"] = sess["_last_conv"] > sess["_first_start"]
+        out = sess.groupby(key, sort=True).agg(
+            n_sessions=(key, "size"),
+            n_click_sessions=("_hit", "sum"),
+            n_converted=("_conv", "sum"),
+        ).reset_index()
+        for c in ("n_sessions", "n_click_sessions", "n_converted"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return filtered.groupby(_BUCKET).map_groups(fn, batch_format="pandas")

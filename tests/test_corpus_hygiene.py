@@ -106,3 +106,62 @@ def test_p90_filter_is_strictly_greater(ray_session):
     )
     # PERCENTILE_DISC rank: smallest v with cum >= ceil(0.9 * 10) -> 9
     assert qt["p90"].to_pylist() == [9]
+
+
+def test_group_standardize_zero_variance_yields_null(ray_session):
+    from mimirsbrunn_ray.stages.rollup import group_standardize
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "event_type": pa.array(["a", "a", "b", "b"], pa.string()),
+            "value": pa.array([5.0, 5.0, 1.0, 3.0], pa.float64()),
+        }
+    )
+    out = (
+        group_standardize(
+            rd.from_arrow(tbl), key="event_type", val_col="value",
+            id_cols=["event_id"],
+        )
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    # group a: sd == 0 -> NULL z (SQL NULLIF semantics)
+    assert out["z_x100"][:2].isna().all()
+    # group b: mean 2, sd 1 -> z = -100, +100
+    assert out["z_x100"][2:].tolist() == [-100.0, 100.0]
+
+
+def test_session_funnel_strictly_after_semantics(ray_session):
+    """purchase at the SAME ts as the first click, or before it, does not
+    convert; a later purchase in the same session does."""
+    import pandas as pd
+    from mimirsbrunn_ray.stages.window import session_funnel
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1, one session: click then purchase -> converts
+        (1, t0, "click"), (1, t0 + m, "purchase"),
+        # user 2, one session: purchase at the same ts as click -> no
+        (2, t0, "click"), (2, t0, "purchase"),
+        # user 3, one session: purchase BEFORE the click -> no
+        (3, t0, "purchase"), (3, t0 + m, "click"),
+        # user 4: click, then a >30min gap, purchase in a NEW session -> no
+        (4, t0, "click"), (4, t0 + pd.Timedelta(minutes=45), "purchase"),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = (
+        session_funnel(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    assert out["n_sessions"].tolist() == [1, 1, 1, 2]
+    assert out["n_click_sessions"].tolist() == [1, 1, 1, 1]
+    assert out["n_converted"].tolist() == [1, 0, 0, 0]
