@@ -3209,3 +3209,49 @@ FROM per GROUP BY user_id
 
 QUERIES["session_funnel"] = q_session_funnel
 ORACLES["session_funnel"] = FUNNEL_SQL
+
+
+def q_doc_len_cume_dist(sf_dir):
+    """Percentile rank of each document's length within its language —
+    CUME_DIST() as a histogram-based two-pass broadcast
+    (stages/ordered.group_cume_dist): no sort shuffle, deterministic
+    under ties."""
+    from mimirsbrunn_ray.stages.ordered import group_cume_dist
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return group_cume_dist(
+        docs, key="lang", val_col="n_chars", id_cols=["doc_id"]
+    )
+
+
+CUME_DIST_SQL = """
+SELECT doc_id, lang, n_chars,
+       CAST(ROUND(CUME_DIST() OVER (
+              PARTITION BY lang ORDER BY n_chars
+            ) * 1000000, 0) AS BIGINT) AS cd_x1000000
+FROM documents
+WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+"""
+
+QUERIES["doc_len_cume_dist"] = q_doc_len_cume_dist
+ORACLES["doc_len_cume_dist"] = CUME_DIST_SQL
+
+
+def q_winnow_doc_signatures(sf_dir):
+    """Winnowing (MOSS) per-document fingerprint signatures
+    (stages/neardup.winnow_signatures): count + XOR-fold of the window-min
+    k-gram hash picks — the partial-copy detection primitive. No SQL
+    oracle (winnowing's window-argmin selection is not expressible);
+    the invariants (coverage theorem, density, partition independence,
+    boundary isolation) are pinned by tests/test_winnow.py."""
+    from mimirsbrunn_ray.stages.neardup import winnow_signatures
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_signatures(docs, k=5, w=4)
+
+
+QUERIES["winnow_doc_signatures"] = q_winnow_doc_signatures

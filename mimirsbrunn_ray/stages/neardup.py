@@ -858,3 +858,172 @@ def embedding_near_dups(
         .to_pandas()
         .drop_duplicates(["a", "b"])
     )
+
+
+
+
+def _winnow_batch(b: pa.Table, k: int, w: int, text_col: str, id_col: str):
+    """Shared winnowing kernel: returns (doc_idx, fp, pos) numpy arrays of
+    the distinct fingerprint picks for one batch. See winnow_fingerprints
+    for semantics; separated so the per-row and per-doc stages share one
+    vectorized body."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    nothing = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+    )
+    texts = pc.fill_null(b[text_col], "").to_pylist()
+    if not texts:
+        return nothing
+    raw = [t.encode("utf-8") for t in texts]
+    lens = np.asarray([len(r) for r in raw], dtype=np.int64)
+    if int(lens.sum()) < k:
+        return nothing
+    buf = np.frombuffer(b"".join(raw), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    n_grams = len(buf) - k + 1
+    if n_grams <= 0:
+        return nothing
+    # k-gram polynomial hashes: stride view (n_grams, k) . powers with
+    # uint64 wraparound; murmur-style finalizer decorrelates low bits
+    powers = _POLY_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    win = sliding_window_view(buf, k).astype(np.uint64)
+    h = (win * powers).sum(axis=1, dtype=np.uint64)
+    h ^= h >> np.uint64(33)
+    h *= _MIX1
+    h ^= h >> np.uint64(33)
+    h *= _MIX2
+    h ^= h >> np.uint64(33)
+    # doc index of each byte; a k-gram is valid iff it ends in its doc
+    doc_of = np.searchsorted(starts, np.arange(len(buf)), side="right") - 1
+    gram_doc = doc_of[:n_grams]
+    gram_ok = gram_doc == doc_of[np.arange(n_grams) + k - 1]
+    n_win = n_grams - w + 1
+    if n_win <= 0:
+        return nothing
+    hw = sliding_window_view(h, w)
+    # rightmost minimum per window: argmin over the REVERSED window picks
+    # the last minimal element (a deterministic min-choice rule; the
+    # winnowing coverage guarantee holds for any in-window choice)
+    rev_arg = np.argmin(hw[:, ::-1], axis=1)
+    pick = np.arange(n_win) + (w - 1 - rev_arg)
+    # window valid iff its first and last k-grams are valid and in the
+    # same doc (k-gram validity is contiguous within a doc, so the whole
+    # window is then in-doc)
+    win_doc = gram_doc[:n_win]
+    win_ok = (
+        gram_ok[:n_win]
+        & gram_ok[np.arange(n_win) + w - 1]
+        & (win_doc == gram_doc[np.arange(n_win) + w - 1])
+    )
+    pick = pick[win_ok]
+    pick_doc = win_doc[win_ok]
+    if len(pick) == 0:
+        return nothing
+    # distinct (doc, position) picks — adjacent windows reselect the same
+    # minimum by design; winnowing keeps it once
+    sel = np.unique(pick_doc.astype(np.int64) * (len(buf) + 1) + pick)
+    d = (sel // (len(buf) + 1)).astype(np.int64)
+    p = (sel % (len(buf) + 1)).astype(np.int64)
+    return d, h[p].view(np.int64), (p - starts[d]).astype(np.int64)
+
+
+def winnow_fingerprints(
+    docs: "rd.Dataset",
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS local-similarity algorithm): hash every char k-gram, slide
+    a window of ``w`` consecutive hashes, keep the minimum of each window
+    (rightmost on ties), then distinct the selected (position, hash)
+    picks per document.
+
+    Guarantee (the winnowing theorem): any substring match of length
+    >= w + k - 1 bytes between two documents shares at least one
+    fingerprint, with expected density 2/(w+1) — the partial-copy
+    detector that whole-document MinHash misses.
+
+    Fully vectorized per batch and embarrassingly parallel: all texts in
+    a batch are concatenated into ONE byte buffer, k-gram hashes come
+    from a stride-view dot with the k powers of the polynomial base
+    (uint64 wraparound), the window minimum from a stride-view argmin —
+    no per-document Python loop, no shuffle. Windows never cross
+    document boundaries. Multi-byte UTF-8 is hashed as raw bytes (k
+    counts bytes there, not codepoints). Docs shorter than w + k - 1
+    bytes emit no fingerprints (no window fits — same rule as the length
+    filters in simjoin.py).
+
+    Output: one row per distinct fingerprint pick —
+    (id_col, fp int64, pos int64 byte offset). Feed to an fp-keyed
+    groupby for cross-doc partial-copy candidates, or use
+    winnow_signatures for a compact per-doc form.
+    """
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks() if isinstance(
+            b[id_col], pa.ChunkedArray
+        ) else b[id_col]
+        d, fp, pos = _winnow_batch(b, k, w, text_col, id_col)
+        if len(d) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], ids.type),
+                    "fp": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(d)),
+                "fp": pa.array(fp),
+                "pos": pa.array(pos),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def winnow_signatures(
+    docs: "rd.Dataset",
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Per-document winnowing signature: fingerprint count + XOR-fold of
+    the selected hashes. XOR is order-independent, so the signature is
+    partitioning-independent; docs too short for any window emit
+    n_fp = 0 / fp_xor = 0 rather than disappearing (signature tables
+    must cover the corpus). One pass, same kernel as
+    winnow_fingerprints — a doc's text is a single row, so its
+    fingerprints never span batches and the fold is batch-local.
+
+    Output: (id_col, n_fp int64, fp_xor int64).
+    """
+
+    def fold(b: pa.Table) -> pa.Table:
+        d, fp, _pos = _winnow_batch(b, k, w, text_col, id_col)
+        n = np.zeros(b.num_rows, dtype=np.int64)
+        x = np.zeros(b.num_rows, dtype=np.uint64)
+        if len(d):
+            # d is sorted (np.unique output ordered by doc then pos)
+            starts = np.flatnonzero(
+                np.concatenate(([True], d[1:] != d[:-1]))
+            )
+            uniq = d[starts]
+            n[uniq] = np.diff(np.append(starts, len(d)))
+            x[uniq] = np.bitwise_xor.reduceat(fp.view(np.uint64), starts)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_fp": pa.array(n),
+                "fp_xor": pa.array(x.view(np.int64)),
+            }
+        )
+
+    return docs.map_batches(fold, batch_format="pyarrow", batch_size=None)

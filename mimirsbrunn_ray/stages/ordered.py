@@ -410,3 +410,107 @@ def mode_per_key(
         )
 
     return partials.groupby(key).map_groups(argmax, batch_format="pandas")
+
+
+def group_cume_dist(
+    ds: "rd.Dataset",
+    key: str,
+    val_col: str,
+    id_cols: list[str],
+    scale: int = 1_000_000,
+) -> "rd.Dataset":
+    """Distributed CUME_DIST() OVER (PARTITION BY key ORDER BY val) — the
+    percentile-rank window function, chosen over NTILE because tied
+    values share one deterministic rank (NTILE splits ties by physical
+    row order, which no distributed engine should promise).
+
+    Scale shape: same trick as exact_quantiles_small_domain — cume_dist
+    only depends on the per-key VALUE HISTOGRAM, so one decomposable
+    (key, v, n) count pass tree-merges into a table bounded by
+    keys x |domain| (never rows), the driver turns it into cumulative
+    counts, and a second stream pass assigns each row
+    round(cum(v) / n_key * scale) via one vectorized searchsorted per
+    KEY PRESENT IN THE BATCH (bounded by group cardinality, not rows —
+    for high-cardinality keys hash-bucket the assignment or switch to a
+    t-digest percentile). No sort shuffle, no rank exchange; rows with
+    a null key or value are dropped (the SQL WHERE twin).
+
+    Output: id_cols + [key, val_col, f"cd_x{scale}" int64].
+    """
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[key]), pc.is_valid(b[val_col])))
+        t = pa.table({key: b[key], "v": b[val_col].cast(pa.int64())})
+        g = t.group_by([key, "v"]).aggregate([([], "count_all")])
+        g = g.select([key, "v", "count_all"])
+        return g.rename_columns([key, "v", "n"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by([key, "v"]).aggregate([("n", "sum")])
+        return g.rename_columns([key, "v", "n"])
+
+    parts = list(
+        tree_merge(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+            combine,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    cdcol = f"cd_x{scale}"
+    if parts:
+        hist = (
+            pa.concat_tables(parts)
+            .to_pandas()
+            .sort_values([key, "v"], ignore_index=True)
+        )
+        keys_np = hist[key].to_numpy()
+        vals_np = hist["v"].to_numpy()
+        counts = hist["n"].to_numpy()
+        key_start = np.ones(len(hist), dtype=bool)
+        key_start[1:] = keys_np[1:] != keys_np[:-1]
+        seg = np.cumsum(key_start) - 1
+        cum = np.cumsum(counts)
+        seg_starts = np.flatnonzero(key_start)
+        base = np.zeros(len(hist), dtype=np.int64)
+        base[seg_starts[1:]] = cum[seg_starts[1:] - 1]
+        cum = cum - np.maximum.accumulate(base)
+        totals = cum[np.append(seg_starts[1:] - 1, len(hist) - 1)][seg]
+        # distinct (key, v) rows sorted -> composite searchsorted lookup
+        key_arr = pa.array(keys_np)
+    else:
+        key_arr = None
+
+    def assign(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[key]), pc.is_valid(b[val_col])))
+        out = {c: b[c] for c in id_cols}
+        out[key] = b[key]
+        out[val_col] = b[val_col]
+        if key_arr is None or len(b) == 0:
+            # no histogram can only coexist with no valid rows
+            out[cdcol] = pa.array([], pa.int64())
+            return pa.table(out)
+        # composite (key, v) -> row in the sorted histogram: key segment
+        # via index_in against the FIRST occurrence array, then a
+        # searchsorted within [seg_start, seg_end) on v
+        kidx = pc.index_in(b[key], value_set=key_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        v = b[val_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # index_in returns the FIRST match = the key's segment start
+        seg_id = seg[kidx]
+        ends = np.append(seg_starts[1:], len(keys_np))
+        row = np.empty(len(v), dtype=np.int64)
+        for s_id in np.unique(seg_id):
+            m = seg_id == s_id
+            lo, hi = seg_starts[s_id], ends[s_id]
+            row[m] = lo + np.searchsorted(vals_np[lo:hi], v[m])
+        cd = np.floor(
+            cum[row].astype(np.float64)
+            / totals[row].astype(np.float64)
+            * float(scale)
+            + 0.5
+        ).astype(np.int64)
+        out[cdcol] = pa.array(cd)
+        return pa.table(out)
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,106 @@
+"""Winnowing fingerprint tests: the coverage theorem, density, boundary
+isolation, partition independence, and the per-doc signature contract."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _ds(texts, ids=None):
+    n = len(texts)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids or list(range(n)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+K, W = 5, 4
+
+
+def test_winnow_coverage_theorem(ray_session):
+    """Any shared substring of length >= w + k - 1 must share >= 1
+    fingerprint VALUE between the two documents."""
+    from mimirsbrunn_ray.stages.neardup import winnow_fingerprints
+
+    shared = "xqzvbnmklp"  # length 10 >= W + K - 1 = 8
+    a = "aaaa " + shared + " bbbb cccc dddd"
+    b = "eeee ffff " + shared + " gggg"
+    out = winnow_fingerprints(_ds([a, b]), k=K, w=W).to_pandas()
+    fps_a = set(out[out.doc_id == 0]["fp"])
+    fps_b = set(out[out.doc_id == 1]["fp"])
+    assert fps_a & fps_b, "coverage guarantee violated"
+
+
+def test_winnow_no_cross_doc_windows(ray_session):
+    """Fingerprints of ['ab', 'cd'] in one batch must equal the union of
+    fingerprinting each doc alone — nothing may hash across the
+    concatenation boundary."""
+    from mimirsbrunn_ray.stages.neardup import winnow_fingerprints
+
+    t1 = "the quick brown fox jumps"
+    t2 = "pack my box with five dozen"
+    both = winnow_fingerprints(_ds([t1, t2]), k=K, w=W).to_pandas()
+    solo1 = winnow_fingerprints(_ds([t1]), k=K, w=W).to_pandas()
+    solo2 = winnow_fingerprints(_ds([t2], ids=[1]), k=K, w=W).to_pandas()
+
+    def key(df):
+        return set(zip(df.doc_id, df.fp, df.pos))
+
+    assert key(both) == key(solo1) | key(solo2)
+
+
+def test_winnow_partition_independent(ray_session):
+    from mimirsbrunn_ray.stages.neardup import winnow_fingerprints
+
+    texts = [f"document number {i} talks about topic {i * 7 % 13} at length"
+             for i in range(40)]
+    one = winnow_fingerprints(_ds(texts), k=K, w=W).to_pandas()
+    many = winnow_fingerprints(
+        _ds(texts).repartition(8), k=K, w=W
+    ).to_pandas()
+
+    def key(df):
+        return set(zip(df.doc_id, df.fp, df.pos))
+
+    assert key(one) == key(many)
+
+
+def test_winnow_short_doc_and_signature_cover(ray_session):
+    from mimirsbrunn_ray.stages.neardup import (
+        winnow_fingerprints,
+        winnow_signatures,
+    )
+
+    texts = ["ab", "a longer document that fits several windows"]
+    fp = winnow_fingerprints(_ds(texts), k=K, w=W).to_pandas()
+    assert (fp.doc_id == 0).sum() == 0  # too short: no window fits
+    sig = (
+        winnow_signatures(_ds(texts), k=K, w=W)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(sig) == 2  # short docs still covered
+    assert sig.loc[0, "n_fp"] == 0 and sig.loc[0, "fp_xor"] == 0
+    assert sig.loc[1, "n_fp"] > 0
+    # signature agrees with the row form
+    rows = fp[fp.doc_id == 1]
+    assert sig.loc[1, "n_fp"] == len(rows)
+    assert np.uint64(sig.loc[1, "fp_xor"]) == np.bitwise_xor.reduce(
+        rows["fp"].to_numpy().view(np.uint64)
+    )
+
+
+def test_winnow_density(ray_session):
+    """Expected density is 2/(w+1); assert a generous band around it."""
+    from mimirsbrunn_ray.stages.neardup import winnow_fingerprints
+
+    rng = np.random.default_rng(7)
+    text = "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz "), 5000))
+    out = winnow_fingerprints(_ds([text]), k=K, w=W).to_pandas()
+    n_grams = len(text.encode()) - K + 1
+    density = len(out) / n_grams
+    assert 1.0 / W <= density <= 3.0 / (W + 1)
