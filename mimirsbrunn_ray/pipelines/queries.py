@@ -3255,3 +3255,64 @@ def q_winnow_doc_signatures(sf_dir):
 
 
 QUERIES["winnow_doc_signatures"] = q_winnow_doc_signatures
+
+
+def q_error_window_coverage(sf_dir):
+    """Per-user union of 5-minute error windows
+    (stages/window.interval_union): overlapping/touching windows merge
+    into islands; reports island count and exact covered microseconds —
+    the alert-coverage / retried-span dedup shape."""
+    from mimirsbrunn_ray.stages.window import interval_union
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def windows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "error"))
+        ts = b["ts"]
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "s": ts,
+                "e": pc.add(ts, pa.scalar(300_000_000, pa.duration("us"))),
+            }
+        )
+
+    win = ev.map_batches(windows, batch_format="pyarrow", batch_size=None)
+    return interval_union(win, key="user_id", s_col="s", e_col="e")
+
+
+COVERAGE_SQL = """
+WITH e AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+  FROM events
+  WHERE event_type = 'error' AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+m AS (
+  SELECT user_id, s, e,
+         CASE WHEN s <= MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS new_island
+  FROM e
+),
+g AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING
+         ) AS island
+  FROM m
+),
+i AS (
+  SELECT user_id, island, MIN(s) AS s0, MAX(e) AS e1
+  FROM g GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(epoch_us(e1) - epoch_us(s0)) AS BIGINT) AS covered_us
+FROM i GROUP BY user_id
+"""
+
+QUERIES["error_window_coverage"] = q_error_window_coverage
+ORACLES["error_window_coverage"] = COVERAGE_SQL

@@ -590,3 +590,82 @@ def session_funnel(
         return out
 
     return filtered.groupby(_BUCKET).map_groups(fn, batch_format="pandas")
+
+
+def interval_union(
+    ds: "rd.Dataset",
+    key: str,
+    s_col: str,
+    e_col: str,
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """Per-key union of possibly-overlapping intervals — merge every
+    overlapping-or-touching [s, e) pair (s <= running max e joins the
+    current island) and report how many disjoint islands remain and the
+    total covered time. The gaps-and-islands operator behind alerting
+    windows, maintenance coverage, and dedup of retried spans.
+
+    Scale shape: identical to sessionize — one coarse hash-bucket
+    shuffle on the key, then fully vectorized inside the bucket (one
+    mergesort by (key, s, e), one per-key cummax, one cumsum island id,
+    two grouped aggregates). Rows with null key/bounds are dropped (the
+    SQL WHERE twin). Merge decisions use only (s, running-max-e), so
+    exact duplicate intervals and containment cases fold in naturally
+    and the result is independent of tie order.
+
+    Output: key, n_intervals int64, covered_us int64 (sum over islands
+    of e_max - s_min in microseconds).
+    """
+    from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
+
+    filtered = ds.map_batches(
+        lambda b: add_bucket(
+            b.filter(
+                pa.compute.and_(
+                    pa.compute.and_(
+                        pa.compute.is_valid(b[key]),
+                        pa.compute.is_valid(b[s_col]),
+                    ),
+                    pa.compute.is_valid(b[e_col]),
+                )
+            ),
+            key,
+            num_buckets,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=g[key].dtype),
+                "n_intervals": pd.Series([], dtype=np.int64),
+                "covered_us": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values([key, s_col, e_col], kind="mergesort")
+        prev_max_e = g.groupby(key, sort=False)[e_col].cummax().shift()
+        key_change = g[key].ne(g[key].shift())
+        new_island = key_change | (g[s_col] > prev_max_e)
+        island = new_island.cumsum()
+        spans = (
+            pd.DataFrame({key: g[key], "s": g[s_col], "e": g[e_col]})
+            .groupby(island, sort=False)
+            .agg(**{key: (key, "first"), "s0": ("s", "min"), "e1": ("e", "max")})
+        )
+        # exact integer microseconds — no float detour
+        cov = (spans["e1"] - spans["s0"]) // pd.Timedelta(microseconds=1)
+        out = (
+            pd.DataFrame({key: spans[key], "_c": cov})
+            .groupby(key, sort=True)
+            .agg(n_intervals=(key, "size"), covered_us=("_c", "sum"))
+            .reset_index()
+        )
+        out["n_intervals"] = out["n_intervals"].astype(np.int64)
+        out["covered_us"] = out["covered_us"].astype(np.int64)
+        return out
+
+    return filtered.groupby(_BUCKET).map_groups(fn, batch_format="pandas")

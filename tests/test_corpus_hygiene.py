@@ -165,3 +165,38 @@ def test_session_funnel_strictly_after_semantics(ray_session):
     assert out["n_sessions"].tolist() == [1, 1, 1, 2]
     assert out["n_click_sessions"].tolist() == [1, 1, 1, 1]
     assert out["n_converted"].tolist() == [1, 0, 0, 0]
+
+
+def test_interval_union_touch_contain_overlap(ray_session):
+    """Touching intervals merge; contained intervals fold in; disjoint
+    ones stay separate — covered time is exact integer microseconds."""
+    import pandas as pd
+    from mimirsbrunn_ray.stages.window import interval_union
+
+    t0 = pd.Timestamp("2026-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: [0,10) + [10,20) touch -> one island of 20m
+        (1, t0, t0 + 10 * m), (1, t0 + 10 * m, t0 + 20 * m),
+        # user 2: [0,10) contains [2,5); plus disjoint [30,31)
+        (2, t0, t0 + 10 * m), (2, t0 + 2 * m, t0 + 5 * m),
+        (2, t0 + 30 * m, t0 + 31 * m),
+        # user 3: exact duplicate intervals -> one island
+        (3, t0, t0 + m), (3, t0, t0 + m),
+    ]
+    tbl = pa.table(
+        {
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "s": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "e": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = (
+        interval_union(rd.from_arrow(tbl), key="u", s_col="s", e_col="e")
+        .to_pandas()
+        .sort_values("u", ignore_index=True)
+    )
+    assert out["n_intervals"].tolist() == [1, 2, 1]
+    assert out["covered_us"].tolist() == [
+        20 * 60_000_000, 11 * 60_000_000, 60_000_000,
+    ]
