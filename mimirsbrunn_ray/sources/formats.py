@@ -13,6 +13,9 @@ the on-disk format:
   * ``.csv.gz`` etc.      -> same, gzip-decompressed in the read tasks
   * ``.jsonl`` / ``.json``-> ``read_json`` (+ ``select_columns`` after — JSON
                              has no reader-side projection)
+  * ``.arrow`` / ``.feather`` / ``.ipc`` -> distributed per-file IPC decode
+                             (Feather v2 == IPC file format; stream fallback;
+                             zero-copy column projection after decode)
 
 Directories are expanded non-recursively; globs are expanded here so the
 format can be decided before the Ray reader sees the paths. Decompression
@@ -29,6 +32,7 @@ import ray.data as rd
 
 _CSV_EXTS = {".csv", ".tsv"}
 _JSON_EXTS = {".json", ".jsonl", ".ndjson"}
+_IPC_EXTS = {".arrow", ".feather", ".ipc"}
 
 
 def _expand(paths) -> list[str]:
@@ -65,6 +69,8 @@ def detect_format(path: str) -> tuple[str, bool]:
         return "csv", gz
     if ext in _JSON_EXTS:
         return "json", gz
+    if ext in _IPC_EXTS:
+        return "ipc", gz
     raise ValueError(f"unsupported input format: {path!r}")
 
 
@@ -91,6 +97,41 @@ def read_table(paths, columns=None, fmt: str | None = None) -> "rd.Dataset":
 
         return rd.read_parquet(
             files, columns=columns, override_num_blocks=num_blocks_for(files)
+        )
+
+    if fmt == "ipc":
+        # Arrow IPC / Feather: one distributed decode task per file
+        # (read_binary_files ships whole files, so the deployment rule is
+        # shard-sized files — same rule the tier writer follows). Feather
+        # v2 IS the IPC file format (incl. optional compression); the
+        # stream format is the fallback. Column projection after decode
+        # is zero-copy on the Arrow buffers.
+        import gzip as _gzip
+
+        import pyarrow as pa
+
+        cols = list(columns) if columns else None
+
+        def _decode_ipc(b: "pa.Table") -> "pa.Table":
+            from pyarrow import feather as pafeather
+
+            tables = []
+            for buf in b["bytes"].to_pylist():
+                if buf[:2] == b"\x1f\x8b":  # gzipped shard
+                    buf = _gzip.decompress(buf)
+                try:
+                    t = pafeather.read_table(
+                        pa.BufferReader(buf), columns=cols
+                    )
+                except pa.ArrowInvalid:
+                    t = pa.ipc.open_stream(pa.BufferReader(buf)).read_all()
+                    if cols:
+                        t = t.select(cols)
+                tables.append(t)
+            return pa.concat_tables(tables)
+
+        return rd.read_binary_files(files).map_batches(
+            _decode_ipc, batch_format="pyarrow", batch_size=None
         )
 
     def _delim(f: str) -> str:

@@ -156,3 +156,48 @@ def test_mixed_csv_and_tsv_delimiters(ray_session, format_dir):
     )
     assert len(out) == 2 * len(docs)
     assert sorted(out.columns) == sorted(docs.columns)
+
+
+def test_read_feather_and_stream_ipc(ray_session, tmp_path):
+    """Feather v2 (compressed + uncompressed), raw IPC stream, and a
+    gzipped feather shard all round-trip through read_table, with
+    column projection."""
+    import gzip as _gzip
+
+    from pyarrow import feather as pafeather
+
+    src = pq.read_table(f"{SF}/nation.parquet")
+    d = str(tmp_path)
+    pafeather.write_feather(
+        src.slice(0, 10), f"{d}/a.feather", compression="zstd"
+    )
+    pafeather.write_feather(
+        src.slice(10, 10), f"{d}/b.arrow", compression="uncompressed"
+    )
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, src.schema) as w:
+        w.write_table(src.slice(20))
+    with open(f"{d}/c.ipc", "wb") as f:
+        f.write(sink.getvalue().to_pybytes())
+    with open(f"{d}/a.feather", "rb") as f:
+        gz_payload = _gzip.compress(f.read())
+    with open(f"{d}/d.feather.gz", "wb") as f:
+        f.write(gz_payload)
+
+    assert detect_format("x.feather") == ("ipc", False)
+    assert detect_format("x.ARROW.gz") == ("ipc", True)
+
+    got = (
+        read_table([f"{d}/a.feather", f"{d}/b.arrow", f"{d}/c.ipc"])
+        .to_pandas()
+        .sort_values("n_nationkey", ignore_index=True)
+    )
+    want = src.to_pandas().sort_values("n_nationkey", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    # gzipped shard + column projection
+    two = read_table(
+        f"{d}/d.feather.gz", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    assert list(two.columns) == ["n_nationkey", "n_name"]
+    assert len(two) == 10
