@@ -3316,3 +3316,74 @@ FROM i GROUP BY user_id
 
 QUERIES["error_window_coverage"] = q_error_window_coverage
 ORACLES["error_window_coverage"] = COVERAGE_SQL
+
+
+def q_corpus_curation(sf_dir):
+    """Corpus-curation composite — the LLM-data mirror of the TPC-H Q3
+    showcase: quality gate (valid lang, min length) -> deterministic 50%
+    mixture sample (arithmetic hash: partition/engine independent) ->
+    PII/policy redaction -> post-redaction token count. Every stage is a
+    streaming map_batches; the sample runs BEFORE the expensive regex
+    (predicate-pushdown discipline), and no stage shuffles."""
+    from mimirsbrunn_ray.stages.text import (
+        deterministic_stratified_sample,
+        redact_terms,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars", "text"],
+    )
+
+    def gate(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(b["lang"]), pc.greater_equal(b["n_chars"], 50)
+        )
+        return b.filter(pc.fill_null(keep, False))
+
+    gated = docs.map_batches(gate, batch_format="pyarrow", batch_size=None)
+    sampled = deterministic_stratified_sample(
+        gated, key_col="lang", id_col="doc_id",
+        fractions={}, default_frac=0.5,
+    )
+    red = redact_terms(
+        sampled, pattern=r"\b(the|a)\b", replacement="<STOP>",
+        keep_cols=["lang", "source"],
+    )
+
+    def count_words(b: pa.Table) -> pa.Table:
+        nw = pc.list_value_length(
+            pc.split_pattern(b["text_redacted"], pattern=" ")
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "source": b["source"],
+                "n_words": nw,
+                "n_redacted": b["n_redacted"],
+            }
+        )
+
+    return red.map_batches(
+        count_words, batch_format="pyarrow", batch_size=None
+    )
+
+
+CURATION_SQL = r"""
+WITH f AS (
+  SELECT * FROM documents
+  WHERE lang IS NOT NULL AND n_chars >= 50
+    AND ((abs(doc_id) % 2147483648) * 2654435761) % 10000 < 5000
+)
+SELECT doc_id, lang, source,
+       CAST(len(string_split(
+         regexp_replace(text, '\b(the|a)\b', '<STOP>', 'g'), ' '
+       )) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS BIGINT)
+         AS n_redacted
+FROM f
+"""
+
+QUERIES["corpus_curation"] = q_corpus_curation
+ORACLES["corpus_curation"] = CURATION_SQL

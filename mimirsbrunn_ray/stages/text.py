@@ -729,6 +729,7 @@ def redact_terms(
     replacement: str = "<REDACTED>",
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: list | None = None,
 ) -> "rd.Dataset":
     """PII / policy-term scrubbing: replace every regex match in the text
     column and count the replacements per document — the redaction pass
@@ -743,7 +744,7 @@ def redact_terms(
     state, so it streams at any corpus size. Null text stays null with a
     null count (SQL regexp_replace semantics).
 
-    Output: (id_col, text_redacted string, n_redacted int64).
+    Output: (id_col, *keep_cols, text_redacted string, n_redacted int64).
     """
 
     def fn(b: pa.Table) -> pa.Table:
@@ -752,9 +753,12 @@ def redact_terms(
         red = pc.replace_substring_regex(
             text, pattern=pattern, replacement=replacement
         )
-        return pa.table(
-            {id_col: b[id_col], "text_redacted": red, "n_redacted": n}
-        )
+        out = {id_col: b[id_col]}
+        for c in keep_cols or []:
+            out[c] = b[c]
+        out["text_redacted"] = red
+        out["n_redacted"] = n
+        return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
