@@ -3387,3 +3387,21 @@ FROM f
 
 QUERIES["corpus_curation"] = q_corpus_curation
 ORACLES["corpus_curation"] = CURATION_SQL
+
+
+def q_winnow_copy_pairs(sf_dir):
+    """MOSS partial-copy candidates (stages/neardup.winnow_copy_candidates):
+    docs sharing >= 4 rare winnowing fingerprints (df-capped at 8 to prune
+    boilerplate stop-fingerprints). Two coarse hash shuffles, vectorized
+    throughout. No SQL oracle (window-argmin fingerprint selection is not
+    SQL-expressible); tests/test_winnow.py pins the pipeline against a
+    brute-force recount and the coverage theorem."""
+    from mimirsbrunn_ray.stages.neardup import winnow_copy_candidates
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_copy_candidates(docs, k=12, w=4, min_shared=4, max_df=8)
+
+
+QUERIES["winnow_copy_pairs"] = q_winnow_copy_pairs

@@ -159,7 +159,11 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 
 def _segment_pairs(
-    g: pd.DataFrame, seg_cols: list, id_col: str, extra_cols: tuple = ()
+    g: pd.DataFrame,
+    seg_cols: list,
+    id_col: str,
+    extra_cols: tuple = (),
+    max_seg: int | None = None,
 ) -> pd.DataFrame:
     """All intra-segment id pairs (i < j in id order), fully vectorized.
 
@@ -167,7 +171,9 @@ def _segment_pairs(
     segment's pairs GROUPED BY SEGMENT SIZE: one ``triu_indices`` per
     distinct size (a handful), broadcast across all segments of that size
     — never a per-segment or per-pair Python loop. ``extra_cols`` are
-    carried through aligned with side a/b (suffix _a/_b).
+    carried through aligned with side a/b (suffix _a/_b). ``max_seg``
+    skips segments larger than the cap (stop-key pruning: bounds pair
+    fan-out to max_seg^2/2 per segment).
     """
     d = g.drop_duplicates(seg_cols + [id_col]).sort_values(
         seg_cols + [id_col], kind="mergesort"
@@ -183,7 +189,7 @@ def _segment_pairs(
         seg_starts = np.flatnonzero(new_seg)
         seg_sizes = np.diff(np.append(seg_starts, len(d)))
         for size in np.unique(seg_sizes):
-            if size < 2:
+            if size < 2 or (max_seg is not None and size > max_seg):
                 continue
             starts = seg_starts[seg_sizes == size]
             ti, tj = np.triu_indices(int(size), 1)
@@ -1027,3 +1033,89 @@ def winnow_signatures(
         )
 
     return docs.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+def winnow_copy_candidates(
+    docs: "rd.Dataset",
+    k: int = 12,
+    w: int = 4,
+    min_shared: int = 4,
+    max_df: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """Partial-copy candidate pairs from winnowing fingerprints — the
+    MOSS composition: docs sharing >= ``min_shared`` distinct selected
+    fingerprints, ignoring fingerprints shared by more than ``max_df``
+    docs (stop-fingerprints — boilerplate; the same df-cap discipline as
+    simjoin's shared-gram prune, and the reason pair fan-out stays
+    bounded: each surviving fingerprint emits <= max_df^2/2 pairs).
+
+    Two coarse hash shuffles, everything between them vectorized:
+      fingerprint rows -> bucket by fp -> in-bucket run-length scan
+      emits cross-doc pairs per rare fingerprint -> bucket by pair ->
+      in-bucket count -> filter >= min_shared.
+
+    Output: (doc_a, doc_b, n_shared int64) with doc_a < doc_b, exact
+    given the df-cap (a candidate generator: verify survivors with the
+    exact similarity stages when byte-level confirmation is needed).
+    """
+    fps = winnow_fingerprints(
+        docs, k=k, w=w, text_col=text_col, id_col=id_col
+    )
+
+    def distinct_and_bucket(b: pa.Table) -> pa.Table:
+        # positions don't matter for candidacy; distinct (doc, fp)
+        t = pa.table({"doc": b[id_col], "fp": b["fp"]})
+        t = t.group_by(["doc", "fp"]).aggregate([])
+        h = t["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
+        bucket = (h % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket))
+
+    by_fp = fps.map_batches(
+        distinct_and_bucket, batch_format="pyarrow", batch_size=None
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # df-capped all-pairs per fingerprint (stop-fingerprint pruning)
+        return _segment_pairs(g, ["fp"], "doc", max_seg=max_df)
+
+    pair_rows = by_fp.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+
+    def count_bucket(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        pb = ((a.astype(np.uint64) * _MIX1) ^ bb.astype(np.uint64)) % np.uint64(
+            num_buckets
+        )
+        return b.append_column("pbucket", pa.array(pb.astype(np.int32)))
+
+    bucketed_pairs = pair_rows.map_batches(
+        count_bucket, batch_format="pyarrow", batch_size=None
+    )
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "n_shared": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = (
+            g.groupby(["a", "b"], sort=False)
+            .size()
+            .reset_index(name="n_shared")
+        )
+        out = out[out["n_shared"] >= min_shared]
+        out = out.rename(columns={"a": "doc_a", "b": "doc_b"})
+        out["n_shared"] = out["n_shared"].astype(np.int64)
+        return out
+
+    return bucketed_pairs.groupby("pbucket").map_groups(
+        reduce_pairs, batch_format="pandas"
+    )

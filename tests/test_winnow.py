@@ -104,3 +104,48 @@ def test_winnow_density(ray_session):
     n_grams = len(text.encode()) - K + 1
     density = len(out) / n_grams
     assert 1.0 / W <= density <= 3.0 / (W + 1)
+
+
+def test_winnow_copy_candidates_matches_bruteforce(ray_session):
+    """Distributed pair pipeline == brute-force recount over the same
+    fingerprint table (df cap and min_shared applied identically)."""
+    import itertools
+    from collections import defaultdict
+
+    from mimirsbrunn_ray.stages.neardup import (
+        winnow_copy_candidates,
+        winnow_fingerprints,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = []
+    for i in range(30):
+        # every third doc embeds a long shared passage -> partial copies
+        extra = base if i % 3 == 0 else f"unique tail {i} " * 4
+        texts.append(f"doc {i} prefix {i * i} " + extra)
+    ds = _ds(texts)
+    K2, W2, MIN_S, MAX_DF = 8, 4, 3, 10
+
+    got = (
+        winnow_copy_candidates(
+            ds, k=K2, w=W2, min_shared=MIN_S, max_df=MAX_DF
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+
+    fps = winnow_fingerprints(ds, k=K2, w=W2).to_pandas()
+    by_fp = defaultdict(set)
+    for doc, fp in zip(fps.doc_id, fps.fp):
+        by_fp[fp].add(doc)
+    counts = defaultdict(int)
+    for fp, docs in by_fp.items():
+        if 2 <= len(docs) <= MAX_DF:
+            for a, b in itertools.combinations(sorted(docs), 2):
+                counts[(a, b)] += 1
+    want = sorted((a, b, n) for (a, b), n in counts.items() if n >= MIN_S)
+    assert list(map(tuple, got.to_numpy())) == want
+    # the planted partial copies are found
+    copies = {(a, b) for a, b, _ in want}
+    assert (0, 3) in copies or (0, 6) in copies
