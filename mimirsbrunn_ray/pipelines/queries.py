@@ -3405,3 +3405,34 @@ def q_winnow_copy_pairs(sf_dir):
 
 
 QUERIES["winnow_copy_pairs"] = q_winnow_copy_pairs
+
+
+def q_source_overlap(sf_dir):
+    """Cross-source duplicate overlap
+    (stages/dedup.cross_group_duplicate_overlap): distinct texts shared
+    by each source pair — the provenance diagnostic behind mixture
+    weights. Exact value equality (the payload hash only partitions);
+    output bounded by source pairs."""
+    from mimirsbrunn_ray.stages.dedup import cross_group_duplicate_overlap
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return cross_group_duplicate_overlap(
+        docs, group_col="source", text_col="text"
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH h AS (
+  SELECT DISTINCT text, source FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM h a JOIN h b ON a.text = b.text AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+QUERIES["source_overlap"] = q_source_overlap
+ORACLES["source_overlap"] = SOURCE_OVERLAP_SQL

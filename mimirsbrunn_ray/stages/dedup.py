@@ -380,3 +380,95 @@ def exact_distinct_per_group(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def cross_group_duplicate_overlap(
+    ds: "rd.Dataset",
+    group_col: str = "source",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> "pa.Table":
+    """Corpus-provenance overlap: for every pair of groups (sources,
+    dumps, snapshots), how many DISTINCT payloads appear in both — the
+    "which crawls duplicate each other" diagnostic run before choosing
+    mixture weights, and the cross-run flavor of exact dedup (D1).
+
+    EXACT: rows shuffle on a hash bucket of the payload, but within a
+    bucket, grouping is by the payload VALUE (pandas factorize — hash
+    collisions cannot merge distinct texts, unlike the 64-bit-hash
+    caveat in simjoin). Pair fan-out per distinct payload is bounded by
+    the number of groups, and the final count table by group-pairs, so
+    the tree-merged tail is tiny by construction.
+
+    Output (driver pa.Table, bounded by group-pairs):
+    (f"{group_col}_a", f"{group_col}_b", n_shared int64) with
+    a < b in group order; null payloads/groups are dropped (SQL JOIN
+    twin).
+    """
+    from mimirsbrunn_ray.stages.neardup import _segment_pairs
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.is_valid(b[text_col]), pc.is_valid(b[group_col]))
+        )
+        # the payload hash is ONLY a partitioner (add_bucket's vectorized
+        # _hash64) — equality below is on the exact value, so a collision
+        # just co-locates two texts
+        t = pa.table({"t": b[text_col], "g": b[group_col]})
+        return add_bucket(t, "t", num_buckets)
+
+    bucketed = ds.map_batches(
+        bucketize, batch_format="pyarrow", batch_size=None
+    )
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        # typed-arrow output (empty object-dtype pandas blocks trip Ray's
+        # block-size estimator)
+        if group.num_rows == 0:
+            return pair_schema.empty_table()
+        g = group.to_pandas()
+        # exact value grouping: factorize is hash-based C code on the
+        # full strings
+        g = g.assign(_tc=pd.factorize(g["t"])[0])
+        out = _segment_pairs(g, ["_tc"], "g")
+        return pa.Table.from_pandas(
+            out, schema=pair_schema, preserve_index=False
+        )
+
+    pair_rows = bucketed.groupby(_BUCKET).map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+
+    a_col, b_col = f"{group_col}_a", f"{group_col}_b"
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b.group_by(["a", "b"]).aggregate([([], "count_all")])
+        c = c.select(["a", "b", "count_all"])
+        return c.rename_columns(["a", "b", "n"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        c = b.group_by(["a", "b"]).aggregate([("n", "sum")])
+        return c.rename_columns(["a", "b", "n"])
+
+    parts = list(
+        tree_merge(
+            pair_rows.map_batches(
+                partial, batch_format="pyarrow", batch_size=None
+            ),
+            combine,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    out_schema = pa.schema(
+        [(a_col, pa.string()), (b_col, pa.string()), ("n_shared", pa.int64())]
+    )
+    if not parts:
+        # typed empty pa.Table — an empty Dataset drops its columns in
+        # to_pandas() and would fail the driver's schema compare
+        return out_schema.empty_table()
+    tbl = pa.concat_tables(parts)
+    return tbl.rename_columns([a_col, b_col, "n_shared"]).set_column(
+        2, "n_shared", tbl.column(2).cast(pa.int64())
+    )

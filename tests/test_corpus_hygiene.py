@@ -200,3 +200,38 @@ def test_interval_union_touch_contain_overlap(ray_session):
     assert out["covered_us"].tolist() == [
         20 * 60_000_000, 11 * 60_000_000, 60_000_000,
     ]
+
+
+def test_cross_group_overlap_exact_and_typed_empty(ray_session):
+    import pyarrow as pa
+
+    from mimirsbrunn_ray.stages.dedup import cross_group_duplicate_overlap
+
+    tbl = pa.table(
+        {
+            "text": pa.array(
+                ["dup one", "dup one", "dup one", "solo", "dup two",
+                 "dup two", None],
+                pa.string(),
+            ),
+            "source": pa.array(
+                ["s1", "s2", "s3", "s1", "s2", "s3", "s1"], pa.string()
+            ),
+        }
+    )
+    out = cross_group_duplicate_overlap(rd.from_arrow(tbl)).to_pandas()
+    got = {
+        (r.source_a, r.source_b): r.n_shared for r in out.itertuples()
+    }
+    assert got == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 2}
+
+    # no cross-group duplicates -> typed empty table, schema intact
+    solo = pa.table(
+        {
+            "text": pa.array(["a", "b"], pa.string()),
+            "source": pa.array(["s1", "s2"], pa.string()),
+        }
+    )
+    empty = cross_group_duplicate_overlap(rd.from_arrow(solo))
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["source_a", "source_b", "n_shared"]
