@@ -72,6 +72,16 @@ def main(argv=None) -> int:
     m.add_argument("--out", required=True)
     m.add_argument("--run-id", required=True)
 
+    c = sub.add_parser(
+        "compact",
+        help="merge a tier's live segments into one fresh run (LSM-style "
+             "maintenance after late-data appends; atomic swap)",
+    )
+    c.add_argument("--root", required=True)
+    c.add_argument("--tier", required=True)
+    c.add_argument("--run-id", required=True)
+    c.add_argument("--keep-runs", type=int, default=2)
+
     q = sub.add_parser("query", help="read API over published tiers")
     q.add_argument("--root", required=True)
     q.add_argument("action", choices=["top-k", "lookup", "as-of", "status"])
@@ -140,6 +150,21 @@ def main(argv=None) -> int:
         paths = sorted(glob.glob(args.input))
         summary = merge_late_data(paths, args.out, args.run_id)
         print(json.dumps(summary))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "compact":
+        ray = _ray_session(args.num_cpus)
+        from mimirsbrunn_ray.state.manifest import read_manifest
+        from mimirsbrunn_ray.state.publish import TierStore
+
+        store = TierStore(args.root)
+        run_dir = store.compact(
+            args.tier, args.run_id, keep_runs=args.keep_runs
+        )
+        print(json.dumps({"tier": args.tier, "run_dir": run_dir,
+                          "segments_before": len(
+                              read_manifest(run_dir)["input_paths"])}))
         ray.shutdown()
         return 0
 

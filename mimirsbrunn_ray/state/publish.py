@@ -218,3 +218,51 @@ class TierStore:
             shutil.rmtree(full)
             removed.append(full)
         return removed
+
+    def compact(
+        self,
+        tier: str,
+        run_id: str,
+        keep_runs: int = 2,
+        num_blocks: int | None = None,
+    ) -> str:
+        """Merge every live segment of a tier into ONE fresh run — the
+        LSM-style maintenance job that bounds read fan-in after late-data
+        appends (each ``append_segment`` publish adds one more directory
+        every reader must union; compaction restores single-run reads).
+
+        Zero-downtime by construction: the union is read from the
+        COMMITTED segments, written under a NEW run dir, and LATEST swaps
+        atomically — readers either see the old segment list or the
+        compacted run, never a partial state. A killed compaction leaves
+        a ghost dir the next publish/cleanup removes; re-running with the
+        same run_id is safe (the ghost is rewritten). Superseded
+        segments retire through the normal ``cleanup_ghosts`` retention,
+        so an in-flight reader of the old list keeps its files for
+        ``keep_runs`` more publishes.
+
+        Segment manifests' counters are summed into the compacted
+        manifest (lineage: ``input_paths`` = the source segment dirs).
+        """
+        segments = self.latest_segments(tier)
+        if not segments:
+            raise FileNotFoundError(f"no committed run for tier {tier!r}")
+        data_paths = self.latest_data_paths(tier)
+        merged_counters: dict = {}
+        for seg in segments:
+            m = read_manifest(seg)
+            for k, v in (m.get("counters") or {}).items():
+                if isinstance(v, (int, float)):
+                    merged_counters[k] = merged_counters.get(k, 0) + v
+        kwargs = {}
+        if num_blocks is not None:
+            kwargs["override_num_blocks"] = num_blocks
+        ds = rd.read_parquet(data_paths, **kwargs)
+        return self.publish(
+            ds,
+            tier,
+            run_id,
+            input_paths=segments,
+            counters=merged_counters,
+            keep_runs=keep_runs,
+        )

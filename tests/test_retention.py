@@ -54,3 +54,64 @@ def test_supersede_after_segments_collapses(tmp_path, ray_session):
     store.publish(rd.range(15), "raw", "compacted")
     assert store.latest_segments("raw") == [store.run_dir("raw", "compacted")]
     assert rd.read_parquet(store.latest_data_paths("raw")).count() == 15
+
+
+def test_compact_merges_segments_and_counters(tmp_path, ray_session):
+    """TierStore.compact: three live segments -> one fresh run holding the
+    identical row multiset, counters summed across segment manifests,
+    lineage = the source segments, old segments retained per keep_runs."""
+    import ray.data as rd
+
+    from mimirsbrunn_ray.state.manifest import read_manifest
+    from mimirsbrunn_ray.state.publish import TierStore
+
+    store = TierStore(str(tmp_path))
+    store.publish(rd.range(10), "raw", "base", counters={"rows_ok": 10})
+    store.publish(
+        rd.range(5), "raw", "late1", append_segment=True,
+        counters={"rows_ok": 5},
+    )
+    store.publish(
+        rd.range(3), "raw", "late2", append_segment=True,
+        counters={"rows_ok": 3, "rows_dropped_dirty": 1},
+    )
+    old_segments = store.latest_segments("raw")
+    assert len(old_segments) == 3
+    before = sorted(
+        rd.read_parquet(store.latest_data_paths("raw")).to_pandas()["id"]
+    )
+
+    run_dir = store.compact("raw", "compacted", keep_runs=3)
+
+    assert store.latest_segments("raw") == [run_dir]
+    after = sorted(
+        rd.read_parquet(store.latest_data_paths("raw")).to_pandas()["id"]
+    )
+    assert after == before
+    m = read_manifest(run_dir)
+    assert m["counters"]["rows_ok"] == 18
+    assert m["counters"]["rows_dropped_dirty"] == 1
+    assert sorted(m["input_paths"]) == sorted(old_segments)
+    # keep_runs=3 retention: superseded segments still on disk for
+    # in-flight readers of the old LATEST
+    surviving = [d for d in old_segments if os.path.isdir(d)]
+    assert len(surviving) >= 2
+
+
+def test_compact_via_cli(tmp_path, ray_session):
+    """The compact subcommand drives TierStore.compact end-to-end."""
+    import ray.data as rd
+
+    from mimirsbrunn_ray.cli import main
+    from mimirsbrunn_ray.state.publish import TierStore
+
+    store = TierStore(str(tmp_path))
+    store.publish(rd.range(4), "raw", "base")
+    store.publish(rd.range(2), "raw", "late", append_segment=True)
+    rc = main(
+        ["compact", "--root", str(tmp_path), "--tier", "raw",
+         "--run-id", "c1"]
+    )
+    assert rc == 0
+    assert store.latest_segments("raw") == [store.run_dir("raw", "c1")]
+    assert rd.read_parquet(store.latest_data_paths("raw")).count() == 6
