@@ -3436,3 +3436,75 @@ GROUP BY 1, 2
 
 QUERIES["source_overlap"] = q_source_overlap
 ORACLES["source_overlap"] = SOURCE_OVERLAP_SQL
+
+
+def q_normalized_docs(sf_dir):
+    """Canonical text normalization (stages/text.normalize_text): NFC ->
+    lower -> whitespace collapse -> trim, four Arrow kernels per batch,
+    plus a changed flag per doc."""
+    from mimirsbrunn_ray.stages.text import normalize_text
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return normalize_text(docs)
+
+
+NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         AS text_norm,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         <> text AS changed
+FROM documents
+"""
+
+QUERIES["normalized_docs"] = q_normalized_docs
+ORACLES["normalized_docs"] = NORMALIZE_SQL
+
+
+def q_knn_filtered(sf_dir):
+    """Filtered vector search — brute-force cosine top-k restricted to a
+    metadata predicate (label = 0): the filter runs IN the stream before
+    the matmul, so the broadcast query matrix scans only the qualifying
+    ~10% of vectors. Same partial-top-k + tree-merge shape as
+    q_knn_bruteforce."""
+    from mimirsbrunn_ray.stages.similarity import knn_bruteforce
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+
+    def flt(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(pc.fill_null(b["label"], -1), 0)
+        ).select(["vec_id", "embedding"])
+
+    cand = emb.map_batches(flt, batch_format="pyarrow", batch_size=None)
+    out = knn_bruteforce(cand, _query_vectors(sf_dir), k=KNN_K)
+    # ROUND(.., 3): DuckDB's list_cosine_similarity computes in float32
+    # (~1e-7 relative error vs this stage's float64); at 4 decimals a
+    # boundary flip is ~10x more likely and was observed at sf0.1
+    out["cosine"] = out["cosine"].round(3)
+    return out
+
+
+KNN_FILTERED_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({', '.join(map(str, [0, 1, 2]))})
+)
+SELECT CAST(q.qid AS INTEGER) AS query_id, e.vec_id,
+       ROUND(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 3)
+         AS cosine
+FROM embeddings e, q
+WHERE e.label = 0
+QUALIFY row_number() OVER (
+    PARTITION BY q.qid
+    ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+) <= {KNN_K}
+"""
+
+QUERIES["knn_filtered"] = q_knn_filtered
+ORACLES["knn_filtered"] = KNN_FILTERED_SQL

@@ -870,3 +870,40 @@ def unigram_logprob_scores(
         )
 
     return docs.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def normalize_text(
+    ds: "rd.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Canonical text normalization — the pass every dedup/fingerprint
+    stage should see first, so byte-different renderings of the same
+    content collapse: Unicode NFC -> lowercase -> whitespace runs to one
+    space -> trim. All four steps are single Arrow C++ kernels over the
+    batch (utf8_normalize / utf8_lower / replace_substring_regex /
+    utf8_trim_whitespace); no shuffle, no Python rows; nulls stay null.
+
+    Output: (id_col, text_norm string, changed bool — whether
+    normalization altered the value; the "how dirty is this corpus"
+    counter aggregates it).
+    """
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = b[text_col]
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.utf8_normalize(t, form="NFC")),
+                pattern=r"\s+",
+                replacement=" ",
+            )
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "text_norm": norm,
+                "changed": pc.not_equal(norm, t),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
