@@ -62,6 +62,11 @@ def main(argv=None) -> int:
         help="override the byte-sized auto-sharding of the dup-scan combine",
     )
     t.add_argument(
+        "--quarantine", default=None,
+        help="also write dropped-dirty rows (+ reason column) as parquet "
+             "under this directory (forces the standalone validation path)",
+    )
+    t.add_argument(
         "--rollup-shards", type=int, default=None,
         help="shard the raw->1m rollup's final partial combine "
              "(default: auto by raw-tier row count; 1 = serial combine)",
@@ -115,6 +120,7 @@ def main(argv=None) -> int:
                 single_partition=(False if args.multi_partition else None),
                 dedup_scan_shards=args.dedup_scan_shards,
                 rollup_shards=args.rollup_shards,
+                quarantine_dir=args.quarantine,
             )
         else:
             if not (args.input and args.out and args.run_id):
@@ -125,7 +131,8 @@ def main(argv=None) -> int:
                    "max_dropped": args.max_dropped, "verify_resume": False,
                    "single_partition": not args.multi_partition,
                    "dedup_scan_shards": args.dedup_scan_shards,
-                   "rollup_shards": args.rollup_shards}
+                   "rollup_shards": args.rollup_shards,
+                   "quarantine_dir": args.quarantine}
         ray = _ray_session(args.num_cpus)
         from mimirsbrunn_ray.pipelines.tiering import run_tiering_job
 
@@ -138,6 +145,7 @@ def main(argv=None) -> int:
             single_partition=job.get("single_partition", True),
             dedup_scan_shards=job.get("dedup_scan_shards"),
             rollup_shards=job.get("rollup_shards"),
+            quarantine_dir=job.get("quarantine_dir"),
         )
         print(json.dumps(summary))
         ray.shutdown()

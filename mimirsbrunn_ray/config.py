@@ -40,6 +40,9 @@ DEFAULTS = {
     # rollup_shards shards the raw->1m partial combine (None = auto by raw
     # tier row count, 1 = never)
     "rollup_shards": None,
+    # quarantine_dir: also write dropped-dirty rows (+ reason) as parquet
+    # under this directory (forces the standalone validation path)
+    "quarantine_dir": None,
 }
 
 

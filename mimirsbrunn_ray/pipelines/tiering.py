@@ -96,6 +96,7 @@ def run_tiering_job(
     single_partition: bool = True,
     dedup_scan_shards: int | None = None,
     rollup_shards: int | None = None,
+    quarantine_dir: str | None = None,
 ) -> dict:
     """Run (or resume) the full tier chain; returns a per-tier summary.
 
@@ -126,6 +127,9 @@ def run_tiering_job(
     raw->1m rollup's final partial combine (None = auto: shard once the
     raw tier exceeds ~8M rows — below that the extra key-hash shuffle
     costs more than the serial combine it replaces; 1 = never).
+    ``quarantine_dir``: also write dropped-dirty rows (+ reason) as
+    parquet under this directory instead of only counting them (routes
+    the raw tier through the standalone validation stage).
     """
     import os
     import sys
@@ -176,7 +180,14 @@ def run_tiering_job(
         from mimirsbrunn_ray.stages.raw_stage import raw_tier
 
         ds = read_sequences(input_paths)
-        if assume_identical_dups and len(dup_keys) <= 5_000_000:
+        # quarantine capture needs the standalone validation stage (the
+        # fused raw_tier folds validation into the claim pass and cannot
+        # emit per-reason drop rows)
+        if (
+            assume_identical_dups
+            and len(dup_keys) <= 5_000_000
+            and quarantine_dir is None
+        ):
             # fused validate+enrich+claim-dedup: one pass, 2 block hops
             ds = raw_tier(
                 ds,
@@ -185,7 +196,8 @@ def run_tiering_job(
                 dup_hashes=dup_keys,
             )
         else:
-            ds = validated(ds, counters=counters)
+            ds = validated(ds, counters=counters,
+                           quarantine_dir=quarantine_dir)
             if dim_table is not None:
                 ds = enriched(ds, build_dim_ref(dim_table))
             ds = dedup_exact(

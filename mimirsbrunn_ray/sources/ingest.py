@@ -153,12 +153,26 @@ class ValidateAndDerive:
       * n_tok is null,
       * n_tok != len(tokens)  (the per-row token-count invariant).
 
+    ``quarantine_dir``: instead of silently discarding, each actor also
+    WRITES its dropped rows (plus a ``reason`` column) as parquet parts
+    under the given directory — the reprocessing story warn-and-skip
+    pipelines need (the reference only logs the skip,
+    /root/reference/src/addr_reader.rs warn path; a 100-TB corpus wants
+    the bytes back). Files are per-batch parts (unique names), so the
+    quarantine is append-only and safe under retries; scope the dir per
+    run_id for resumable jobs.
+
     Stateful-setup-once / work-per-batch split follows the actor-pool rule
     (SURVEY.md §7.1): the counter handle is resolved in ``__init__``.
     """
 
-    def __init__(self, counters=None):
+    def __init__(self, counters=None, quarantine_dir=None):
+        import os
+
         self.counters = counters
+        self.quarantine_dir = quarantine_dir
+        if quarantine_dir:
+            os.makedirs(quarantine_dir, exist_ok=True)
         self._checked = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -174,6 +188,31 @@ class ValidateAndDerive:
         ok = pc.fill_null(
             pc.and_(pc.equal(tok_len, n_tok), pa.array(idx >= 0)), False
         )
+        if self.quarantine_dir and n_in:
+            bad_mask = pc.invert(ok)
+            n_bad = pc.sum(bad_mask).as_py() or 0
+            if n_bad:
+                import os
+                import uuid
+
+                import pyarrow.parquet as pq
+
+                bad = batch.filter(bad_mask)
+                reason = np.where(
+                    idx[bad_mask.to_numpy(zero_copy_only=False)] < 0,
+                    "bad_id",
+                    "len_mismatch",
+                )
+                bad = bad.append_column(
+                    "reason", pa.array(reason, pa.string())
+                )
+                pq.write_table(
+                    bad,
+                    os.path.join(
+                        self.quarantine_dir,
+                        f"q-{uuid.uuid4().hex}.parquet",
+                    ),
+                )
         batch = batch.filter(ok)
         idx = idx[ok.to_numpy(zero_copy_only=False)]
         ts_us = ts_from_index(idx)
@@ -187,7 +226,7 @@ class ValidateAndDerive:
 
 
 def validated(ds: "rd.Dataset", counters=None, batch_size=None,
-              concurrency=None) -> "rd.Dataset":
+              concurrency=None, quarantine_dir=None) -> "rd.Dataset":
     """Apply ValidateAndDerive as an actor-pool map_batches stage."""
     from mimirsbrunn_ray.context import pool_size
 
@@ -195,7 +234,8 @@ def validated(ds: "rd.Dataset", counters=None, batch_size=None,
     # every CPU and starve the read/shuffle/write stages (SURVEY.md §4)
     return ds.map_batches(
         ValidateAndDerive,
-        fn_constructor_kwargs={"counters": counters},
+        fn_constructor_kwargs={"counters": counters,
+                               "quarantine_dir": quarantine_dir},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency if concurrency is not None else (1, pool_size()),

@@ -59,3 +59,48 @@ def test_validate_drops_dirty_and_derives_time():
     assert ts == [EPOCH0_US, EPOCH0_US + 2 * TS_STEP_US]
     b = out["bucket_1m"].cast(pa.int64()).to_pylist()
     assert all(x % 60_000_000 == 0 for x in b)
+
+
+def test_quarantine_captures_dropped_rows(tmp_path):
+    """quarantine_dir: dropped rows land in parquet with a per-check
+    reason column; clean rows never do; counts stay consistent."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from mimirsbrunn_ray.schemas import SEQUENCES_SCHEMA
+
+    t = pa.table(
+        {
+            "doc_id": ["doc-web-0000000000", "doc-web-0000000001",
+                       "doc-web-0000000128", None],
+            "tokens": [[1, 2], [3], [], [5]],
+            "n_tok": [2, 99, 0, 1],  # row 1 len_mismatch, row 3 bad_id
+            "source": ["web"] * 4,
+        },
+        schema=SEQUENCES_SCHEMA,
+    )
+    qdir = str(tmp_path / "quarantine")
+    out = ValidateAndDerive(quarantine_dir=qdir)(t)
+    assert out.num_rows == 2
+    files = _glob.glob(f"{qdir}/q-*.parquet")
+    assert len(files) == 1
+    bad = pq.read_table(files[0]).to_pandas()
+    assert len(bad) == 2
+    got = dict(zip(bad["doc_id"].where(bad["doc_id"].notna(), None),
+                   bad["reason"]))
+    assert got["doc-web-0000000001"] == "len_mismatch"
+    assert got[None] == "bad_id"
+
+    # clean batch: no new quarantine part
+    clean = pa.table(
+        {
+            "doc_id": ["doc-web-0000000002"],
+            "tokens": [[7, 8]],
+            "n_tok": [2],
+            "source": ["web"],
+        },
+        schema=SEQUENCES_SCHEMA,
+    )
+    ValidateAndDerive(quarantine_dir=qdir)(clean)
+    assert len(_glob.glob(f"{qdir}/q-*.parquet")) == 1
