@@ -3508,3 +3508,61 @@ QUALIFY row_number() OVER (
 
 QUERIES["knn_filtered"] = q_knn_filtered
 ORACLES["knn_filtered"] = KNN_FILTERED_SQL
+
+
+def q_click_next_event(sf_dir):
+    """Row-level LEAD pairing (stages/ordered.lead_pairs): each click
+    joined to the user's next event in (ts, event_id) order — NULL for a
+    user's last event. One key-hash shuffle, one shift per bucket."""
+    from mimirsbrunn_ray.stages.ordered import lead_pairs
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return lead_pairs(ev, start_type="click")
+
+
+LEAD_SQL = """
+SELECT event_id, next_event_id, next_event_type FROM (
+  SELECT event_id, event_type,
+         LEAD(event_id) OVER w AS next_event_id,
+         LEAD(event_type) OVER w AS next_event_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) WHERE event_type = 'click' AND next_event_id IS NOT NULL
+"""
+
+QUERIES["click_next_event"] = q_click_next_event
+ORACLES["click_next_event"] = LEAD_SQL
+
+
+def q_hourly_retention(sf_dir):
+    """Hour-over-hour retention (stages/ordered.hourly_retention): actives
+    of H-1 still active in H, via the emit-two-tagged-rows trick — ONE
+    key-hash shuffle instead of distinct + self-join."""
+    from mimirsbrunn_ray.stages.ordered import hourly_retention
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return hourly_retention(ev)
+
+
+RETENTION_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS b
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT a.b + INTERVAL 1 HOUR AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_prev,
+       CAST(COUNT(r.user_id) AS BIGINT) AS n_retained
+FROM act a
+LEFT JOIN act r
+  ON r.user_id = a.user_id AND r.b = a.b + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+QUERIES["hourly_retention"] = q_hourly_retention
+ORACLES["hourly_retention"] = RETENTION_SQL

@@ -514,3 +514,182 @@ def group_cume_dist(
         return pa.table(out)
 
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def lead_pairs(
+    ds: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    start_type: str = "click",
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """Row-level LEAD pairing: for every ``start_type`` event, the key's
+    NEXT event in (ts, id) order — the click->what-happened-next join
+    behind attribution and abandonment analyses. The last event of a key
+    pairs with NULL (SQL LEAD semantics); ties in ts are broken by the
+    unique id, so the pairing is deterministic under any partitioning.
+
+    Same scale shape as the rest of this module: one coarse hash-bucket
+    shuffle on the key, then one mergesort + one shift per bucket —
+    vectorized, never per-key groups. Null key/ts rows are dropped (the
+    SQL WHERE twin), and so are start events with NO next event (a key's
+    final row): INNER pairing keeps every output column non-null, which
+    also sidesteps the engines' divergent nullable-int pandas mappings
+    (Int64 vs float64) in the driver's value compare.
+
+    Output: id_col, next_event_id int64, next_event_type string.
+    """
+    from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
+
+    filtered = ds.map_batches(
+        lambda b: add_bucket(
+            b.filter(
+                pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col]))
+            ),
+            key,
+            num_buckets,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype=np.int64),
+                "next_event_id": pd.Series([], dtype=np.int64),
+                "next_event_type": pd.Series([], dtype=object),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        keep = (
+            g[key].shift(-1).eq(g[key]) & g[type_col].eq(start_type)
+        ).to_numpy()
+        if not keep.any():
+            return empty
+        nid = g[id_col].shift(-1).to_numpy()[keep]
+        ntp = g[type_col].shift(-1).to_numpy()[keep]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy()[keep],
+                "next_event_id": nid.astype(np.int64),
+                "next_event_type": ntp,
+            }
+        )
+
+    return filtered.groupby(_BUCKET).map_groups(fn, batch_format="pandas")
+
+
+def hourly_retention(
+    ds: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """Bucket-over-bucket retention: for every hour H, how many keys
+    were active in H-1 (n_prev) and how many of those were active in H
+    too (n_retained) — the cohort-retention analytic, in ONE key-hash
+    shuffle instead of the textbook distinct + self-join.
+
+    The trick: each activity row emits two tagged rows — (key, its
+    bucket, cur=1) and (key, bucket+1h, prev=1). One groupby over the
+    key-hash bucket then collapses duplicates AND aligns each key's
+    H-1/H presence in the same group (max of each tag), and a
+    fixed-size (buckets) partial count tree-merges to the final table.
+    Buckets with no prior-hour actives are absent (the SQL twin groups
+    the prev side).
+
+    Output: bucket timestamp[us], n_prev int64, n_retained int64.
+    """
+    from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    hour_us = 3_600_000_000
+
+    def emit(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col]))
+        )
+        bucket = trunc_us(
+            b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            "1h",
+        )
+        k = b[key]
+        two = pa.table(
+            {
+                key: pa.concat_arrays(
+                    [k.combine_chunks(), k.combine_chunks()]
+                ),
+                "b": pa.array(
+                    np.concatenate([bucket, bucket + hour_us])
+                ),
+                "cur": pa.array(
+                    np.concatenate(
+                        [np.ones(len(k), np.int8), np.zeros(len(k), np.int8)]
+                    )
+                ),
+                "prev": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(k), np.int8), np.ones(len(k), np.int8)]
+                    )
+                ),
+            }
+        )
+        return add_bucket(two, key, num_buckets)
+
+    tagged = ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.drop_columns([_BUCKET])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "b": pa.array([], pa.int64()),
+                    "n_prev": pa.array([], pa.int64()),
+                    "n_retained": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by([key, "b"]).aggregate([("cur", "max"), ("prev", "max")])
+        prev = g["prev_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cur = g["cur_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = g["b"].to_numpy(zero_copy_only=False)
+        t2 = pa.table(
+            {
+                "b": pa.array(bb),
+                "p": pa.array(prev),
+                "r": pa.array(prev & cur),
+            }
+        )
+        c = t2.group_by(["b"]).aggregate([("p", "sum"), ("r", "sum")])
+        c = c.select(["b", "p_sum", "r_sum"])
+        return c.rename_columns(["b", "n_prev", "n_retained"])
+
+    partials = tagged.groupby(_BUCKET).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["b"]).aggregate(
+            [("n_prev", "sum"), ("n_retained", "sum")]
+        )
+        return g.rename_columns(["b", "n_prev", "n_retained"])
+
+    merged = tree_merge(partials, combine)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["n_prev"], 0))
+        return pa.table(
+            {
+                "bucket": b["b"].cast(pa.timestamp("us")),
+                "n_prev": b["n_prev"].cast(pa.int64()),
+                "n_retained": b["n_retained"].cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
