@@ -3566,3 +3566,51 @@ GROUP BY 1
 
 QUERIES["hourly_retention"] = q_hourly_retention
 ORACLES["hourly_retention"] = RETENTION_SQL
+
+
+def q_events_profile(sf_dir):
+    """Per-column data-quality profile of the events table
+    (stages/profile.profile_columns): one streaming pass, decomposable
+    (n, nulls, min, max) partials per column, tree-merged. Float columns
+    profile counts only (engine-identical float->text formatting is not
+    promised by any SQL twin)."""
+    from mimirsbrunn_ray.stages.profile import profile_columns
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return profile_columns(
+        ev, ["event_id", "user_id", "event_type", "ts", "value", "props"]
+    )
+
+
+PROFILE_SQL = """
+SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+       CAST(MIN(event_id) AS BIGINT) AS min_int,
+       CAST(MAX(event_id) AS BIGINT) AS max_int,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+       CAST(MIN(user_id) AS BIGINT), CAST(MAX(user_id) AS BIGINT),
+       NULL, NULL
+FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+       NULL, NULL, MIN(event_type), MAX(event_type)
+FROM events
+UNION ALL
+SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+       epoch_us(MIN(ts)), epoch_us(MAX(ts)), NULL, NULL
+FROM events
+UNION ALL
+SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+       NULL, NULL, NULL, NULL
+FROM events
+UNION ALL
+SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+       NULL, NULL, MIN(props), MAX(props)
+FROM events
+"""
+
+QUERIES["events_profile"] = q_events_profile
+ORACLES["events_profile"] = PROFILE_SQL

@@ -235,3 +235,38 @@ def test_cross_group_overlap_exact_and_typed_empty(ray_session):
     empty = cross_group_duplicate_overlap(rd.from_arrow(solo))
     assert empty.num_rows == 0
     assert empty.schema.names == ["source_a", "source_b", "n_shared"]
+
+
+def test_profile_columns_families_and_empty(ray_session):
+    import pyarrow as pa
+
+    from mimirsbrunn_ray.stages.profile import profile_columns
+
+    tbl = pa.table(
+        {
+            "i": pa.array([3, None, 1], pa.int64()),
+            "s": pa.array(["b", "a", None], pa.string()),
+            "f": pa.array([1.5, 2.5, None], pa.float64()),
+        }
+    )
+    out = profile_columns(rd.from_arrow(tbl), ["i", "s", "f"]).to_pandas()
+    out = out.set_index("column")
+    assert out.loc["i", "n_rows"] == 3 and out.loc["i", "n_null"] == 1
+    assert out.loc["i", "min_int"] == 1 and out.loc["i", "max_int"] == 3
+    assert out.loc["s", "min_str"] == "a" and out.loc["s", "max_str"] == "b"
+    # float family: counts only
+    assert out.loc["f", "n_null"] == 1
+    assert pd_isna(out.loc["f", "min_int"]) and pd_isna(out.loc["f", "min_str"])
+
+    # empty input: typed table, one all-zero row per column
+    empty = profile_columns(
+        rd.from_arrow(tbl.slice(0, 0)), ["i", "s"]
+    ).to_pandas()
+    assert list(empty["column"]) == ["i", "s"]
+    assert (empty["n_rows"] == 0).all()
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
