@@ -3614,3 +3614,32 @@ FROM events
 
 QUERIES["events_profile"] = q_events_profile
 ORACLES["events_profile"] = PROFILE_SQL
+
+
+def q_token_budget_prefix(sf_dir):
+    """Curriculum budget cut (stages/ordered.budget_prefix_select): keep
+    the shortest documents while total n_chars stays within 100k —
+    running-total selection WITHOUT a global sort (weight-histogram
+    cutoff + one boundary-bin id resolution)."""
+    from mimirsbrunn_ray.stages.ordered import budget_prefix_select
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return budget_prefix_select(
+        docs, weight_col="n_chars", id_col="doc_id", budget=100_000
+    )
+
+
+BUDGET_SQL = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (
+           ORDER BY n_chars, doc_id ROWS UNBOUNDED PRECEDING
+         ) AS run
+  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+) WHERE run <= 100000
+"""
+
+QUERIES["token_budget_prefix"] = q_token_budget_prefix
+ORACLES["token_budget_prefix"] = BUDGET_SQL

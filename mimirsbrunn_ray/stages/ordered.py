@@ -693,3 +693,127 @@ def hourly_retention(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def budget_prefix_select(
+    ds: "rd.Dataset",
+    weight_col: str,
+    id_col: str,
+    budget: int,
+) -> "rd.Dataset":
+    """Global budget selection: keep rows in ascending (weight, id) order
+    while the running weight total stays within ``budget`` — the
+    "shortest documents until N total tokens" curriculum/packing cut,
+    WITHOUT a global sort shuffle.
+
+    The running total only depends on the WEIGHT HISTOGRAM, so:
+      1. one decomposable (weight -> sum, since the weights being summed
+         ARE the histogram keys) count pass tree-merges into a table
+         bounded by |weight domain|;
+      2. the driver's cumulative walk finds the cutoff weight: every row
+         strictly below it is IN, every row above is OUT;
+      3. only the BOUNDARY weight's rows (one histogram bin) need id
+         resolution: they are filtered out of the stream (bounded
+         collect), sorted by id, and prefix-summed against the residual
+         budget — the same one-bin escape the exact-quantile stage uses.
+    Two streaming passes, driver state = one histogram + one bin.
+
+    Ties at the boundary weight resolve by ascending id (deterministic,
+    engine-independent). Null weights/ids are dropped (the SQL WHERE
+    twin). Output: (id_col, weight_col) of the selected rows.
+    """
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.is_valid(b[weight_col]), pc.is_valid(b[id_col]))
+        )
+        t = pa.table({"w": b[weight_col].cast(pa.int64())})
+        g = t.group_by(["w"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w", "n"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["w"]).aggregate([("n", "sum")])
+        return g.rename_columns(["w", "n"])
+
+    parts = list(
+        tree_merge(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+            combine,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    out_empty = ds.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col].slice(0, 0),
+                weight_col: b[weight_col].slice(0, 0),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    if not parts:
+        return out_empty
+    # defensive final combine (tree_merge converges to one block, but the
+    # cutoff walk requires strictly unique bins)
+    hist = combine(pa.concat_tables(parts))
+    order = pc.sort_indices(hist["w"])
+    w = hist["w"].take(order).to_numpy(zero_copy_only=False)
+    n = hist["n"].take(order).to_numpy(zero_copy_only=False)
+    bin_tot = w * n
+    cum = np.cumsum(bin_tot)
+    # full bins that fit entirely
+    full = cum <= budget
+    cutoff = w[full][-1] if full.any() else None
+    spent = int(cum[full][-1]) if full.any() else 0
+    boundary_idx = int(full.sum())
+    boundary_w = int(w[boundary_idx]) if boundary_idx < len(w) else None
+    residual = budget - spent
+
+    def keep_full(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.is_valid(b[weight_col]), pc.is_valid(b[id_col]))
+        )
+        wv = b[weight_col].cast(pa.int64())
+        keep = (
+            pc.less_equal(wv, pa.scalar(int(cutoff), pa.int64()))
+            if cutoff is not None
+            else pa.array([False] * len(b))
+        )
+        return pa.table(
+            {id_col: b[id_col], weight_col: b[weight_col]}
+        ).filter(keep)
+
+    selected = ds.map_batches(
+        keep_full, batch_format="pyarrow", batch_size=None
+    )
+    if boundary_w is None or residual < boundary_w:
+        return selected
+
+    # boundary bin: resolve by id against the residual budget (bounded
+    # collect: exactly one histogram bin's rows)
+    def boundary_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.is_valid(b[weight_col]), pc.is_valid(b[id_col]))
+        )
+        keep = pc.equal(
+            b[weight_col].cast(pa.int64()),
+            pa.scalar(boundary_w, pa.int64()),
+        )
+        return pa.table(
+            {id_col: b[id_col], weight_col: b[weight_col]}
+        ).filter(keep)
+
+    bnd = ds.map_batches(
+        boundary_rows, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    bnd = bnd.sort_values(id_col, ignore_index=True)
+    take = int(min(len(bnd), residual // boundary_w))
+    if take == 0:
+        return selected
+    import ray.data as _rd
+
+    picked = _rd.from_arrow(
+        pa.Table.from_pandas(bnd.iloc[:take], preserve_index=False)
+    )
+    return selected.union(picked)

@@ -270,3 +270,33 @@ def pd_isna(x):
     import pandas as pd
 
     return pd.isna(x)
+
+
+def test_budget_prefix_boundary_ties(ray_session):
+    """Boundary bin resolves by ascending id; the first non-fitting row
+    at the boundary weight is excluded exactly."""
+    import pyarrow as pa
+
+    from mimirsbrunn_ray.stages.ordered import budget_prefix_select
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "w": pa.array([10, 10, 5, 20, 10, 30], pa.int64()),
+        }
+    )
+    # sorted (w, id): (5,3) (10,1) (10,2) (10,5) (20,4) (30,6)
+    # budget 27 -> 5 fits (5), bin 10: residual 22 -> ids 1, 2 fit (25)
+    out = (
+        budget_prefix_select(
+            rd.from_arrow(tbl), weight_col="w", id_col="doc_id", budget=27
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    # budget below the smallest weight -> nothing selected
+    none = budget_prefix_select(
+        rd.from_arrow(tbl), weight_col="w", id_col="doc_id", budget=4
+    ).to_pandas()
+    assert len(none) == 0
