@@ -3643,3 +3643,35 @@ SELECT doc_id, n_chars FROM (
 
 QUERIES["token_budget_prefix"] = q_token_budget_prefix
 ORACLES["token_budget_prefix"] = BUDGET_SQL
+
+
+def q_value_quantiles_exact(sf_dir):
+    """EXACT PERCENTILE_DISC over the continuous events.value column
+    (stages/rollup.exact_continuous_quantile): two streaming passes —
+    coarse histogram to locate the rank's bin, one bounded boundary-bin
+    collect to pick the actual element. No sort shuffle, no rounding
+    convention (the result IS a data element, compared bit-exact)."""
+    from mimirsbrunn_ray.stages.rollup import exact_continuous_quantile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    p50, p90, p99 = exact_continuous_quantile(
+        ev, val_fn=lambda b: b["value"], qs=(0.5, 0.9, 0.99)
+    )
+    return pa.table(
+        {
+            "p50": pa.array([p50], pa.float64()),
+            "p90": pa.array([p90], pa.float64()),
+            "p99": pa.array([p99], pa.float64()),
+        }
+    )
+
+
+VALUE_QUANTILES_SQL = """
+SELECT quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events WHERE value IS NOT NULL
+"""
+
+QUERIES["value_quantiles_exact"] = q_value_quantiles_exact
+ORACLES["value_quantiles_exact"] = VALUE_QUANTILES_SQL

@@ -506,3 +506,158 @@ def group_standardize(
         return pa.table(out)
 
     return ds.map_batches(transform, batch_format="pyarrow", batch_size=None)
+
+
+def exact_continuous_quantile(
+    ds: "rd.Dataset",
+    val_fn,
+    qs=(0.5,),
+    coarse_bins: int = 4096,
+) -> list:
+    """EXACT PERCENTILE_DISC over a CONTINUOUS (double) column in two
+    streaming passes — the selection-algorithm complement to
+    exact_quantiles_small_domain (which needs a bounded int domain) and
+    to the t-digest (which is approximate):
+
+      pass 1: global min/max + a fixed coarse histogram (bin index =
+              linear map of the value; decomposable, tree-merged,
+              driver state = coarse_bins counts);
+      driver: cumulative walk locates, for each q, the BIN holding the
+              rank-ceil(q*n) element (the PERCENTILE_DISC rank rule the
+              quantile family uses);
+      pass 2: ONE filtered collect of the boundary bins' values (each
+              bounded by the densest bin, the budget_prefix_select
+              boundary trick), sorted on the driver; the exact element
+              is picked by its within-bin rank.
+
+    Returns the selected elements (python floats) in ``qs`` order —
+    ACTUAL data elements, so cross-engine comparison is exact float
+    equality, no rounding convention needed. Adversarially dense bins
+    (all mass in one bin) degrade the pass-2 collect toward the full
+    column; raise coarse_bins or recurse for such data.
+    """
+    import pyarrow.compute as pc
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        v = val_fn(b).cast(pa.float64())
+        v = v.filter(pc.is_valid(v)) if isinstance(v, pa.ChunkedArray) else (
+            v.filter(pc.is_valid(v))
+        )
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "lo": pa.array([], pa.float64()),
+                    "hi": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        mm = pc.min_max(v)
+        return pa.table(
+            {
+                "lo": pa.array([mm["min"].as_py()]),
+                "hi": pa.array([mm["max"].as_py()]),
+                "n": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    def mm_combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(b["lo"]).as_py()]),
+                "hi": pa.array([pc.max(b["hi"]).as_py()]),
+                "n": pa.array([pc.sum(b["n"]).as_py()], pa.int64()),
+            }
+        )
+
+    parts = list(
+        tree_merge(
+            ds.map_batches(
+                mm_partial, batch_format="pyarrow", batch_size=None
+            ),
+            mm_combine,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return [None for _ in qs]
+    mm = mm_combine(pa.concat_tables(parts))
+    lo, hi = mm["lo"][0].as_py(), mm["hi"][0].as_py()
+    total = mm["n"][0].as_py()
+    if lo == hi:
+        return [lo for _ in qs]
+    scale = coarse_bins / (hi - lo)
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        idx = np.floor((v - lo) * scale).astype(np.int64)
+        return np.clip(idx, 0, coarse_bins - 1)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        v = val_fn(b).cast(pa.float64())
+        arr = v.to_numpy(zero_copy_only=False)
+        arr = arr[~np.isnan(arr)]
+        if len(arr) == 0:
+            return pa.table(
+                {"b": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        counts = np.bincount(bin_of(arr), minlength=coarse_bins)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"b": pa.array(nz), "n": pa.array(counts[nz].astype(np.int64))}
+        )
+
+    def hist_combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["b"]).aggregate([("n", "sum")])
+        return g.rename_columns(["b", "n"])
+
+    hparts = list(
+        tree_merge(
+            ds.map_batches(
+                hist_partial, batch_format="pyarrow", batch_size=None
+            ),
+            hist_combine,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    hist = hist_combine(pa.concat_tables(hparts)).to_pandas().sort_values(
+        "b", ignore_index=True
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    bins = hist["b"].to_numpy()
+
+    targets = []
+    for q in qs:
+        rank = int(np.ceil(q * total - 1e-9))  # 1-based PERCENTILE_DISC
+        i = int(np.searchsorted(cum, rank))
+        before = int(cum[i - 1]) if i > 0 else 0
+        targets.append((int(bins[i]), rank - before))
+
+    need_bins = sorted({b for b, _ in targets})
+    need_set = pa.array(need_bins, pa.int64())
+
+    def boundary(b: pa.Table) -> pa.Table:
+        v = val_fn(b).cast(pa.float64())
+        arr = v.to_numpy(zero_copy_only=False)
+        mask = ~np.isnan(arr)
+        arr = arr[mask]
+        if len(arr) == 0:
+            return pa.table(
+                {"b": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}
+            )
+        bi = bin_of(arr)
+        keep = pc.is_in(pa.array(bi), value_set=need_set).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({"b": pa.array(bi[keep]), "v": pa.array(arr[keep])})
+
+    bvals = (
+        ds.map_batches(boundary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    out = []
+    for tb, within_rank in targets:
+        vals = np.sort(bvals[bvals["b"] == tb]["v"].to_numpy())
+        out.append(float(vals[within_rank - 1]))
+    return out
