@@ -3675,3 +3675,85 @@ FROM events WHERE value IS NOT NULL
 
 QUERIES["value_quantiles_exact"] = q_value_quantiles_exact
 ORACLES["value_quantiles_exact"] = VALUE_QUANTILES_SQL
+
+
+def q_media_ahash_dedup(sf_dir):
+    """Perceptual image dedup (rows-only: binary payloads are not
+    SQL-expressible): a deterministic corpus of STRUCTURED gradient BMPs
+    where every third image is a noisy re-render of its predecessor —
+    the aHash actor stage (stages/multimodal.image_ahashes) hashes each,
+    then the same hash-bucket discipline as text SimHash pairs
+    perceptual duplicates by Hamming distance <= 6. Output:
+    (media_a, media_b, hamming int64). Invariants pinned in
+    tests/test_query_late_multimodal.py."""
+    import pyarrow.parquet as _pq
+
+    from mimirsbrunn_ray.stages.multimodal import encode_bmp, image_ahashes
+
+    n = max(
+        24,
+        _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 20,
+    )
+    rng = np.random.default_rng(11)
+    ids, types, payloads = [], [], []
+    prev = None
+    for i in range(n):
+        if i % 3 == 2 and prev is not None:
+            img = np.clip(
+                prev.astype(np.int16)
+                + rng.integers(-5, 6, size=prev.shape),
+                0, 255,
+            ).astype(np.uint8)
+        else:
+            # high-contrast 8x8 block pattern upsampled 4x: aHash's 8x8
+            # threshold grid recovers exactly these 64 bits, so every
+            # base image gets a (whp) unique hash while pixel-level
+            # noise cannot flip a 170-vs-60 cell across the mean
+            bits = rng.integers(0, 2, size=(8, 8), dtype=np.uint8)
+            gray = (bits * 110 + 60).astype(np.uint8)
+            img = np.repeat(
+                np.kron(gray, np.ones((4, 4), np.uint8))[:, :, None],
+                3, axis=2,
+            )
+        prev = img
+        ids.append(f"img-{i:06d}")
+        types.append("image/bmp")
+        payloads.append(encode_bmp(img))
+    tbl = pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    hashes = image_ahashes(rd.from_arrow(tbl), batch_size=16)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        # bounded corpus: one batch holds all hash rows (n <= ~2.5k);
+        # at scale, bucket by the hash's top bits first (SimHash shape)
+        h = b["ahash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_ = np.asarray(b["media_id"].to_pylist())
+        iu, ju = np.triu_indices(len(h), 1)
+        x = (h[iu] ^ h[ju]).astype(np.uint64)
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            live = x != 0
+            if not live.any():
+                break
+            ham[live] += (x[live] & np.uint64(1)).astype(np.int64)
+            x[live] >>= np.uint64(1)
+        keep = ham <= 6
+        return pa.table(
+            {
+                "media_a": pa.array(ids_[iu[keep]]),
+                "media_b": pa.array(ids_[ju[keep]]),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+
+    return hashes.repartition(1).map_batches(
+        pairs, batch_format="pyarrow", batch_size=None
+    )
+
+
+QUERIES["media_ahash_dedup"] = q_media_ahash_dedup

@@ -393,3 +393,65 @@ def sample_frames(ds: "rd.Dataset", every_k: int = 2,
         batch_size=batch_size,
         concurrency=concurrency if concurrency is not None else (1, pool_size()),
     )
+
+
+def ahash64(img: np.ndarray) -> int:
+    """Perceptual average-hash of an RGB image (the classic aHash):
+    grayscale -> resize to 8x8 (the area-mean resize above) -> threshold
+    each cell at the global mean -> 64 bits row-major. Small pixel noise,
+    re-encodes, and mild rescales keep the hash within a few bits, so
+    Hamming distance <= ~10 flags perceptual duplicates that byte-exact
+    dedup misses. Pure numpy; deterministic."""
+    gray = img.astype(np.float64) @ np.asarray([0.299, 0.587, 0.114])
+    small = resize_rgb(
+        np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8), 8, 8
+    ).astype(np.float64)[:, :, 0]
+    bits = (small >= small.mean()).ravel()
+    return int(
+        np.bitwise_or.reduce(
+            bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        )
+    )
+
+
+class ImageAHasher:
+    """Actor-pool stage: BMP payloads -> 64-bit perceptual hash rows.
+
+    Non-image rows pass through with a NULL hash (schema-stable across
+    mixed media batches). The hash column feeds the same hash-bucket
+    dedup shuffles as text SimHash — perceptual image dedup composes
+    from existing pieces (bucket by hash, verify by Hamming distance)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = []
+        for payload, mtype in zip(
+            batch["payload"].to_pylist(), batch["media_type"].to_pylist()
+        ):
+            if mtype == "image/bmp" and payload:
+                hashes.append(
+                    np.uint64(ahash64(decode_bmp(payload))).view(np.int64)
+                )
+            else:
+                hashes.append(None)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "ahash": pa.array(
+                    [None if h is None else int(h) for h in hashes],
+                    pa.int64(),
+                ),
+            }
+        )
+
+
+def image_ahashes(ds: "rd.Dataset", batch_size: int = 64,
+                  concurrency=None) -> "rd.Dataset":
+    from mimirsbrunn_ray.context import pool_size
+
+    return ds.map_batches(
+        ImageAHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else (1, pool_size()),
+    )

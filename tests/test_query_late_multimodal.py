@@ -333,3 +333,47 @@ def test_media_features_driver_query_golden(ray_session):
     # normalized histograms: sums are 1 within rounding
     assert np.allclose(a["feat_sum"], 1.0, atol=1e-4)
     assert (a["feat_max"] > 0).all() and (a["feat_max"] <= 1.0).all()
+
+
+def test_image_ahash_perceptual_dedup(ray_session):
+    """aHash recovers exactly the planted noisy re-renders: every third
+    image is a +-5 pixel-noise copy of its predecessor, all other base
+    images carry (whp) unique high-contrast block patterns."""
+    from mimirsbrunn_ray.pipelines.queries import q_media_ahash_dedup
+
+    df = q_media_ahash_dedup("/root/testdata/sf0.001").to_pandas()
+    a = df.media_a.str.slice(4).astype(int)
+    b = df.media_b.str.slice(4).astype(int)
+    planted = (b - a == 1) & (b % 3 == 2)
+    assert planted.all(), "found a non-planted (false-positive) pair"
+    # every planted duplicate in the corpus is recovered
+    n = 25  # max(24, 500 // 20)
+    expect = sum(1 for i in range(n) if i % 3 == 2)
+    assert len(df) == expect
+    assert (df.hamming <= 6).all()
+
+
+def test_ahash_noise_invariance_and_distinctness():
+    import numpy as np
+
+    from mimirsbrunn_ray.stages.multimodal import (
+        ahash64, decode_bmp, encode_bmp,
+    )
+
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, size=(8, 8), dtype=np.uint8)
+    img = np.repeat(
+        np.kron((bits * 110 + 60).astype(np.uint8),
+                np.ones((4, 4), np.uint8))[:, :, None], 3, axis=2)
+    h0 = ahash64(img)
+    noisy = np.clip(
+        img.astype(np.int16) + rng.integers(-6, 7, size=img.shape), 0, 255
+    ).astype(np.uint8)
+    assert bin(h0 ^ ahash64(noisy)).count("1") <= 4
+    other_bits = 1 - bits
+    other = np.repeat(
+        np.kron((other_bits * 110 + 60).astype(np.uint8),
+                np.ones((4, 4), np.uint8))[:, :, None], 3, axis=2)
+    assert bin(h0 ^ ahash64(other)).count("1") >= 32
+    # hash survives the BMP encode/decode roundtrip bit-exactly
+    assert ahash64(decode_bmp(encode_bmp(img))) == h0
