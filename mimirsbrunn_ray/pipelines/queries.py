@@ -3735,13 +3735,13 @@ def q_media_ahash_dedup(sf_dir):
         ids_ = np.asarray(b["media_id"].to_pylist())
         iu, ju = np.triu_indices(len(h), 1)
         x = (h[iu] ^ h[ju]).astype(np.uint64)
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):
-            live = x != 0
-            if not live.any():
-                break
-            ham[live] += (x[live] & np.uint64(1)).astype(np.int64)
-            x[live] >>= np.uint64(1)
+        # one-shot vectorized popcount (the SimHash pair-stage idiom)
+        ham = (
+            np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+            .astype(np.int64)
+            if len(x)
+            else np.zeros(0, np.int64)
+        )
         keep = ham <= 6
         return pa.table(
             {

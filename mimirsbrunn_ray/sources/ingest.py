@@ -158,9 +158,13 @@ class ValidateAndDerive:
     under the given directory — the reprocessing story warn-and-skip
     pipelines need (the reference only logs the skip,
     /root/reference/src/addr_reader.rs warn path; a 100-TB corpus wants
-    the bytes back). Files are per-batch parts (unique names), so the
-    quarantine is append-only and safe under retries; scope the dir per
-    run_id for resumable jobs.
+    the bytes back). Part names are CONTENT-ADDRESSED (sha1 of the
+    dropped ids+reasons), so a retried/re-executed batch overwrites its
+    own part instead of duplicating rows; the trade is that two batches
+    with byte-identical dropped rows coalesce into one part. Counters
+    are actor-side increments and can still overcount retried batches —
+    reconcile against the quarantine files, not the counter, and scope
+    the dir per run_id for resumable jobs.
 
     Stateful-setup-once / work-per-batch split follows the actor-pool rule
     (SURVEY.md §7.1): the counter handle is resolved in ``__init__``.
@@ -192,8 +196,8 @@ class ValidateAndDerive:
             bad_mask = pc.invert(ok)
             n_bad = pc.sum(bad_mask).as_py() or 0
             if n_bad:
+                import hashlib
                 import os
-                import uuid
 
                 import pyarrow.parquet as pq
 
@@ -206,11 +210,16 @@ class ValidateAndDerive:
                 bad = bad.append_column(
                     "reason", pa.array(reason, pa.string())
                 )
+                # content-addressed name: a retried batch rewrites the
+                # SAME part (idempotent), never a duplicate
+                digest = hashlib.sha1(
+                    ("|".join(map(str, bad["doc_id"].to_pylist()))
+                     + "#" + "|".join(reason)).encode()
+                ).hexdigest()[:20]
                 pq.write_table(
                     bad,
                     os.path.join(
-                        self.quarantine_dir,
-                        f"q-{uuid.uuid4().hex}.parquet",
+                        self.quarantine_dir, f"q-{digest}.parquet"
                     ),
                 )
         batch = batch.filter(ok)

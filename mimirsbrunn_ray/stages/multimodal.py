@@ -397,15 +397,23 @@ def sample_frames(ds: "rd.Dataset", every_k: int = 2,
 
 def ahash64(img: np.ndarray) -> int:
     """Perceptual average-hash of an RGB image (the classic aHash):
-    grayscale -> resize to 8x8 (the area-mean resize above) -> threshold
-    each cell at the global mean -> 64 bits row-major. Small pixel noise,
-    re-encodes, and mild rescales keep the hash within a few bits, so
-    Hamming distance <= ~10 flags perceptual duplicates that byte-exact
-    dedup misses. Pure numpy; deterministic."""
+    grayscale -> TRUE AREA-MEAN downsample to 8x8 (every source pixel
+    contributes to its cell's mean — a nearest-neighbor sample would tie
+    each bit to one pixel and lose the noise robustness) -> threshold
+    each cell at the global mean -> 64 bits row-major. Small pixel
+    noise, re-encodes, and mild rescales keep the hash within a few
+    bits, so Hamming distance <= ~10 flags perceptual duplicates that
+    byte-exact dedup misses. Pure numpy; deterministic."""
     gray = img.astype(np.float64) @ np.asarray([0.299, 0.587, 0.114])
-    small = resize_rgb(
-        np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8), 8, 8
-    ).astype(np.float64)[:, :, 0]
+    h, w = gray.shape
+    # area means via two reduceat passes over near-equal row/col spans
+    rb = (np.arange(8) * h) // 8
+    cb = (np.arange(8) * w) // 8
+    sums = np.add.reduceat(np.add.reduceat(gray, rb, axis=0), cb, axis=1)
+    counts = np.outer(
+        np.diff(np.append(rb, h)), np.diff(np.append(cb, w))
+    )
+    small = sums / counts
     bits = (small >= small.mean()).ravel()
     return int(
         np.bitwise_or.reduce(

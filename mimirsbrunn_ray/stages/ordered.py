@@ -571,13 +571,17 @@ def lead_pairs(
         ).to_numpy()
         if not keep.any():
             return empty
-        nid = g[id_col].shift(-1).to_numpy()[keep]
-        ntp = g[type_col].shift(-1).to_numpy()[keep]
+        # index into the raw int64 array instead of pandas shift(-1):
+        # shift converts int64 -> float64 and silently rounds ids above
+        # 2^53. keep is False on each key's last row, so pos+1 is safe.
+        ids_np = g[id_col].to_numpy()
+        types_np = g[type_col].to_numpy()
+        pos = np.flatnonzero(keep)
         return pd.DataFrame(
             {
-                id_col: g[id_col].to_numpy()[keep],
-                "next_event_id": nid.astype(np.int64),
-                "next_event_type": ntp,
+                id_col: ids_np[pos],
+                "next_event_id": ids_np[pos + 1],
+                "next_event_type": types_np[pos + 1],
             }
         )
 

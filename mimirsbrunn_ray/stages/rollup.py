@@ -334,6 +334,10 @@ def exact_quantiles_small_domain(
 
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table({key: b[key], "v": val_fn(b).cast(pa.int64())})
+        # null metrics would create a (key, null) bin that inflates the
+        # rank denominator and puts NaN at the end of the driver's
+        # cumulative walk (SQL aggregates ignore NULL inputs)
+        t = t.filter(pc.is_valid(t["v"]))
         g = t.group_by([key, "v"]).aggregate([([], "count_all")])
         g = g.select([key, "v", "count_all"])
         return g.rename_columns([key, "v", "n"])
@@ -542,9 +546,9 @@ def exact_continuous_quantile(
 
     def mm_partial(b: pa.Table) -> pa.Table:
         v = val_fn(b).cast(pa.float64())
-        v = v.filter(pc.is_valid(v)) if isinstance(v, pa.ChunkedArray) else (
-            v.filter(pc.is_valid(v))
-        )
+        # drop nulls AND NaNs: pass 2's histogram excludes NaN, so the
+        # pass-1 total must too or the rank walk runs off the histogram
+        v = v.filter(pc.and_(pc.is_valid(v), pc.invert(pc.is_nan(v))))
         if len(v) == 0:
             return pa.table(
                 {

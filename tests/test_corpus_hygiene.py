@@ -300,3 +300,20 @@ def test_budget_prefix_boundary_ties(ray_session):
         rd.from_arrow(tbl), weight_col="w", id_col="doc_id", budget=4
     ).to_pandas()
     assert len(none) == 0
+
+
+def test_continuous_quantile_ignores_nan_and_null(ray_session):
+    """Review regression: NaN values must be excluded from BOTH the
+    pass-1 total and the pass-2 histogram, or the rank walk runs off
+    the end (q=0.99 formerly raised IndexError)."""
+    import pyarrow as pa
+
+    from mimirsbrunn_ray.stages.rollup import exact_continuous_quantile
+
+    tbl = pa.table(
+        {"v": pa.array([1.0, 2.0, float("nan"), 5.0, None], pa.float64())}
+    )
+    out = exact_continuous_quantile(
+        rd.from_arrow(tbl), val_fn=lambda b: b["v"], qs=(0.5, 0.99)
+    )
+    assert out == [2.0, 5.0]
