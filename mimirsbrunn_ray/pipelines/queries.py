@@ -3678,17 +3678,22 @@ ORACLES["value_quantiles_exact"] = VALUE_QUANTILES_SQL
 
 
 def q_media_ahash_dedup(sf_dir):
-    """Perceptual image dedup (rows-only: binary payloads are not
-    SQL-expressible): a deterministic corpus of STRUCTURED gradient BMPs
-    where every third image is a noisy re-render of its predecessor —
-    the aHash actor stage (stages/multimodal.image_ahashes) hashes each,
-    then the same hash-bucket discipline as text SimHash pairs
-    perceptual duplicates by Hamming distance <= 6. Output:
-    (media_a, media_b, hamming int64). Invariants pinned in
-    tests/test_query_late_multimodal.py."""
+    """Perceptual MEDIA dedup (rows-only: binary payloads are not
+    SQL-expressible): a deterministic mixed corpus — structured BMPs and
+    amplitude-envelope WAV clips — where every third item is a noisy
+    re-render of its predecessor. One actor stage
+    (stages/multimodal.image_ahashes) hashes both modalities (aHash for
+    images, energy-envelope hash for audio), then the same hash-bucket
+    discipline as text SimHash pairs SAME-MODALITY perceptual
+    duplicates at Hamming <= 6. Output: (media_a, media_b, hamming
+    int64). Invariants pinned in tests/test_query_late_multimodal.py."""
     import pyarrow.parquet as _pq
 
-    from mimirsbrunn_ray.stages.multimodal import encode_bmp, image_ahashes
+    from mimirsbrunn_ray.stages.multimodal import (
+        encode_bmp,
+        encode_wav,
+        image_ahashes,
+    )
 
     n = max(
         24,
@@ -3696,14 +3701,38 @@ def q_media_ahash_dedup(sf_dir):
     )
     rng = np.random.default_rng(11)
     ids, types, payloads = [], [], []
-    prev = None
+    prev = None  # (kind, array)
     for i in range(n):
+        audio_slot = (i // 3) % 2 == 1  # alternate modality per triple
         if i % 3 == 2 and prev is not None:
-            img = np.clip(
-                prev.astype(np.int16)
-                + rng.integers(-5, 6, size=prev.shape),
-                0, 255,
-            ).astype(np.uint8)
+            kind, base = prev
+            if kind == "img":
+                img = np.clip(
+                    base.astype(np.int16)
+                    + rng.integers(-5, 6, size=base.shape),
+                    0, 255,
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(img))
+                types.append("image/bmp")
+            else:
+                clip = np.clip(
+                    base.astype(np.int32)
+                    + rng.integers(-200, 201, size=len(base)),
+                    -32768, 32767,
+                ).astype(np.int16)
+                payloads.append(encode_wav(clip))
+                types.append("audio/wav")
+        elif audio_slot:
+            # 64-segment loud/quiet envelope from random bits (7800 vs
+            # 800 mean amplitude): the envelope hash recovers exactly
+            # those bits; +-200 noise cannot cross the global mean
+            env = rng.integers(0, 2, size=64).astype(np.float64)
+            amp = np.repeat(env * 7000 + 800, 32)
+            sign = np.where(np.arange(len(amp)) % 2 == 0, 1, -1)
+            clip = (amp * sign).astype(np.int16)
+            prev = ("wav", clip)
+            payloads.append(encode_wav(clip))
+            types.append("audio/wav")
         else:
             # high-contrast 8x8 block pattern upsampled 4x: aHash's 8x8
             # threshold grid recovers exactly these 64 bits, so every
@@ -3715,10 +3744,10 @@ def q_media_ahash_dedup(sf_dir):
                 np.kron(gray, np.ones((4, 4), np.uint8))[:, :, None],
                 3, axis=2,
             )
-        prev = img
-        ids.append(f"img-{i:06d}")
-        types.append("image/bmp")
-        payloads.append(encode_bmp(img))
+            prev = ("img", img)
+            payloads.append(encode_bmp(img))
+            types.append("image/bmp")
+        ids.append(f"med-{i:06d}")
     tbl = pa.table(
         {
             "media_id": pa.array(ids, pa.string()),
@@ -3733,7 +3762,10 @@ def q_media_ahash_dedup(sf_dir):
         # at scale, bucket by the hash's top bits first (SimHash shape)
         h = b["ahash"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids_ = np.asarray(b["media_id"].to_pylist())
+        mt = np.asarray(b["media_type"].to_pylist())
         iu, ju = np.triu_indices(len(h), 1)
+        same_mod = mt[iu] == mt[ju]
+        iu, ju = iu[same_mod], ju[same_mod]
         x = (h[iu] ^ h[ju]).astype(np.uint64)
         # one-shot vectorized popcount (the SimHash pair-stage idiom)
         ham = (

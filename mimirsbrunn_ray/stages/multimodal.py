@@ -423,12 +423,12 @@ def ahash64(img: np.ndarray) -> int:
 
 
 class ImageAHasher:
-    """Actor-pool stage: BMP payloads -> 64-bit perceptual hash rows.
-
-    Non-image rows pass through with a NULL hash (schema-stable across
-    mixed media batches). The hash column feeds the same hash-bucket
-    dedup shuffles as text SimHash — perceptual image dedup composes
-    from existing pieces (bucket by hash, verify by Hamming distance)."""
+    """Actor-pool stage: media payloads -> 64-bit perceptual hash rows —
+    aHash for BMP images, energy-envelope hash for WAV clips; other
+    media types pass through with a NULL hash (schema-stable across
+    mixed batches). The hash column feeds the same hash-bucket dedup
+    shuffles as text SimHash — perceptual media dedup composes from
+    existing pieces (bucket by hash, verify by Hamming distance)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hashes = []
@@ -438,6 +438,12 @@ class ImageAHasher:
             if mtype == "image/bmp" and payload:
                 hashes.append(
                     np.uint64(ahash64(decode_bmp(payload))).view(np.int64)
+                )
+            elif mtype == "audio/wav" and payload:
+                hashes.append(
+                    np.uint64(
+                        wavhash64(decode_wav(payload)[1])
+                    ).view(np.int64)
                 )
             else:
                 hashes.append(None)
@@ -462,4 +468,29 @@ def image_ahashes(ds: "rd.Dataset", batch_size: int = 64,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency if concurrency is not None else (1, pool_size()),
+    )
+
+
+def wavhash64(samples: np.ndarray) -> int:
+    """Perceptual audio hash — the aHash idea on the ENERGY ENVELOPE:
+    the PCM16 clip is split into 64 near-equal segments (reduceat, every
+    sample contributes), each segment's mean absolute amplitude is
+    thresholded at the global envelope mean -> 64 bits. Robust to small
+    additive noise and re-encodes; a different clip's loud/quiet shape
+    differs -> large Hamming distance. Pure numpy; deterministic.
+    Clips shorter than 64 samples repeat-pad to one sample per segment."""
+    a = np.abs(samples.astype(np.float64))
+    if len(a) == 0:
+        return 0
+    if len(a) < 64:
+        a = np.pad(a, (0, 64 - len(a)), mode="edge")
+    sb = (np.arange(64) * len(a)) // 64
+    sums = np.add.reduceat(a, sb)
+    counts = np.diff(np.append(sb, len(a)))
+    env = sums / counts
+    bits = env >= env.mean()
+    return int(
+        np.bitwise_or.reduce(
+            bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        )
     )

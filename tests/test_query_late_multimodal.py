@@ -377,3 +377,30 @@ def test_ahash_noise_invariance_and_distinctness():
     assert bin(h0 ^ ahash64(other)).count("1") >= 32
     # hash survives the BMP encode/decode roundtrip bit-exactly
     assert ahash64(decode_bmp(encode_bmp(img))) == h0
+
+
+def test_wavhash_noise_invariance_and_distinctness():
+    import numpy as np
+
+    from mimirsbrunn_ray.stages.multimodal import (
+        decode_wav, encode_wav, wavhash64,
+    )
+
+    rng = np.random.default_rng(9)
+    env = rng.integers(0, 2, size=64).astype(np.float64)
+    amp = np.repeat(env * 7000 + 800, 32)
+    sign = np.where(np.arange(len(amp)) % 2 == 0, 1, -1)
+    clip = (amp * sign).astype(np.int16)
+    h0 = wavhash64(clip)
+    noisy = np.clip(
+        clip.astype(np.int32) + rng.integers(-200, 201, size=len(clip)),
+        -32768, 32767,
+    ).astype(np.int16)
+    assert bin(h0 ^ wavhash64(noisy)).count("1") <= 4
+    other = (np.repeat((1 - env) * 7000 + 800, 32) * sign).astype(np.int16)
+    assert bin(h0 ^ wavhash64(other)).count("1") >= 32
+    assert wavhash64(decode_wav(encode_wav(clip))[1]) == h0
+    # short-clip pad path is deterministic and total
+    assert wavhash64(np.asarray([5, -3], np.int16)) == wavhash64(
+        np.asarray([5, -3], np.int16)
+    )
