@@ -3789,3 +3789,105 @@ def q_media_ahash_dedup(sf_dir):
 
 
 QUERIES["media_ahash_dedup"] = q_media_ahash_dedup
+
+
+def q_value_hour_corr(sf_dir):
+    """Per-type Pearson correlation between event value and hour-of-day —
+    the decomposable co-moment sextuple (n, sx, sy, sxx, syy, sxy)
+    tree-merged, the same broadcast-moments discipline as
+    group_standardize; fixed-point x1e4 mirrors the SQL CORR twin."""
+    from mimirsbrunn_ray.stages.ordered import _round_half_away
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(b["event_type"]), pc.is_valid(b["value"])
+                ),
+                pc.is_valid(b["ts"]),
+            )
+        )
+        ts_us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hour = ((ts_us // 3_600_000_000) % 24).astype(np.float64)
+        v = b["value"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "x": pa.array(v),
+                "y": pa.array(hour),
+                "xx": pa.array(v * v),
+                "yy": pa.array(hour * hour),
+                "xy": pa.array(v * hour),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [([], "count_all"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")]
+        )
+        g = g.select(
+            ["event_type", "count_all", "x_sum", "y_sum",
+             "xx_sum", "yy_sum", "xy_sum"]
+        )
+        return g.rename_columns(
+            ["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"]
+        )
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")]
+        )
+        g = g.select(
+            ["event_type", "n_sum", "sx_sum", "sy_sum",
+             "sxx_sum", "syy_sum", "sxy_sum"]
+        )
+        return g.rename_columns(
+            ["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"]
+        )
+
+    merged = tree_merge(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        combine,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False)
+        syy = b["syy"].to_numpy(zero_copy_only=False)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx = sxx / n - (sx / n) ** 2
+        vy = syy / n - (sy / n) ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = cov / np.sqrt(vx * vy)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": b["n"].cast(pa.int64()),
+                "corr_x1e4": pa.array(_round_half_away(r * 1e4)),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+CORR_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(CORR(value, CAST(hour(ts) AS DOUBLE)) * 10000, 0)
+            AS BIGINT) AS corr_x1e4
+FROM events
+WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+GROUP BY event_type
+"""
+
+QUERIES["value_hour_corr"] = q_value_hour_corr
+ORACLES["value_hour_corr"] = CORR_SQL
