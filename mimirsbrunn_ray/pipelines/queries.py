@@ -3891,3 +3891,79 @@ GROUP BY event_type
 
 QUERIES["value_hour_corr"] = q_value_hour_corr
 ORACLES["value_hour_corr"] = CORR_SQL
+
+
+def q_users_customers_full_outer(sf_dir):
+    """FULL OUTER join demonstration (completes the join-type inventory:
+    inner/left/asof/range/semi/anti/full): per-user event counts joined
+    both ways against the customer dimension — customers with no events
+    surface with n_events = 0, event users with no customer row keep a
+    false is_customer flag. Big-big hash join (Dataset.join, J4
+    discipline: repartition both sides after groupby to squash
+    schema-less empty blocks)."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["user_id"]))
+        g = b.group_by(["user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "n"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id"]).aggregate([("n", "sum")])
+        return g.rename_columns(["user_id", "n"])
+
+    counts = tree_merge(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        combine,
+    ).repartition(8)
+    # Dataset.join(full_outer) coalesces the keys into the LEFT key
+    # column and drops the right key — a marker column preserves "row
+    # had a right side" (c_custkey IS NOT NULL in the SQL twin)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "c_flag", pa.array(np.ones(b.num_rows, np.int8))
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).repartition(8)
+
+    joined = counts.join(
+        cust,
+        join_type="full_outer",
+        num_partitions=16,
+        on=("user_id",),
+        right_on=("c_custkey",),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # counts became nullable double on the outer join; they are
+        # exact small ints, so the float detour is lossless
+        n = pc.fill_null(b["n"].cast(pa.float64()), 0.0).cast(pa.int64())
+        return pa.table(
+            {
+                "ukey": b["user_id"].cast(pa.int64()),
+                "n_events": n,
+                "is_customer": pc.is_valid(b["c_flag"]),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+FULL_OUTER_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+)
+SELECT COALESCE(e.user_id, c.c_custkey) AS ukey,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+       c.c_custkey IS NOT NULL AS is_customer
+FROM e FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+QUERIES["users_customers_full_outer"] = q_users_customers_full_outer
+ORACLES["users_customers_full_outer"] = FULL_OUTER_SQL
