@@ -72,6 +72,21 @@ class TierStore:
             out.extend(os.path.join(seg, p["key"]) for p in m["partitions"])
         return out
 
+    def run_data_paths(self, tier: str, run_id: str) -> list[str]:
+        """Parquet files of a SPECIFIC committed run — time-travel reads
+        over the retention window (the reference keeps superseded dated
+        indexes until cleanup for exactly this rollback/inspect use;
+        rubber.rs:553-636). Raises for unknown or uncommitted runs; runs
+        older than the ``keep_runs`` retention are gone by design."""
+        run_dir = self.run_dir(tier, run_id)
+        if not os.path.isdir(run_dir) or not is_committed(run_dir):
+            raise FileNotFoundError(
+                f"no committed run {run_id!r} for tier {tier!r} "
+                "(outside the retention window?)"
+            )
+        m = read_manifest(run_dir)
+        return [os.path.join(run_dir, p["key"]) for p in m["partitions"]]
+
     def is_run_committed(self, tier: str, run_id: str) -> bool:
         latest = self.latest(tier)
         return bool(

@@ -115,3 +115,22 @@ def test_compact_via_cli(tmp_path, ray_session):
     assert rc == 0
     assert store.latest_segments("raw") == [store.run_dir("raw", "c1")]
     assert rd.read_parquet(store.latest_data_paths("raw")).count() == 6
+
+
+def test_time_travel_read_of_superseded_run(tmp_path, ray_session):
+    """A superseded-but-retained run stays readable by run_id (time
+    travel inside the retention window); evicted runs raise."""
+    import pytest
+    import ray.data as rd
+
+    from mimirsbrunn_ray.state.publish import TierStore
+
+    store = TierStore(str(tmp_path))
+    store.publish(rd.range(10), "raw", "v1")
+    store.publish(rd.range(20), "raw", "v2")  # supersedes v1, keep_runs=2
+    assert rd.read_parquet(store.run_data_paths("raw", "v1")).count() == 10
+    assert rd.read_parquet(store.run_data_paths("raw", "v2")).count() == 20
+    store.publish(rd.range(5), "raw", "v3")  # v1 falls out of retention
+    with pytest.raises(FileNotFoundError):
+        store.run_data_paths("raw", "v1")
+    assert rd.read_parquet(store.run_data_paths("raw", "v2")).count() == 20
