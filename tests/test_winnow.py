@@ -149,3 +149,45 @@ def test_winnow_copy_candidates_matches_bruteforce(ray_session):
     # the planted partial copies are found
     copies = {(a, b) for a, b, _ in want}
     assert (0, 3) in copies or (0, 6) in copies
+
+
+def test_winnow_copy_clusters_match_unionfind(ray_session):
+    """minlabel_propagation over the winnow pair list == a driver
+    union-find over the same pairs (min-id labels)."""
+    from mimirsbrunn_ray.stages.neardup import (
+        minlabel_propagation,
+        winnow_copy_candidates,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = []
+    for i in range(30):
+        extra = base if i % 3 == 0 else f"unique tail {i} " * 4
+        texts.append(f"doc {i} prefix {i * i} " + extra)
+    ds = _ds(texts)
+    pairs_ds = winnow_copy_candidates(
+        ds, k=8, w=4, min_shared=3, max_df=10
+    )
+    pairs = pairs_ds.to_pandas()
+    got = (
+        minlabel_propagation(pairs_ds, a_col="doc_a", b_col="doc_b")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert dict(zip(got.doc_id, got.cluster)) == want
+    assert len(want) > 0  # the planted copies form at least one family
