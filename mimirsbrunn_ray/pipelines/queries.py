@@ -4013,3 +4013,45 @@ def q_winnow_copy_clusters(sf_dir):
 
 
 QUERIES["winnow_copy_clusters"] = q_winnow_copy_clusters
+
+
+def q_events_pivot_melt(sf_dir):
+    """PIVOT then UNPIVOT round trip (stages/rollup.pivot_counts ->
+    stages/rollup.melt): the wide per-user count table melted back to
+    long (user_id, variable, n) rows — the reshaping pair every feature
+    pipeline needs, both directions shuffle-free beyond the pivot's own
+    aggregate."""
+    from mimirsbrunn_ray.stages.rollup import melt, pivot_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    wide = pivot_counts(
+        ev, key="user_id", cat_col="event_type",
+        categories=["click", "view", "purchase", "signup", "error"],
+    )
+    return melt(
+        wide, id_cols=["user_id"],
+        value_cols=["n_click", "n_view", "n_purchase", "n_signup", "n_error"],
+        var_name="variable", value_name="n",
+    )
+
+
+MELT_SQL = """
+WITH w AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+         COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+         COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, variable, CAST(n AS BIGINT) AS n
+FROM (UNPIVOT w ON n_click, n_view, n_purchase, n_signup, n_error
+      INTO NAME variable VALUE n)
+"""
+
+QUERIES["events_pivot_melt"] = q_events_pivot_melt
+ORACLES["events_pivot_melt"] = MELT_SQL

@@ -665,3 +665,30 @@ def exact_continuous_quantile(
         vals = np.sort(bvals[bvals["b"] == tb]["v"].to_numpy())
         out.append(float(vals[within_rank - 1]))
     return out
+
+
+def melt(
+    ds: "rd.Dataset",
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> "rd.Dataset":
+    """UNPIVOT / wide-to-long melt — the inverse of pivot_counts: each
+    input row emits one output row per value column, tagged with the
+    column's name. Embarrassingly parallel and allocation-light: one
+    concat of ``len(value_cols)`` zero-copy column slices per batch, no
+    shuffle, no Python row loop. Value columns are cast to a common
+    int64 (this engine's count-melt use); generalize the cast for mixed
+    numeric melts."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: b[k] for k in id_cols}
+            cols[var_name] = pa.array([c] * b.num_rows, pa.string())
+            cols[value_name] = b[c].cast(pa.int64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

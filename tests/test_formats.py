@@ -201,3 +201,22 @@ def test_read_feather_and_stream_ipc(ray_session, tmp_path):
     ).to_pandas()
     assert list(two.columns) == ["n_nationkey", "n_name"]
     assert len(two) == 10
+
+
+def test_read_orc(ray_session, tmp_path):
+    from pyarrow import orc as paorc
+
+    src = pq.read_table(f"{SF}/nation.parquet")
+    d = str(tmp_path)
+    paorc.write_table(src.slice(0, 12), f"{d}/a.orc")
+    paorc.write_table(src.slice(12), f"{d}/b.orc")
+    assert detect_format("x.ORC") == ("orc", False)
+    got = (
+        read_table([f"{d}/a.orc", f"{d}/b.orc"])
+        .to_pandas()
+        .sort_values("n_nationkey", ignore_index=True)
+    )
+    want = src.to_pandas().sort_values("n_nationkey", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+    two = read_table(f"{d}/a.orc", columns=["n_name"]).to_pandas()
+    assert list(two.columns) == ["n_name"] and len(two) == 12
