@@ -4055,3 +4055,90 @@ FROM (UNPIVOT w ON n_click, n_view, n_purchase, n_signup, n_error
 
 QUERIES["events_pivot_melt"] = q_events_pivot_melt
 ORACLES["events_pivot_melt"] = MELT_SQL
+
+
+def q_type_share_per_hour(sf_dir):
+    """Ratio-to-report window function: each (hour, event_type) cell's
+    share of the hour's total value — ONE decomposable partial pass
+    yields the cell sums; the per-hour denominators are the same rows
+    re-grouped on the driver-bounded (hours x types) table, so no second
+    scan and no shuffle beyond the tree merge."""
+    from mimirsbrunn_ray.functions.timeutil import trunc_us
+    from mimirsbrunn_ray.stages.ordered import _round_half_away
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(b["event_type"]), pc.is_valid(b["value"])
+                ),
+                pc.is_valid(b["ts"]),
+            )
+        )
+        ts_us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "bucket": pa.array(trunc_us(ts_us, "1h")).cast(
+                    pa.timestamp("us")
+                ),
+                "v": b["value"].cast(pa.float64()),
+            }
+        )
+        g = t.group_by(["event_type", "bucket"]).aggregate([("v", "sum")])
+        g = g.select(["event_type", "bucket", "v_sum"])
+        return g.rename_columns(["event_type", "bucket", "s"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "bucket"]).aggregate([("s", "sum")])
+        g = g.select(["event_type", "bucket", "s_sum"])
+        return g.rename_columns(["event_type", "bucket", "s"])
+
+    merged = tree_merge(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        combine,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        tot = df.groupby("bucket")["s"].transform("sum")
+        share = df["s"] / tot * 1e6
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], pa.string()),
+                "bucket": pa.array(df["bucket"]).cast(pa.timestamp("us")),
+                "share_x1e6": pa.array(
+                    _round_half_away(share.to_numpy())
+                ),
+            }
+        )
+
+    # finish needs ALL cells of a bucket together — bounded (hours x
+    # types), one final block by construction (tree_merge repartition(1))
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+SHARE_SQL = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, SUM(value) AS s
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, bucket,
+       CAST(ROUND(s / SUM(s) OVER (PARTITION BY bucket) * 1000000, 0)
+            AS BIGINT) AS share_x1e6
+FROM c
+"""
+
+QUERIES["type_share_per_hour"] = q_type_share_per_hour
+ORACLES["type_share_per_hour"] = SHARE_SQL
