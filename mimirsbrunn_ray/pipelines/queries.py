@@ -3869,11 +3869,17 @@ def q_value_hour_corr(sf_dir):
         vy = syy / n - (sy / n) ** 2
         with np.errstate(divide="ignore", invalid="ignore"):
             r = cov / np.sqrt(vx * vy)
+        # zero-variance groups (or n=1): CORR() is NULL in SQL; casting
+        # the NaN would emit INT64_MIN garbage instead
+        finite = np.isfinite(r)
+        vals = _round_half_away(np.where(finite, r, 0.0) * 1e4)
         return pa.table(
             {
                 "event_type": b["event_type"],
                 "n": b["n"].cast(pa.int64()),
-                "corr_x1e4": pa.array(_round_half_away(r * 1e4)),
+                "corr_x1e4": pa.array(
+                    np.ma.masked_array(vals, mask=~finite), type=pa.int64()
+                ),
             }
         )
 
@@ -3940,9 +3946,8 @@ def q_users_customers_full_outer(sf_dir):
     )
 
     def finish(b: pa.Table) -> pa.Table:
-        # counts became nullable double on the outer join; they are
-        # exact small ints, so the float detour is lossless
-        n = pc.fill_null(b["n"].cast(pa.float64()), 0.0).cast(pa.int64())
+        # n stays nullable int64 through the outer join; just fill
+        n = pc.fill_null(b["n"].cast(pa.int64()), 0)
         return pa.table(
             {
                 "ukey": b["user_id"].cast(pa.int64()),
@@ -4120,9 +4125,9 @@ def q_type_share_per_hour(sf_dir):
             }
         )
 
-    # finish needs ALL cells of a bucket together — bounded (hours x
-    # types), one final block by construction (tree_merge repartition(1))
-    return merged.repartition(1).map_batches(
+    # finish needs ALL cells of a bucket together — tree_merge's final
+    # combine already yields ONE block (bounded: hours x types)
+    return merged.map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
 

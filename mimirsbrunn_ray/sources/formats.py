@@ -104,65 +104,51 @@ def read_table(paths, columns=None, fmt: str | None = None) -> "rd.Dataset":
             files, columns=columns, override_num_blocks=num_blocks_for(files)
         )
 
-    if fmt == "ipc":
-        # Arrow IPC / Feather: one distributed decode task per file
-        # (read_binary_files ships whole files, so the deployment rule is
-        # shard-sized files — same rule the tier writer follows). Feather
-        # v2 IS the IPC file format (incl. optional compression); the
-        # stream format is the fallback. Column projection after decode
-        # is zero-copy on the Arrow buffers.
-        import gzip as _gzip
-
-        import pyarrow as pa
-
+    if fmt in ("ipc", "orc"):
+        # whole-file columnar formats: one distributed decode task per
+        # file (read_binary_files ships whole files, so the deployment
+        # rule is shard-sized files — same rule the tier writer follows);
+        # gzip-wrapped shards are sniffed by magic bytes inside the task.
+        # Feather v2 IS the IPC file format (incl. optional compression),
+        # with the stream format as fallback; ORC uses the bundled
+        # pyarrow.orc reader (Ray Data has no native read_orc) with
+        # stripe-columnar projection in the reader itself.
         cols = list(columns) if columns else None
 
-        def _decode_ipc(b: "pa.Table") -> "pa.Table":
+        def _read_ipc(buf: bytes) -> "object":
+            import pyarrow as pa
             from pyarrow import feather as pafeather
+
+            try:
+                return pafeather.read_table(
+                    pa.BufferReader(buf), columns=cols
+                )
+            except pa.ArrowInvalid:
+                t = pa.ipc.open_stream(pa.BufferReader(buf)).read_all()
+                return t.select(cols) if cols else t
+
+        def _read_orc(buf: bytes) -> "object":
+            import pyarrow as pa
+            from pyarrow import orc as paorc
+
+            return paorc.read_table(pa.BufferReader(buf), columns=cols)
+
+        reader = _read_ipc if fmt == "ipc" else _read_orc
+
+        def _decode_files(b):
+            import gzip as _gzip
+
+            import pyarrow as pa
 
             tables = []
             for buf in b["bytes"].to_pylist():
                 if buf[:2] == b"\x1f\x8b":  # gzipped shard
                     buf = _gzip.decompress(buf)
-                try:
-                    t = pafeather.read_table(
-                        pa.BufferReader(buf), columns=cols
-                    )
-                except pa.ArrowInvalid:
-                    t = pa.ipc.open_stream(pa.BufferReader(buf)).read_all()
-                    if cols:
-                        t = t.select(cols)
-                tables.append(t)
+                tables.append(reader(buf))
             return pa.concat_tables(tables)
 
         return rd.read_binary_files(files).map_batches(
-            _decode_ipc, batch_format="pyarrow", batch_size=None
-        )
-
-    if fmt == "orc":
-        # ORC via the bundled pyarrow.orc reader (Ray Data has no native
-        # read_orc): one distributed decode task per file, stripe-columnar
-        # projection in the reader itself
-        import gzip as _gzip
-
-        import pyarrow as pa
-
-        cols = list(columns) if columns else None
-
-        def _decode_orc(b: "pa.Table") -> "pa.Table":
-            from pyarrow import orc as paorc
-
-            tables = []
-            for buf in b["bytes"].to_pylist():
-                if buf[:2] == b"\x1f\x8b":
-                    buf = _gzip.decompress(buf)
-                tables.append(
-                    paorc.read_table(pa.BufferReader(buf), columns=cols)
-                )
-            return pa.concat_tables(tables)
-
-        return rd.read_binary_files(files).map_batches(
-            _decode_orc, batch_format="pyarrow", batch_size=None
+            _decode_files, batch_format="pyarrow", batch_size=None
         )
 
     def _delim(f: str) -> str:

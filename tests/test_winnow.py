@@ -191,3 +191,41 @@ def test_winnow_copy_clusters_match_unionfind(ray_session):
     want = {n: find(n) for n in parent}
     assert dict(zip(got.doc_id, got.cluster)) == want
     assert len(want) > 0  # the planted copies form at least one family
+
+
+def test_winnow_copy_clusters_query_endtoend(ray_session):
+    """The driver query itself (node collection, int-key label mapping,
+    representative-labels-itself contract) — not just the underlying
+    operators."""
+    from mimirsbrunn_ray.pipelines.queries import q_winnow_copy_clusters
+    from mimirsbrunn_ray.stages.neardup import winnow_copy_candidates
+
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    out = q_winnow_copy_clusters(sf)
+    df = out.to_pandas() if not hasattr(out, "to_pydict") else out.to_pandas()
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = winnow_copy_candidates(
+        docs, k=12, w=4, min_shared=4, max_df=8
+    ).to_pandas()
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert dict(zip(df.doc_id, df.cluster)) == want
+    # representatives label themselves and appear in the output
+    reps = set(want.values())
+    got = dict(zip(df.doc_id, df.cluster))
+    assert all(got[r] == r for r in reps)
