@@ -436,8 +436,10 @@ def group_standardize(
          every batch standardizes via one vectorized index_in lookup —
          no shuffle touches the big side, partitioning-independent.
 
-    Output: id_cols + [key, f"z_x{scale}" int64]. Rows with a null key or
-    null value are dropped (the SQL WHERE twin); groups with zero
+    Output: id_cols + [key, f"z_x{scale}" int64]. Rows with a null key,
+    a null value, or a NaN value are dropped (NaN is VALID to Arrow but
+    would poison the whole group's moments; the engine treats it as
+    missing — the SQL twin filters NOT isnan); groups with zero
     variance emit NULL z (SQL NULLIF(sd, 0) division semantics). Scores
     are fixed-point (ROUND half away from zero) per the engine's
     float-parity convention; the op order mirrors the SQL
@@ -447,8 +449,17 @@ def group_standardize(
 
     from mimirsbrunn_ray.stages.ordered import _round_half_away
 
+    def _keep(b: pa.Table) -> pa.Table:
+        v = b[val_col].cast(pa.float64())
+        return b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b[key]), pc.is_valid(v)),
+                pc.invert(pc.is_nan(pc.fill_null(v, 0.0))),
+            )
+        )
+
     def partial(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.and_(pc.is_valid(b[key]), pc.is_valid(b[val_col])))
+        b = _keep(b)
         v = b[val_col].cast(pa.float64())
         t = pa.table({key: b[key], "v": v, "v2": pc.multiply(v, v)})
         g = t.group_by([key]).aggregate(
@@ -484,7 +495,7 @@ def group_standardize(
         keys_arr, mean, sd = None, None, None
 
     def transform(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.and_(pc.is_valid(b[key]), pc.is_valid(b[val_col])))
+        b = _keep(b)
         if keys_arr is None or len(b) == 0:
             # no stats can only coexist with no valid rows; typed empty
             out = {c: b[c] for c in id_cols}
