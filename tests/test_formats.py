@@ -220,3 +220,53 @@ def test_read_orc(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     two = read_table(f"{d}/a.orc", columns=["n_name"]).to_pandas()
     assert list(two.columns) == ["n_name"] and len(two) == 12
+
+
+def test_random_table_roundtrips_all_formats(ray_session, tmp_path):
+    """One random typed table (ints, floats, strings, nulls) written to
+    parquet, CSV, JSONL, Feather, and ORC must read back identically
+    through read_table (CSV/JSON carry values as text: compare after a
+    common cast)."""
+    import numpy as np
+    import pyarrow.orc as paorc
+    from pyarrow import feather as pafeather
+
+    rng = np.random.default_rng(13)
+    n = 200
+    ints = rng.integers(-1000, 1000, size=n).astype("float64")
+    ints[rng.random(n) < 0.1] = np.nan
+    strs = rng.choice(["alpha", "beta", "gamma delta", ""], size=n)
+    src = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),
+            "i": pa.array(pd.array(ints, dtype="Int64"), pa.int64()),
+            "s": pa.array(strs, pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(src, f"{d}/t.parquet")
+    pafeather.write_feather(src, f"{d}/t.feather")
+    paorc.write_table(src, f"{d}/t.orc")
+    src.to_pandas().to_csv(f"{d}/t.csv", index=False)
+    src.to_pandas().to_json(f"{d}/t.jsonl", orient="records", lines=True)
+
+    want = src.to_pandas().sort_values("k", ignore_index=True)
+    for path in ["t.parquet", "t.feather", "t.orc", "t.csv", "t.jsonl"]:
+        got = (
+            read_table(f"{d}/{path}")
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        # text formats lose the Int64 nullability shade / empty-vs-null
+        # string distinction; normalize both sides the same way
+        for c in ["k", "i"]:
+            got[c] = pd.array(got[c], dtype="Int64")
+        cmp_want = want.copy()
+        for c in ["k", "i"]:
+            cmp_want[c] = pd.array(cmp_want[c], dtype="Int64")
+        got["s"] = got["s"].fillna("")
+        cmp_want["s"] = cmp_want["s"].fillna("")
+        pd.testing.assert_frame_equal(
+            got[["k", "i", "s"]], cmp_want[["k", "i", "s"]],
+            check_dtype=False, obj=path,
+        )
