@@ -135,3 +135,55 @@ def test_random_lead_pairs_matches_sql(ray_session, seed):
     # in play upstream; the inner filter removes them — align dtypes
     want["next_event_id"] = want["next_event_id"].astype(np.int64)
     _compare("lead_pairs", got, want)
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_random_asof_join_matches_sql(ray_session, seed):
+    """Bucketed as-of join vs DuckDB ASOF JOIN on random tables with
+    dense timestamp ties — a click exactly AT an error's ts must match
+    it (e.ts <= c.ts), and multiple same-ts errors must resolve
+    deterministically."""
+    import pyarrow.compute as pc
+
+    from mimirsbrunn_ray.stages.window import asof_join_bucketed
+
+    tbl = _random_events(seed)
+    con = duckdb.connect()
+    con.register("events", tbl)
+
+    ds = rd.from_arrow(tbl)
+    clicks = ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.equal(pc.fill_null(b["event_type"], ""), "click"),
+                pc.and_(pc.is_valid(b["user_id"]), pc.is_valid(b["ts"])),
+            )
+        ).select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    errors = ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.equal(pc.fill_null(b["event_type"], ""), "error"),
+                pc.and_(pc.is_valid(b["user_id"]), pc.is_valid(b["ts"])),
+            )
+        ).select(["user_id", "ts"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    got = asof_join_bucketed(
+        clicks, errors, key="user_id", ts_col="ts", right_ts_col="ts",
+        out_col="last_error_ts", inner=True,
+    ).to_pandas()
+    want = con.sql(
+        """
+        SELECT c.event_id, c.user_id, c.ts, e.ts AS last_error_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+                AND user_id IS NOT NULL AND ts IS NOT NULL) c
+        ASOF JOIN (SELECT user_id, ts FROM events
+                   WHERE event_type = 'error'
+                     AND user_id IS NOT NULL AND ts IS NOT NULL) e
+          ON c.user_id = e.user_id AND e.ts <= c.ts
+        """
+    ).df()
+    _compare("asof_bucketed", got, want)
