@@ -417,6 +417,13 @@ def point_in_window_join(
 
     def tag(side: int):
         def fn(b: pa.Table) -> pa.Table:
+            # SQL join semantics: null keys/timestamps never match — and
+            # an unfiltered NaT wraps to INT64_MIN in the composite-key
+            # arithmetic below, fabricating pairs (caught by the
+            # randomized differential test)
+            b = b.filter(
+                pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col]))
+            )
             ts_us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
             return pa.table(
                 {

@@ -187,3 +187,47 @@ def test_random_asof_join_matches_sql(ray_session, seed):
         """
     ).df()
     _compare("asof_bucketed", got, want)
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_random_range_join_matches_sql(ray_session, seed):
+    """point_in_window_join vs the SQL range-join count on tie-dense
+    random tables. Regression: unfiltered NaT timestamps wrapped to
+    INT64_MIN in the composite-key arithmetic and fabricated pairs."""
+    import pyarrow.compute as pc
+
+    from mimirsbrunn_ray.stages.window import point_in_window_join
+
+    tbl = _random_events(seed)
+    con = duckdb.connect()
+    con.register("events", tbl)
+    ev = rd.from_arrow(tbl)
+
+    def pick(kind):
+        return lambda b: b.filter(
+            pc.equal(pc.fill_null(b["event_type"], ""), kind)
+        ).select(["user_id", "ts"])
+
+    got = point_in_window_join(
+        ev.map_batches(pick("click"), batch_format="pyarrow",
+                       batch_size=None),
+        ev.map_batches(pick("error"), batch_format="pyarrow",
+                       batch_size=None),
+        key="user_id", ts_col="ts", window=pd.Timedelta(hours=4),
+    ).to_pandas()
+    want = con.sql(
+        """
+        WITH pairs AS (
+          SELECT c.user_id, c.event_id AS cid
+          FROM events c JOIN events e
+            ON e.user_id = c.user_id
+           AND c.event_type = 'click' AND e.event_type = 'error'
+           AND e.ts <= c.ts AND c.ts < e.ts + INTERVAL 4 HOUR
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_matched_points
+        FROM pairs GROUP BY user_id
+        """
+    ).df()
+    _compare("range_join", got, want)
