@@ -4147,3 +4147,14 @@ FROM c
 
 QUERIES["type_share_per_hour"] = q_type_share_per_hour
 ORACLES["type_share_per_hour"] = SHARE_SQL
+
+
+# --------------------------------------------------------------------------
+# Driver visibility: the correctness harness value-checks only the FIRST 50
+# registry entries (dict insertion order).  Keep oracled queries first so
+# every checked slot carries a DuckDB value oracle; rows-only (no_oracle)
+# entries follow.  Relative order within each group is preserved.
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k in ORACLES},
+    **{k: v for k, v in QUERIES.items() if k not in ORACLES},
+}

@@ -60,27 +60,16 @@ def test_every_query_has_an_oracle(registry):
     assert len(queries) >= 10
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "rollup_1m", "rollup_1h", "rollup_1d", "raw_passthrough",
-        "gapfill_locf_1m", "topk_sources", "weight_normalized_sources",
-        "dedup_exact_documents", "events_rollup_1h", "orders_per_nation",
-        "token_stats", "sessionize_events", "asof_click_error",
-        "lineitem_pricing", "knn_bruteforce", "embedding_stats",
-        "order_priority_revenue", "distinct_sources",
-        "doc_categories", "doc_labels",
-        "topk_docs_per_lang", "customers_without_events",
-        "doc_chunk_spans", "tfidf_top_terms",
-        "event_interarrival", "rolling_value_5m", "cumulative_value_1d",
-        "top_event_type_per_user", "distinct_users_per_type",
-        "orders_with_returns", "props_k_stats", "doc_repetition_scores",
-        "hourly_active_users", "latest_event_per_user", "value_histogram",
-        "sample_docs_per_lang", "users_click_and_purchase",
-        "events_pivot_counts", "events_grouping_sets", "tpch_q3_building",
-        "benchmark_contamination", "value_moments_per_type",
-    ],
-)
+def _oracled_names() -> list[str]:
+    """Every oracled registry entry — the committed suite covers ALL of them,
+    not a hand-picked subset (VERDICT r3 item 1).  Importing the registry at
+    collection time is safe: nothing executes until the query is called."""
+    from mimirsbrunn_ray.pipelines.queries import ORACLES
+
+    return list(ORACLES)
+
+
+@pytest.mark.parametrize("name", _oracled_names())
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry
     res = queries[name](SF_DIR)
