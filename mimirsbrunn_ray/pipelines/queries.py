@@ -3975,46 +3975,23 @@ ORACLES["users_customers_full_outer"] = FULL_OUTER_SQL
 
 
 def q_winnow_copy_clusters(sf_dir):
-    """Partial-copy CLUSTERS from the winnowing pair list. The pair
-    list is bounded by the near-dup count, so the DEFAULT clusterer is
-    the driver union-find (stages/neardup._cluster_pairs — the same
-    bounded/unbounded split as minhash_lsh_dedup: the distributed
-    minlabel_propagation alternative is pytest-equivalence-checked in
-    tests/test_winnow.py but costs ~6 chained Ray executions of fixed
-    overhead, wrong for a 1k-pair list). Output: (doc_id, cluster);
-    cluster = min doc_id of the component."""
+    """Partial-copy CLUSTERS from the winnowing pair list, via the
+    auto-budgeted clusterer (stages/neardup.winnow_cluster_labels):
+    driver union-find while the materialized pair count fits the
+    budget (one execution, O(near-dups) driver memory), distributed
+    minlabel_propagation past it — never an unconditional driver pull.
+    Output: (doc_id, cluster); cluster = min doc_id of the component."""
     from mimirsbrunn_ray.stages.neardup import (
-        _cluster_pairs,
+        winnow_cluster_labels,
         winnow_copy_candidates,
     )
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    pairs = winnow_copy_candidates(
-        docs, k=12, w=4, min_shared=4, max_df=8
-    ).to_pandas()
-    labels = _cluster_pairs(
-        pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
-    )
-    # every node of every pair gets a row (representatives label
-    # themselves) — the same contract as minlabel_propagation
-    nodes = np.unique(
-        np.concatenate(
-            [pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()]
-        )
-    ) if len(pairs) else np.empty(0, np.int64)
-    return pa.table(
-        {
-            "doc_id": pa.array(nodes.astype(np.int64)),
-            "cluster": pa.array(
-                np.asarray(
-                    [int(labels.get(int(n), int(n))) for n in nodes],
-                    dtype=np.int64,
-                )
-            ),
-        }
-    )
+    pairs = winnow_copy_candidates(docs, k=12, w=4, min_shared=4, max_df=8)
+    labels, _distributed = winnow_cluster_labels(pairs)
+    return labels
 
 
 QUERIES["winnow_copy_clusters"] = q_winnow_copy_clusters

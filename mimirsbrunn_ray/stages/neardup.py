@@ -439,6 +439,13 @@ def _cluster_pairs(pairs_a, pairs_b) -> dict:
     return {x: find(x) for x in parent}
 
 
+# Auto-switch budget shared by the clustering operators (minhash, winnow):
+# past this many candidate pairs the driver union-find path is abandoned
+# for the fully-distributed propagate path — the same discipline as
+# simjoin's mode="auto" byte budget (stages/simjoin.py:640).
+_DRIVER_CLUSTER_PAIRS = 50_000
+
+
 def minhash_lsh_dedup(
     docs: "rd.Dataset",
     threshold: float = 0.8,
@@ -446,7 +453,8 @@ def minhash_lsh_dedup(
     bands: int = 16,
     k: int = 5,
     concurrency=None,
-    cluster_mode: str = "driver",
+    cluster_mode: str = "auto",
+    max_driver_pairs: int = _DRIVER_CLUSTER_PAIRS,
 ) -> "rd.Dataset":
     """MinHash-LSH near-dup clustering, fully distributed.
 
@@ -463,20 +471,27 @@ def minhash_lsh_dedup(
     bounded by the candidate-pair count (O(near-dups)); the corpus is
     never pulled to the driver.
 
-    ``cluster_mode``: ``"driver"`` (default) runs union-find over the
-    verified pair list on the driver — right while the pair list is
-    near-dup-scale. ``"propagate"`` is the UNBOUNDED path: candidate pairs
-    stay a Dataset end-to-end (batch-local dedup only), shingles are
-    computed for the whole corpus in-stream and attached by two
-    hash-shuffle ``Dataset.join``s (the simjoin.py unbounded-verify
-    shape), and ``minlabel_propagation`` + a distributed left-outer join
-    produce the labels — nothing driver-sized anywhere, for adversarial
-    corpora whose pair list exceeds driver memory.
-    Both modes return identical output (tests/test_unbounded_paths.py).
+    ``cluster_mode``: ``"driver"`` runs union-find over the verified pair
+    list on the driver — right while the pair list is near-dup-scale.
+    ``"propagate"`` is the UNBOUNDED path: candidate pairs stay a Dataset
+    end-to-end (batch-local dedup only), shingles are computed for the
+    whole corpus in-stream and attached by two hash-shuffle
+    ``Dataset.join``s (the simjoin.py unbounded-verify shape), and
+    ``minlabel_propagation`` + a distributed left-outer join produce the
+    labels — nothing driver-sized anywhere, for adversarial corpora whose
+    pair list exceeds driver memory. ``"auto"`` (default) materializes the
+    candidate pairs (needed by both paths anyway), counts them, and picks:
+    driver while the count <= ``max_driver_pairs``, propagate past it —
+    the same budget discipline as simjoin's auto mode, so an adversarial
+    dup rate can never pull an unbounded pair list to the driver.
+    All modes return identical output (tests/test_unbounded_paths.py).
     """
     import ray
 
     from mimirsbrunn_ray.context import pool_size
+
+    if cluster_mode not in ("auto", "driver", "propagate"):
+        raise ValueError(f"unknown cluster_mode {cluster_mode!r}")
 
     docs_small = docs.select_columns(["doc_id", "text"])
     # MinHasher state (two uint64 arrays) is tiny + immutable: ship the
@@ -506,24 +521,29 @@ def minhash_lsh_dedup(
             }
         )
 
-    if cluster_mode == "propagate":
-        from mimirsbrunn_ray.stages.simjoin import _unique_pair_rows
+    from mimirsbrunn_ray.stages.simjoin import _unique_pair_rows
 
-        n_part = max(8, pool_size())
-        # batch-local pair dedup only (lexsort over real ids, lossless);
-        # cross-batch duplicate witnesses are verified redundantly and are
-        # harmless to min-label propagation (duplicate edges don't change
-        # the fixpoint) — trading a full pair shuffle for repeated work
-        cand_ds = (
-            _candidate_pairs_from_bands(band_rows)
-            .map_batches(
-                lambda b: b.take(pa.array(_unique_pair_rows(b))),
-                batch_format="pyarrow", batch_size=None,
-            )
-            .materialize()
+    # batch-local pair dedup only (lexsort over real ids, lossless);
+    # cross-batch duplicate witnesses are verified redundantly and are
+    # harmless to both clusterers (duplicate edges don't change the
+    # fixpoint) — trading a full pair shuffle for repeated work.
+    # Materialized ONCE: both modes consume it, and auto needs the count.
+    cand_ds = (
+        _candidate_pairs_from_bands(band_rows)
+        .map_batches(
+            lambda b: b.take(pa.array(_unique_pair_rows(b))),
+            batch_format="pyarrow", batch_size=None,
         )
-        if cand_ds.count() == 0:
-            return identity_clusters()
+        .materialize()
+    )
+    n_pairs = cand_ds.count()
+    if n_pairs == 0:
+        return identity_clusters()
+
+    if cluster_mode == "propagate" or (
+        cluster_mode == "auto" and n_pairs > max_driver_pairs
+    ):
+        n_part = max(8, pool_size())
         # whole-corpus shingle table, computed in-stream; consumed by BOTH
         # verify joins, so materialize once
         shingle_tbl = docs_small.map_batches(
@@ -572,10 +592,10 @@ def minhash_lsh_dedup(
             finish, batch_format="pyarrow", batch_size=None
         )
 
-    # candidate pairs: bounded by the near-dup count -> driver-safe
-    cand = _candidate_pairs_from_bands(band_rows).to_pandas().drop_duplicates()
-    if len(cand) == 0:
-        return identity_clusters()
+    # driver mode: the pair count is within budget -> driver-safe pull;
+    # drop_duplicates collapses the cross-batch witnesses batch-local
+    # dedup couldn't see
+    cand = cand_ds.to_pandas().drop_duplicates(subset=["a", "b"])
 
     cand_ids = pd.unique(pd.concat([cand["a"], cand["b"]], ignore_index=True))
 
@@ -1119,3 +1139,52 @@ def winnow_copy_candidates(
     return bucketed_pairs.groupby("pbucket").map_groups(
         reduce_pairs, batch_format="pandas"
     )
+
+
+def winnow_cluster_labels(
+    pairs: "rd.Dataset",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    cluster_mode: str = "auto",
+    max_driver_pairs: int = _DRIVER_CLUSTER_PAIRS,
+):
+    """Connected-component labels over a candidate-pair Dataset with the
+    simjoin-style auto budget (VERDICT r3 item 2): driver union-find while
+    the materialized pair count is <= ``max_driver_pairs`` (one execution,
+    O(near-dups) driver memory), ``minlabel_propagation`` past it — no
+    unconditional driver pull anywhere.
+
+    Returns ``(labels, distributed)``: ``labels`` is a TYPED pa.Table
+    (doc_id, cluster int64) in driver mode (typed even when empty — an
+    empty Ray Dataset drops its schema), or a Dataset in propagate mode.
+    Both label shapes are identical on the same pairs
+    (tests/test_winnow.py).
+    """
+    if cluster_mode not in ("auto", "driver", "propagate"):
+        raise ValueError(f"unknown cluster_mode {cluster_mode!r}")
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if cluster_mode == "propagate" or (
+        cluster_mode == "auto" and n_pairs > max_driver_pairs
+    ):
+        return minlabel_propagation(pairs, a_col=a_col, b_col=b_col), True
+
+    df = pairs.to_pandas()
+    a = df[a_col].to_numpy() if n_pairs else np.empty(0, np.int64)
+    b = df[b_col].to_numpy() if n_pairs else np.empty(0, np.int64)
+    labels = _cluster_pairs(a, b)
+    nodes = (
+        np.unique(np.concatenate([a, b])) if n_pairs else np.empty(0, np.int64)
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(nodes.astype(np.int64)),
+            "cluster": pa.array(
+                np.asarray(
+                    [int(labels.get(int(n), int(n))) for n in nodes],
+                    dtype=np.int64,
+                )
+            ),
+        }
+    )
+    return tbl, False

@@ -138,6 +138,17 @@ def test_minhash_cluster_modes_identical(ray_session):
     a = run("driver")
     b = run("propagate")
     pd.testing.assert_frame_equal(a, b)
+    # auto with a zero pair budget must take the propagate path and still
+    # match (the simjoin-style auto switch, VERDICT r3 item 2)
+    c = (
+        minhash_lsh_dedup(
+            ds, threshold=0.7, cluster_mode="auto", max_driver_pairs=0
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, c)
     # the planted dups actually clustered (nontrivial test)
     clustered = a[a["doc_id"] != a["cluster"]]
     assert len(clustered) >= 3

@@ -2,6 +2,7 @@
 isolation, partition independence, and the per-doc signature contract."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -191,6 +192,37 @@ def test_winnow_copy_clusters_match_unionfind(ray_session):
     want = {n: find(n) for n in parent}
     assert dict(zip(got.doc_id, got.cluster)) == want
     assert len(want) > 0  # the planted copies form at least one family
+
+
+def test_winnow_cluster_labels_auto_switch(ray_session):
+    """winnow_cluster_labels: driver mode within budget, propagate past it
+    (forced with max_driver_pairs=0) — identical labels either way, and the
+    switch is reported via the `distributed` flag (VERDICT r3 item 2)."""
+    from mimirsbrunn_ray.stages.neardup import (
+        winnow_cluster_labels,
+        winnow_copy_candidates,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = []
+    for i in range(30):
+        extra = base if i % 3 == 0 else f"unique tail {i} " * 4
+        texts.append(f"doc {i} prefix {i * i} " + extra)
+    pairs = winnow_copy_candidates(
+        _ds(texts), k=8, w=4, min_shared=3, max_df=10
+    )
+    drv, dist_a = winnow_cluster_labels(pairs, max_driver_pairs=10**9)
+    assert dist_a is False
+    import pyarrow as pa
+
+    assert isinstance(drv, pa.Table)
+    prop, dist_b = winnow_cluster_labels(pairs, max_driver_pairs=0)
+    assert dist_b is True
+    a = drv.to_pandas().sort_values("doc_id", ignore_index=True)
+    b = prop.to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert len(a) > 0
 
 
 def test_winnow_copy_clusters_query_endtoend(ray_session):
