@@ -3757,34 +3757,30 @@ def q_media_ahash_dedup(sf_dir):
     )
     hashes = image_ahashes(rd.from_arrow(tbl), batch_size=16)
 
-    def pairs(b: pa.Table) -> pa.Table:
-        # bounded corpus: one batch holds all hash rows (n <= ~2.5k);
-        # at scale, bucket by the hash's top bits first (SimHash shape)
-        h = b["ahash"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ids_ = np.asarray(b["media_id"].to_pylist())
-        mt = np.asarray(b["media_type"].to_pylist())
-        iu, ju = np.triu_indices(len(h), 1)
-        same_mod = mt[iu] == mt[ju]
-        iu, ju = iu[same_mod], ju[same_mod]
-        x = (h[iu] ^ h[ju]).astype(np.uint64)
-        # one-shot vectorized popcount (the SimHash pair-stage idiom)
-        ham = (
-            np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
-            .astype(np.int64)
-            if len(x)
-            else np.zeros(0, np.int64)
-        )
-        keep = ham <= 6
-        return pa.table(
-            {
-                "media_a": pa.array(ids_[iu[keep]]),
-                "media_b": pa.array(ids_[ju[keep]]),
-                "hamming": pa.array(ham[keep]),
-            }
-        )
+    # bucketed pair stage (VERDICT r3 item 3): the SimHash band shape —
+    # 8 bands of 8 bits, pigeonhole-complete for hamming <= 7 — with
+    # strict same-modality pairing via group_col; never a
+    # single-partition all-pairs
+    from mimirsbrunn_ray.stages.neardup import simhash_near_pairs
 
-    return hashes.repartition(1).map_batches(
-        pairs, batch_format="pyarrow", batch_size=None
+    sig = hashes.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["media_id"],
+                "simhash": b["ahash"],
+                "modality": b["media_type"],
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = simhash_near_pairs(sig, max_hamming=6, group_col="modality")
+    return pa.table(
+        {
+            "media_a": pa.array(out["a"].astype(str), pa.string()),
+            "media_b": pa.array(out["b"].astype(str), pa.string()),
+            "hamming": pa.array(out["hamming"].to_numpy(np.int64)),
+        }
     )
 
 

@@ -739,12 +739,17 @@ def simhash_signatures(docs: "rd.Dataset", concurrency=None) -> "rd.Dataset":
 
 
 def simhash_near_pairs(
-    sig_ds: "rd.Dataset", max_hamming: int = 3, bands: int | None = None
+    sig_ds: "rd.Dataset",
+    max_hamming: int = 3,
+    bands: int | None = None,
+    group_col: str | None = None,
 ) -> pd.DataFrame:
     """Candidate pairs by banding the 64-bit signature, verified by exact
     hamming distance. Pigeonhole: distance <= bands-1 guarantees at least
     one intact band, so bands defaults to the smallest divisor of 64 above
-    ``max_hamming``."""
+    ``max_hamming``. ``group_col`` (optional, carried through the band
+    explode) restricts pairing STRICTLY within a group — e.g. same media
+    modality for perceptual hashes."""
     if bands is None:
         bands = next(b for b in (4, 8, 16, 32) if b > max_hamming)
     bits = 64 // bands
@@ -761,21 +766,27 @@ def simhash_near_pairs(
         )
         doc = np.tile(np.asarray(ids, dtype=object), bands)
         sig = np.tile(s.view(np.int64), bands)
-        return pa.table(
-            {
-                "band_id": pa.array(band_id),
-                "band_hash": pa.array(band_val),
-                "doc_id": pa.array(list(doc)),
-                "sig": pa.array(sig),
-            }
-        )
+        cols = {
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(band_val),
+            "doc_id": pa.array(list(doc)),
+            "sig": pa.array(sig),
+        }
+        if group_col is not None:
+            grp = np.tile(
+                np.asarray(b[group_col].to_pylist(), dtype=object), bands
+            )
+            cols["grp"] = pa.array(list(grp))
+        return pa.table(cols)
+
+    seg_cols = ["band_id", "band_hash"] + (
+        ["grp"] if group_col is not None else []
+    )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized: intra-bucket candidate pairs via _segment_pairs, then
         # ONE xor + bit-unpack popcount over all pairs at once
-        cand = _segment_pairs(
-            g, ["band_id", "band_hash"], "doc_id", extra_cols=("sig",)
-        )
+        cand = _segment_pairs(g, seg_cols, "doc_id", extra_cols=("sig",))
         if len(cand) == 0:
             return pd.DataFrame(
                 {"a": cand["a"], "b": cand["b"],
