@@ -704,6 +704,7 @@ def budget_prefix_select(
     weight_col: str,
     id_col: str,
     budget: int,
+    boundary_row_budget: int = 2_000_000,
 ) -> "rd.Dataset":
     """Global budget selection: keep rows in ascending (weight, id) order
     while the running weight total stays within ``budget`` — the
@@ -717,10 +718,16 @@ def budget_prefix_select(
       2. the driver's cumulative walk finds the cutoff weight: every row
          strictly below it is IN, every row above is OUT;
       3. only the BOUNDARY weight's rows (one histogram bin) need id
-         resolution: they are filtered out of the stream (bounded
-         collect), sorted by id, and prefix-summed against the residual
-         budget — the same one-bin escape the exact-quantile stage uses.
-    Two streaming passes, driver state = one histogram + one bin.
+         resolution: while the bin count fits ``boundary_row_budget``
+         they are filtered out of the stream (bounded collect), sorted
+         by id, and prefix-summed against the residual budget; an
+         ADVERSARIAL bin (heavy ties — e.g. a constant weight column
+         putting the whole corpus in one bin) instead resolves fully
+         DISTRIBUTED: filter boundary rows -> ``Dataset.sort(id)`` ->
+         ``limit(residual // boundary_w)`` — a shuffle sort of just that
+         bin, zero driver pull (VERDICT r3 item 4).
+    Two streaming passes, driver state = one histogram + (at most) one
+    budget-sized bin.
 
     Ties at the boundary weight resolve by ascending id (deterministic,
     engine-independent). Null weights/ids are dropped (the SQL WHERE
@@ -794,8 +801,7 @@ def budget_prefix_select(
     if boundary_w is None or residual < boundary_w:
         return selected
 
-    # boundary bin: resolve by id against the residual budget (bounded
-    # collect: exactly one histogram bin's rows)
+    # boundary bin: resolve by id against the residual budget
     def boundary_rows(b: pa.Table) -> pa.Table:
         b = b.filter(
             pc.and_(pc.is_valid(b[weight_col]), pc.is_valid(b[id_col]))
@@ -808,9 +814,21 @@ def budget_prefix_select(
             {id_col: b[id_col], weight_col: b[weight_col]}
         ).filter(keep)
 
-    bnd = ds.map_batches(
+    bnd_ds = ds.map_batches(
         boundary_rows, batch_format="pyarrow", batch_size=None
-    ).to_pandas()
+    )
+    boundary_count = int(n[boundary_idx])
+    if boundary_count > boundary_row_budget:
+        # adversarial one-bin distribution: distributed shuffle sort of
+        # the bin + streaming limit — nothing bin-sized on the driver
+        take = int(min(boundary_count, residual // boundary_w))
+        if take == 0:
+            return selected
+        picked_ds = bnd_ds.sort(id_col).limit(take)
+        return selected.union(picked_ds)
+
+    # bounded collect: exactly one budget-sized histogram bin's rows
+    bnd = bnd_ds.to_pandas()
     bnd = bnd.sort_values(id_col, ignore_index=True)
     take = int(min(len(bnd), residual // boundary_w))
     if take == 0:

@@ -528,6 +528,7 @@ def exact_continuous_quantile(
     val_fn,
     qs=(0.5,),
     coarse_bins: int = 4096,
+    bin_row_budget: int = 4_000_000,
 ) -> list:
     """EXACT PERCENTILE_DISC over a CONTINUOUS (double) column in two
     streaming passes — the selection-algorithm complement to
@@ -547,9 +548,17 @@ def exact_continuous_quantile(
 
     Returns the selected elements (python floats) in ``qs`` order —
     ACTUAL data elements, so cross-engine comparison is exact float
-    equality, no rounding convention needed. Adversarially dense bins
-    (all mass in one bin) degrade the pass-2 collect toward the full
-    column; raise coarse_bins or recurse for such data.
+    equality, no rounding convention needed.
+
+    Adversarially dense bins (heavy ties / constant columns concentrating
+    the mass in one coarse bin) are handled by RECURSIVE BIN REFINEMENT
+    (VERDICT r3 item 4): when a boundary bin's count exceeds
+    ``bin_row_budget``, the bin is re-histogrammed within its ACTUAL
+    value range (a min/max pass over the bin makes progress guaranteed:
+    min < max splits into >= 2 sub-bins, min == max answers directly),
+    descending until the target bin fits the budget — the driver pull is
+    always <= bin_row_budget rows, never "the whole corpus happens to be
+    one bin".
     """
     import pyarrow.compute as pc
 
@@ -649,32 +658,165 @@ def exact_continuous_quantile(
         before = int(cum[i - 1]) if i > 0 else 0
         targets.append((int(bins[i]), rank - before))
 
-    need_bins = sorted({b for b, _ in targets})
-    need_set = pa.array(need_bins, pa.int64())
+    counts_by_bin = dict(zip(bins.tolist(), hist["n"].to_numpy().tolist()))
 
-    def boundary(b: pa.Table) -> pa.Table:
-        v = val_fn(b).cast(pa.float64())
-        arr = v.to_numpy(zero_copy_only=False)
-        mask = ~np.isnan(arr)
-        arr = arr[mask]
-        if len(arr) == 0:
-            return pa.table(
-                {"b": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}
+    def _clean(b: pa.Table) -> np.ndarray:
+        arr = val_fn(b).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        return arr[~np.isnan(arr)]
+
+    def _chain_mask(arr: np.ndarray, chain) -> np.ndarray:
+        m = np.ones(len(arr), bool)
+        for clo, cscale, cb in chain:
+            idx = np.clip(
+                np.floor((arr - clo) * cscale).astype(np.int64),
+                0,
+                coarse_bins - 1,
             )
-        bi = bin_of(arr)
-        keep = pc.is_in(pa.array(bi), value_set=need_set).to_numpy(
-            zero_copy_only=False
-        )
-        return pa.table({"b": pa.array(bi[keep]), "v": pa.array(arr[keep])})
+            m &= idx == cb
+        return m
 
-    bvals = (
-        ds.map_batches(boundary, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
+    def _refine(first_bin: int, within_rank: int) -> float:
+        # descend one histogram level at a time; each level's linear map
+        # is built from the ACTUAL min/max of the current selection, so
+        # min < max guarantees >= 2 nonempty sub-bins (progress) and
+        # min == max answers directly (constant selection)
+        chain = ((lo, scale, first_bin),)
+
+        while True:
+            def sel_mm(b: pa.Table, _c=chain) -> pa.Table:
+                arr = _clean(b)
+                arr = arr[_chain_mask(arr, _c)]
+                if len(arr) == 0:
+                    return pa.table(
+                        {
+                            "lo": pa.array([], pa.float64()),
+                            "hi": pa.array([], pa.float64()),
+                            "n": pa.array([], pa.int64()),
+                        }
+                    )
+                return pa.table(
+                    {
+                        "lo": pa.array([float(arr.min())]),
+                        "hi": pa.array([float(arr.max())]),
+                        "n": pa.array([len(arr)], pa.int64()),
+                    }
+                )
+
+            mparts = [
+                p
+                for p in tree_merge(
+                    ds.map_batches(
+                        sel_mm, batch_format="pyarrow", batch_size=None
+                    ),
+                    mm_combine,
+                ).iter_batches(batch_format="pyarrow")
+                if p.num_rows
+            ]
+            smm = mm_combine(pa.concat_tables(mparts))
+            slo, shi = smm["lo"][0].as_py(), smm["hi"][0].as_py()
+            n_sel = smm["n"][0].as_py()
+            if slo == shi:
+                return float(slo)
+            if n_sel <= bin_row_budget:
+                def sel_vals(b: pa.Table, _c=chain) -> pa.Table:
+                    arr = _clean(b)
+                    return pa.table(
+                        {"v": pa.array(arr[_chain_mask(arr, _c)])}
+                    )
+
+                vals = np.sort(
+                    ds.map_batches(
+                        sel_vals, batch_format="pyarrow", batch_size=None
+                    )
+                    .to_pandas()["v"]
+                    .to_numpy()
+                )
+                return float(vals[within_rank - 1])
+
+            sscale = coarse_bins / (shi - slo)
+
+            def sel_hist(b: pa.Table, _c=chain) -> pa.Table:
+                arr = _clean(b)
+                arr = arr[_chain_mask(arr, _c)]
+                if len(arr) == 0:
+                    return pa.table(
+                        {
+                            "b": pa.array([], pa.int64()),
+                            "n": pa.array([], pa.int64()),
+                        }
+                    )
+                idx = np.clip(
+                    np.floor((arr - slo) * sscale).astype(np.int64),
+                    0,
+                    coarse_bins - 1,
+                )
+                cnt = np.bincount(idx, minlength=coarse_bins)
+                nz = np.flatnonzero(cnt)
+                return pa.table(
+                    {
+                        "b": pa.array(nz),
+                        "n": pa.array(cnt[nz].astype(np.int64)),
+                    }
+                )
+
+            sh = (
+                hist_combine(
+                    pa.concat_tables(
+                        tree_merge(
+                            ds.map_batches(
+                                sel_hist,
+                                batch_format="pyarrow",
+                                batch_size=None,
+                            ),
+                            hist_combine,
+                        ).iter_batches(batch_format="pyarrow")
+                    )
+                )
+                .to_pandas()
+                .sort_values("b", ignore_index=True)
+            )
+            scum = sh["n"].cumsum().to_numpy()
+            sbins = sh["b"].to_numpy()
+            i = int(np.searchsorted(scum, within_rank))
+            before = int(scum[i - 1]) if i > 0 else 0
+            within_rank -= before
+            chain = chain + ((slo, sscale, int(sbins[i])),)
+
+    # shared fast path: every budget-sized boundary bin resolves from ONE
+    # filtered collect; oversized bins go through _refine
+    need_bins = sorted(
+        {b for b, _ in targets if counts_by_bin[b] <= bin_row_budget}
     )
+    bvals = None
+    if need_bins:
+        need_set = pa.array(need_bins, pa.int64())
+
+        def boundary(b: pa.Table) -> pa.Table:
+            arr = _clean(b)
+            if len(arr) == 0:
+                return pa.table(
+                    {
+                        "b": pa.array([], pa.int64()),
+                        "v": pa.array([], pa.float64()),
+                    }
+                )
+            bi = bin_of(arr)
+            keep = pc.is_in(pa.array(bi), value_set=need_set).to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table({"b": pa.array(bi[keep]), "v": pa.array(arr[keep])})
+
+        bvals = ds.map_batches(
+            boundary, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+
     out = []
     for tb, within_rank in targets:
-        vals = np.sort(bvals[bvals["b"] == tb]["v"].to_numpy())
-        out.append(float(vals[within_rank - 1]))
+        if counts_by_bin[tb] <= bin_row_budget:
+            vals = np.sort(bvals[bvals["b"] == tb]["v"].to_numpy())
+            out.append(float(vals[within_rank - 1]))
+        else:
+            out.append(_refine(tb, within_rank))
     return out
 
 

@@ -317,3 +317,62 @@ def test_continuous_quantile_ignores_nan_and_null(ray_session):
         rd.from_arrow(tbl), val_fn=lambda b: b["v"], qs=(0.5, 0.99)
     )
     assert out == [2.0, 5.0]
+
+
+def test_continuous_quantile_adversarial_one_bin(ray_session):
+    """Recursive bin refinement (VERDICT r3 item 4): a distribution whose
+    mass concentrates in ONE coarse bin (heavy ties + a huge outlier that
+    stretches the histogram range) must still resolve exactly with a
+    bounded driver pull — forced here with bin_row_budget smaller than
+    the dense bin."""
+    import pyarrow as pa
+
+    from mimirsbrunn_ray.stages.rollup import exact_continuous_quantile
+
+    # 2000 values in [0, 1) plus one at 1e12: coarse bin 0 holds 2000 rows
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([rng.random(2000), [1e12]])
+    tbl = pa.table({"v": pa.array(vals, pa.float64())})
+    qs = (0.1, 0.5, 0.9)
+    got = exact_continuous_quantile(
+        rd.from_arrow(tbl), val_fn=lambda b: b["v"], qs=qs,
+        bin_row_budget=50,
+    )
+    s = np.sort(vals)
+    want = [float(s[int(np.ceil(q * len(vals) - 1e-9)) - 1]) for q in qs]
+    assert got == want
+    # constant column: refinement's min==max short-circuit
+    const = pa.table({"v": pa.array([7.0] * 1000, pa.float64())})
+    got_c = exact_continuous_quantile(
+        rd.from_arrow(const), val_fn=lambda b: b["v"], qs=(0.5,),
+        bin_row_budget=10,
+    )
+    assert got_c == [7.0]
+
+
+def test_budget_prefix_adversarial_one_bin(ray_session):
+    """Constant weight column = the whole corpus in one histogram bin:
+    the boundary resolves via the distributed sort+limit path (forced
+    with boundary_row_budget=0), byte-identical to the driver path."""
+    import pyarrow as pa
+
+    from mimirsbrunn_ray.stages.ordered import budget_prefix_select
+
+    n = 500
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n)[::-1].copy(), pa.int64()),
+            "w": pa.array([3] * n, pa.int64()),
+        }
+    )
+    # budget 100 -> 33 rows of weight 3, smallest ids first (0..32)
+    for budget_rows in (10**9, 0):
+        out = (
+            budget_prefix_select(
+                rd.from_arrow(tbl), weight_col="w", id_col="doc_id",
+                budget=100, boundary_row_budget=budget_rows,
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert out["doc_id"].tolist() == list(range(33)), budget_rows
