@@ -691,9 +691,9 @@ def q_embedding_stats(sf_dir):
                           columns=["label", "embedding"])
 
     def partial(b: pa.Table) -> pa.Table:
-        vecs = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in b["embedding"].to_pylist()]
-        )
+        from mimirsbrunn_ray.stages.similarity import _to_matrix
+
+        vecs = _to_matrix(b["embedding"])  # flat list_flatten + reshape
         norms = np.sqrt((vecs * vecs).sum(axis=1))
         t = pa.table({"label": b["label"], "norm": pa.array(norms)})
         g = t.group_by(["label"]).aggregate([("norm", "sum"), ("norm", "count")])

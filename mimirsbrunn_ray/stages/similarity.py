@@ -16,11 +16,22 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+    """Densify a FIXED-DIM list<float> column: one list_flatten + reshape
+    (no per-row Python). Falls back to the row loop only for ragged /
+    null-bearing inputs, which fixed-dim embedding columns never are."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    try:
+        flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(len(arr), -1)
+    except ValueError:
+        return np.stack(
+            [np.asarray(v, dtype=np.float64) for v in arr.to_pylist()]
+        )
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -209,11 +220,12 @@ def cosine_pairs(
     # reference side built WITHOUT a driver data pull: the driver touches
     # only block refs; each normalization task and each actor resolves
     # blocks from the (node-shared, zero-copy) object store.
-    # (get_internal_block_refs is the ref-only API in the pinned Ray 2.49;
-    # it warns as deprecated — swap for iter_internal_ref_bundles on the
-    # next Ray bump.)
     emb_mat = emb.materialize()
-    block_refs = emb_mat.get_internal_block_refs()
+    block_refs = [
+        ref
+        for bundle in emb_mat.iter_internal_ref_bundles()
+        for ref in bundle.block_refs
+    ]
 
     @ray.remote(num_cpus=1)
     def _unit_block(block):
