@@ -4122,6 +4122,89 @@ QUERIES["type_share_per_hour"] = q_type_share_per_hour
 ORACLES["type_share_per_hour"] = SHARE_SQL
 
 
+_SYNONYMS = {"tbl": ["table"], "vec": ["vector"], "mrg": ["merge"]}
+_SYN_QUERY = "tbl "
+
+
+def q_synonym_search_docs(sf_dir):
+    """Prefix search through the config-driven synonym table — the
+    analyzer-baked synonym expansion the reference applies to every
+    autocomplete query (/root/reference/libs/mimir/src/rubber.rs:49-67):
+    the abbreviated query "tbl " expands to "table ", and rows matching
+    ANY variant score by importance. DuckDB models the expansion as a
+    synonym join."""
+    from mimirsbrunn_ray.stages.search import prefix_search
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return prefix_search(docs, _SYN_QUERY, k=10, synonyms=_SYNONYMS)
+
+
+SYNONYM_SQL = """
+WITH syn(variant) AS (VALUES ('tbl '), ('table '))
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS score
+FROM documents d
+WHERE EXISTS (
+  SELECT 1 FROM syn WHERE starts_with(d.text, syn.variant)
+)
+ORDER BY score DESC, d.doc_id
+LIMIT 10
+"""
+
+QUERIES["synonym_search_docs"] = q_synonym_search_docs
+ORACLES["synonym_search_docs"] = SYNONYM_SQL
+
+
+def q_i18n_labels(sf_dir):
+    """Per-lang label selection over a map<lang,text> names column — the
+    I18nProperties graft (/root/reference/libs/mimir/src/objects.rs:421-443,
+    libs/bragi/src/model.rs:144-168). A deterministic i18n dim is
+    synthesized from nation: the 'fr' variant (lower(name) || '-fr')
+    exists for EVEN keys only; keys where the variant would equal the
+    default exercise the skip-redundant-default rule
+    (labels.rs:92-118 — never stored, selection falls back). Output:
+    (n_nationkey, label) for lang='fr'."""
+    from mimirsbrunn_ray.functions.i18n import build_names_map, select_label
+
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+
+    def localize(b: pa.Table) -> pa.Table:
+        keys = b["n_nationkey"].to_numpy(zero_copy_only=False)
+        default = b["n_name"]
+        lowered = pc.utf8_lower(default)
+        fr = pc.if_else(
+            pa.array(keys % 2 == 0),
+            pc.binary_join_element_wise(lowered, "-fr", ""),
+            default,  # odd keys: variant == default -> skipped at build
+        )
+        names = build_names_map(default, {"fr": fr})
+        label = select_label(names, default, "fr")
+        return pa.table(
+            {
+                "n_nationkey": pa.array(keys.astype(np.int64)),
+                "label": label,
+            }
+        )
+
+    return nation.map_batches(
+        localize, batch_format="pyarrow", batch_size=None
+    )
+
+
+I18N_SQL = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CASE WHEN n_nationkey % 2 = 0 THEN lower(n_name) || '-fr'
+            ELSE n_name END AS label
+FROM nation
+"""
+
+QUERIES["i18n_labels"] = q_i18n_labels
+ORACLES["i18n_labels"] = I18N_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

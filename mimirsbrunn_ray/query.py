@@ -14,6 +14,11 @@ column pruning and parquet row-group predicate pushdown at the read.
 
 from __future__ import annotations
 
+import functools
+import time
+from collections import defaultdict, deque
+
+import numpy as np
 import pandas as pd
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -27,6 +32,58 @@ def _tier_dataset(store: TierStore, tier: str) -> "pads.Dataset":
     return pads.dataset(store.latest_data_paths(tier))
 
 
+# ---------------------------------------------------------------------------
+# Per-route latency histograms — the Prometheus middleware graft
+# (/root/reference/libs/bragi/src/prometheus_middleware.rs): every route
+# records its wall time into a bounded reservoir; ``status()`` reports
+# count / quantiles per route.
+# ---------------------------------------------------------------------------
+
+_LATENCY_WINDOW = 4096
+_route_timings: dict[str, deque] = defaultdict(
+    lambda: deque(maxlen=_LATENCY_WINDOW)
+)
+_route_counts: dict[str, int] = defaultdict(int)
+
+
+def _timed_route(fn):
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        t0 = time.perf_counter()
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            _route_timings[fn.__name__].append(time.perf_counter() - t0)
+            _route_counts[fn.__name__] += 1
+
+    return wrapper
+
+
+def latency_stats() -> dict:
+    """count + p50/p90/p99/max seconds per exercised route (quantiles over
+    the last ``_LATENCY_WINDOW`` calls; count is all-time)."""
+    out = {}
+    for route, samples in _route_timings.items():
+        arr = np.sort(np.asarray(samples, dtype=np.float64))
+        if len(arr) == 0:
+            continue
+        pick = lambda q: float(arr[min(len(arr) - 1, int(q * len(arr)))])  # noqa: E731
+        out[route] = {
+            "count": _route_counts[route],
+            "p50_s": pick(0.50),
+            "p90_s": pick(0.90),
+            "p99_s": pick(0.99),
+            "max_s": float(arr[-1]),
+        }
+    return out
+
+
+def reset_latency_stats() -> None:
+    _route_timings.clear()
+    _route_counts.clear()
+
+
+@_timed_route
 def top_k(
     store: TierStore,
     tier: str = "1m",
@@ -36,6 +93,7 @@ def top_k(
     source: str | None = None,
     descending: bool = True,
     fallback_unfiltered: bool = True,
+    debug: bool = False,
 ) -> pd.DataFrame:
     """Top-k buckets by a metric (default page size 10 like bragi's
     autocomplete limit, /root/reference/libs/bragi/src/routes/autocomplete.rs:56-58;
@@ -44,6 +102,12 @@ def top_k(
     Two-pass orchestration graft (query.rs:667-714: exact prefix first,
     fuzzy fallback iff ZERO results): when the source-filtered scan returns
     nothing and ``fallback_unfiltered``, retry without the source filter.
+
+    ``debug=True`` adds an ``explain`` column — the per-result component
+    breakdown of the reference's ``_debug`` -> ES explain tree
+    (/root/reference/libs/mimir/src/objects.rs:958-976): which metric was
+    ranked, its raw value, the per-bucket mean that value decomposes into,
+    and whether the relaxed second pass produced the row.
     """
 
     def scan(src):
@@ -55,24 +119,49 @@ def top_k(
         )
 
     tbl = scan(source)
+    relaxed = False
     if tbl.num_rows == 0 and source is not None and fallback_unfiltered:
         tbl = scan(None)  # pass 2: relaxed
+        relaxed = True
     df = tbl.to_pandas().sort_values(
         [metric, "source", "bucket"], ascending=[not descending, True, True]
     )
-    return df.iloc[offset : offset + k].reset_index(drop=True)
+    page = df.iloc[offset : offset + k].reset_index(drop=True)
+    if debug:
+        page = page.assign(
+            explain=[
+                {
+                    "metric": metric,
+                    "value": float(r[metric]),
+                    "n_rows": int(r["n_rows"]),
+                    "mean_per_row": float(r[metric]) / max(int(r["n_rows"]), 1),
+                    "relaxed_pass": relaxed,
+                }
+                for r in page.to_dict("records")
+            ]
+        )
+    return page
 
 
-def lookup_id(store: TierStore, doc_id: str) -> dict | None:
-    """Exact-id lookup in the raw tier (features/{id}; 404 -> None)."""
+@_timed_route
+def lookup_id(
+    store: TierStore, doc_id: str, lang: str | None = None
+) -> dict | None:
+    """Exact-id lookup in the raw tier (features/{id}; 404 -> None).
+    ``lang`` shapes the response per request language when the row carries
+    a ``names`` map column (the I18nProperties selection,
+    /root/reference/libs/bragi/src/model.rs:144-168)."""
+    from mimirsbrunn_ray.functions.i18n import localized_row
+
     tbl = _tier_dataset(store, "raw").to_table(
         filter=pc.field("doc_id") == doc_id
     )
     if tbl.num_rows == 0:
         return None
-    return tbl.slice(0, 1).to_pylist()[0]
+    return localized_row(tbl.slice(0, 1).to_pylist()[0], lang)
 
 
+@_timed_route
 def as_of(
     store: TierStore, source: str, ts_us: int, tier: str = "1m"
 ) -> dict | None:
@@ -101,8 +190,10 @@ def _gran_of(tier: str) -> str:
 
 
 def status(store: TierStore, tiers=("raw", "1m", "1h", "1d", "compressed")) -> dict:
-    """Run-manifest counters per tier (the /status + /metrics analog)."""
-    out = {}
+    """Run-manifest counters per tier + per-route latency histograms (the
+    /status + /metrics analog; timing quantiles graft the Prometheus
+    middleware, /root/reference/libs/bragi/src/prometheus_middleware.rs)."""
+    out = {"latency": latency_stats()}
     for tier in tiers:
         run_dir = store.latest_run_dir(tier)
         if run_dir is None:

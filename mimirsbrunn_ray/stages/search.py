@@ -33,6 +33,32 @@ def _partial_topk(score_cols, k: int):
     return combine
 
 
+def expand_query(
+    query: str, synonyms: dict | None, cap: int = 64
+) -> list[str]:
+    """Token-wise synonym expansion of a query — the analyzer-baked
+    synonym list the reference applies to every autocomplete query
+    (/root/reference/libs/mimir/src/rubber.rs:49-67, e.g. "bd" ->
+    "boulevard"). Each token maps to itself plus its configured variants;
+    the cartesian product (capped at ``cap`` — synonym lists are
+    config-sized) preserves leading/trailing whitespace so prefix
+    semantics survive ("tbl " -> ["tbl ", "table "])."""
+    if not synonyms:
+        return [query]
+    lead = query[: len(query) - len(query.lstrip())]
+    trail = query[len(query.rstrip()):]
+    toks = query.split()
+    if not toks:
+        return [query]
+    out = [""]
+    for t in toks:
+        variants = [t] + [v for v in synonyms.get(t, ()) if v != t]
+        out = [
+            (p + " " + v) if p else v for p in out for v in variants
+        ][:cap]
+    return [lead + o + trail for o in out]
+
+
 def prefix_search(
     docs: "rd.Dataset",
     query: str,
@@ -41,13 +67,24 @@ def prefix_search(
     text_col: str = "text",
     id_col: str = "doc_id",
     weight_col: str = "n_chars",
+    synonyms: dict | None = None,
 ) -> "rd.Dataset":
-    """Exact-prefix pass: rows whose text starts with ``query``, scored by
-    importance (``weight_col``), top-k with paging offset."""
+    """Exact-prefix pass: rows whose text starts with ``query`` — or, with
+    a ``synonyms`` table, with ANY of its expanded variants (OR of
+    vectorized starts_with masks; variant count is config-sized) — scored
+    by importance (``weight_col``), top-k with paging offset."""
     need = k + offset
+    variants = expand_query(query, synonyms)
 
     def match(b: pa.Table) -> pa.Table:
-        hit = pc.fill_null(pc.starts_with(b[text_col], pattern=query), False)
+        hit = pc.fill_null(
+            pc.starts_with(b[text_col], pattern=variants[0]), False
+        )
+        for v in variants[1:]:
+            hit = pc.or_(
+                hit,
+                pc.fill_null(pc.starts_with(b[text_col], pattern=v), False),
+            )
         b = b.filter(hit)
         return pa.table(
             {
@@ -70,26 +107,39 @@ def prefix_search(
 
 class _TrigramScorer:
     """Shipped-instance stage: trigram Jaccard(text, query) blended with
-    the doc's importance weight; emits per-batch rows with score > 0."""
+    the doc's importance weight; emits per-batch rows with score > 0.
+
+    With a synonym-expanded query, Jaccard is the MAX over the variants
+    (each variant's trigram set is precompiled once per task spec).
+    ``debug=True`` adds the per-result score-component breakdown the
+    reference exposes via its ES explain tree
+    (/root/reference/libs/mimir/src/objects.rs:958-976): the raw trigram
+    jaccard and the importance blend factor alongside the final score."""
 
     def __init__(self, query: str, text_col: str, id_col: str,
-                 weight_col: str, weight_scale: float):
-        q_vals, _ = _batch_shingle_hashes([query.lower()], k=3)
-        self.q_tri = np.unique(q_vals)
+                 weight_col: str, weight_scale: float,
+                 synonyms: dict | None = None, debug: bool = False):
+        self.q_tris = []
+        for v in expand_query(query, synonyms):
+            q_vals, _ = _batch_shingle_hashes([v.lower()], k=3)
+            self.q_tris.append(np.unique(q_vals))
         self.text_col = text_col
         self.id_col = id_col
         self.weight_col = weight_col
         self.weight_scale = weight_scale
+        self.debug = debug
 
     def __call__(self, b: pa.Table) -> pa.Table:
         from mimirsbrunn_ray.functions.scoring import blend_weight
 
         n = b.num_rows
         if n == 0:
-            return pa.table(
-                {self.id_col: b[self.id_col],
-                 "score": pa.array([], type=pa.float64())}
-            )
+            cols = {self.id_col: b[self.id_col],
+                    "score": pa.array([], type=pa.float64())}
+            if self.debug:
+                cols["jaccard"] = pa.array([], type=pa.float64())
+                cols["importance"] = pa.array([], type=pa.float64())
+            return pa.table(cols)
         texts = [t.lower() if t else "" for t in b[self.text_col].to_pylist()]
         vals, offsets = _batch_shingle_hashes(texts, k=3)
         counts = np.diff(np.append(offsets, len(vals)))
@@ -98,22 +148,27 @@ class _TrigramScorer:
         pair = np.unique(np.stack([doc_idx, vals.view(np.int64)]), axis=1)
         u_idx, u_vals = pair[0], pair[1].view(np.uint64)
         n_tri = np.bincount(u_idx, minlength=n)
-        inter = np.bincount(
-            u_idx[np.isin(u_vals, self.q_tri)], minlength=n
-        )
-        union = n_tri + len(self.q_tri) - inter
-        jac = inter / np.maximum(union, 1)
+        jac = np.zeros(n, np.float64)
+        for q_tri in self.q_tris:  # max over synonym variants (config-sized)
+            inter = np.bincount(
+                u_idx[np.isin(u_vals, q_tri)], minlength=n
+            )
+            union = n_tri + len(q_tri) - inter
+            jac = np.maximum(jac, inter / np.maximum(union, 1))
         w = b[self.weight_col].cast(pa.float64()).to_numpy(
             zero_copy_only=False
         ) / self.weight_scale
-        score = jac * (0.5 + 0.5 * blend_weight(w, w))
+        importance = 0.5 + 0.5 * blend_weight(w, w)
+        score = jac * importance
         keep = score > 0
-        return pa.table(
-            {
-                self.id_col: b[self.id_col].filter(pa.array(keep)),
-                "score": pa.array(np.round(score[keep], 6)),
-            }
-        )
+        cols = {
+            self.id_col: b[self.id_col].filter(pa.array(keep)),
+            "score": pa.array(np.round(score[keep], 6)),
+        }
+        if self.debug:
+            cols["jaccard"] = pa.array(np.round(jac[keep], 6))
+            cols["importance"] = pa.array(np.round(importance[keep], 6))
+        return pa.table(cols)
 
 
 def fuzzy_search(
@@ -125,13 +180,18 @@ def fuzzy_search(
     id_col: str = "doc_id",
     weight_col: str = "n_chars",
     weight_scale: float = 500.0,
+    synonyms: dict | None = None,
+    debug: bool = False,
 ) -> "rd.Dataset":
-    """Trigram-fuzzy pass: character-3-gram Jaccard x importance blend."""
+    """Trigram-fuzzy pass: character-3-gram Jaccard x importance blend.
+    ``debug=True`` carries the (jaccard, importance) component columns
+    through to the result — the explain-tree graft."""
     from mimirsbrunn_ray.stages.rollup import tree_merge
 
     need = k + offset
     scored = docs.map_batches(
-        _TrigramScorer(query, text_col, id_col, weight_col, weight_scale),
+        _TrigramScorer(query, text_col, id_col, weight_col, weight_scale,
+                       synonyms=synonyms, debug=debug),
         batch_format="pyarrow",
         batch_size=None,
     )
@@ -149,14 +209,23 @@ def autocomplete(
     query: str,
     k: int = 10,
     offset: int = 0,
+    synonyms: dict | None = None,
+    debug: bool = False,
     **kwargs,
 ):
     """The two-pass orchestration: exact prefix first; trigram-fuzzy
-    fallback IFF the prefix pass returns zero rows (query.rs:667-714)."""
-    first = prefix_search(docs, query, k=k, offset=offset, **kwargs).materialize()
+    fallback IFF the prefix pass returns zero rows (query.rs:667-714).
+    Synonym expansion applies to BOTH passes (the reference bakes the
+    synonym list into every analyzer)."""
+    first = prefix_search(
+        docs, query, k=k, offset=offset, synonyms=synonyms, **kwargs
+    ).materialize()
     if first.count() > 0:
         return first
-    return fuzzy_search(docs, query, k=k, offset=offset, **kwargs)
+    return fuzzy_search(
+        docs, query, k=k, offset=offset, synonyms=synonyms, debug=debug,
+        **kwargs,
+    )
 
 
 def _group_rank_prune(group_cols, sort_cols, k: int):

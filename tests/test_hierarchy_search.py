@@ -239,3 +239,85 @@ def test_grouped_top_k_nan_group_keys(ray_session):
     assert len(nan_rows) == 2, nan_rows
     assert sorted(nan_rows.v) == [8, 9]
     assert len(got) == 5  # two from 1.0, two from NaN, one from 2.0
+
+
+def test_synonym_expansion(ray_session):
+    """Config-driven synonym table (rubber.rs:49-67 graft): the expanded
+    variants match in BOTH passes, expansion caps the cartesian product,
+    and whitespace-anchored prefixes survive expansion."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.search import expand_query, prefix_search
+
+    syn = {"bd": ["boulevard"], "st": ["street", "saint"]}
+    assert expand_query("bd ", syn) == ["bd ", "boulevard "]
+    assert sorted(expand_query("bd st", syn)) == sorted(
+        ["bd st", "bd street", "bd saint",
+         "boulevard st", "boulevard street", "boulevard saint"]
+    )
+    assert expand_query("bd", None) == ["bd"]
+    assert expand_query("", syn) == [""]
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "boulevard of dreams", "bd of dreams",
+            "street fair", "avenue nowhere",
+        ]),
+        "n_chars": pa.array([19, 12, 11, 14], pa.int64()),
+    }))
+    hits = (
+        prefix_search(docs, "bd", k=10, synonyms=syn)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert hits["doc_id"].tolist() == [1, 2]  # both variants matched
+    # without synonyms only the literal prefix matches
+    plain = prefix_search(docs, "bd", k=10).to_pandas()
+    assert plain["doc_id"].tolist() == [2]
+
+
+def test_fuzzy_debug_components(ray_session):
+    """debug=True on the fuzzy pass emits the score breakdown and the
+    components recompose the final score (explain-tree graft)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.search import fuzzy_search
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["vector table scan", "merge join hash"]),
+        "n_chars": pa.array([17, 15], pa.int64()),
+    }))
+    out = fuzzy_search(docs, "vectro table", k=5, debug=True).to_pandas()
+    assert {"jaccard", "importance", "score"} <= set(out.columns)
+    assert len(out) >= 1
+    recomposed = (out["jaccard"] * out["importance"]).round(4)
+    assert (abs(recomposed - out["score"].round(4)) <= 1e-3).all()
+    # no debug -> schema unchanged (oracle stability)
+    plain = fuzzy_search(docs, "vectro table", k=5).to_pandas()
+    assert set(plain.columns) == {"doc_id", "score"}
+
+
+def test_i18n_select_label_vectorized(ray_session):
+    """select_label: stored variant wins, absent/redundant falls back to
+    the default; build_names_map never stores redundant variants."""
+    import pyarrow as pa
+
+    from mimirsbrunn_ray.functions.i18n import build_names_map, select_label
+
+    default = pa.array(["Paris", "Lyon", "Nice", "Metz"])
+    fr = pa.array(["Paris-fr", "Lyon", None, "Metz-fr"])  # Lyon redundant
+    de = pa.array([None, "Lyon-de", "Nice-de", None])
+    names = build_names_map(default, {"fr": fr, "de": de})
+    # redundant + null variants are not stored
+    stored = names.to_pylist()
+    assert ("fr", "Lyon") not in (stored[1] or [])
+    got_fr = select_label(names, default, "fr").to_pylist()
+    assert got_fr == ["Paris-fr", "Lyon", "Nice", "Metz-fr"]
+    got_de = select_label(names, default, "de").to_pylist()
+    assert got_de == ["Paris", "Lyon-de", "Nice-de", "Metz"]
+    assert select_label(names, default, None).to_pylist() == default.to_pylist()
+    # a lang nobody stores
+    assert select_label(names, default, "zz").to_pylist() == default.to_pylist()

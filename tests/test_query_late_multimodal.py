@@ -404,3 +404,70 @@ def test_wavhash_noise_invariance_and_distinctness():
     assert wavhash64(np.asarray([5, -3], np.int16)) == wavhash64(
         np.asarray([5, -3], np.int16)
     )
+
+
+def test_latency_histograms(store):
+    """Per-route timing quantiles (the prometheus_middleware graft):
+    exercised routes show up in status()['latency'] with counts and
+    ordered quantiles."""
+    from mimirsbrunn_ray.query import (
+        as_of, latency_stats, lookup_id, reset_latency_stats, status, top_k,
+    )
+
+    reset_latency_stats()
+    top_k(store, tier="1m", k=2)
+    top_k(store, tier="1m", k=3)
+    lookup_id(store, "doc-nope-0000000000")
+    as_of(store, "web", EPOCH0_US + 10 * 60_000_000)
+
+    lat = status(store)["latency"]
+    assert lat["top_k"]["count"] == 2
+    assert lat["lookup_id"]["count"] == 1
+    assert lat["as_of"]["count"] == 1
+    for route, h in lat.items():
+        assert 0 <= h["p50_s"] <= h["p90_s"] <= h["p99_s"] <= h["max_s"]
+    assert latency_stats() == lat
+
+
+def test_top_k_debug_explain(store):
+    """debug=True attaches the per-result component breakdown (the
+    _debug -> explain-tree graft): metric identity, raw value, per-row
+    mean decomposition, and which pass produced the row."""
+    from mimirsbrunn_ray.query import top_k
+
+    df = top_k(store, tier="1m", metric="sum_tok", k=3, debug=True)
+    assert "explain" in df.columns
+    for _, r in df.iterrows():
+        e = r["explain"]
+        assert e["metric"] == "sum_tok"
+        assert e["value"] == float(r["sum_tok"])
+        assert e["n_rows"] == int(r["n_rows"])
+        assert e["mean_per_row"] == pytest.approx(e["value"] / max(e["n_rows"], 1))
+        assert e["relaxed_pass"] is False
+    # the relaxed second pass is flagged
+    df2 = top_k(store, tier="1m", k=2, source="no-such-source", debug=True)
+    assert len(df2) > 0 and all(e["relaxed_pass"] for e in df2["explain"])
+    # no flag requested -> no column (driver compare stability)
+    assert "explain" not in top_k(store, tier="1m", k=2).columns
+
+
+def test_lookup_id_lang_selection(store, corpus):
+    """lang-aware response shaping: a names map on the row overrides the
+    label for a stored variant and falls back for absent/redundant ones."""
+    from mimirsbrunn_ray.functions.i18n import localized_row
+
+    row = {"doc_id": "x", "label": "Paris",
+           "names": [("fr", "Paris-fr"), ("de", "Paris-de")]}
+    assert localized_row(row, "fr")["label"] == "Paris-fr"
+    assert localized_row(row, "de")["label"] == "Paris-de"
+    assert localized_row(row, "es")["label"] == "Paris"  # absent -> default
+    assert localized_row(row, None)["label"] == "Paris"
+    bare = {"doc_id": "y", "label": "Lyon"}  # no names column at all
+    assert localized_row(bare, "fr")["label"] == "Lyon"
+    # the raw tier has no names column: lang must be a no-op, not an error
+    import pyarrow.parquet as pq
+
+    from mimirsbrunn_ray.query import lookup_id
+
+    some_id = pq.read_table(corpus["main_paths"][0])["doc_id"][0].as_py()
+    assert lookup_id(store, some_id, lang="fr")["doc_id"] == some_id
