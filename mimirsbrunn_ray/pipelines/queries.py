@@ -4205,6 +4205,195 @@ QUERIES["i18n_labels"] = q_i18n_labels
 ORACLES["i18n_labels"] = I18N_SQL
 
 
+def q_last_click_before_purchase(sf_dir):
+    """First-touch attribution (stages/ordered.last_touch_attribution):
+    for every purchase, the user's most recent STRICTLY PRECEDING click
+    timestamp — the conditional running-max window, kept int64
+    end-to-end and pruned to trigger+touch rows before the shuffle."""
+    from mimirsbrunn_ray.stages.ordered import last_touch_attribution
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return last_touch_attribution(
+        ev, key="user_id", ts_col="ts", type_col="event_type",
+        trigger="purchase", touch="click", id_col="event_id",
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IN ('purchase', 'click')
+),
+w AS (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch_ts
+  FROM e
+)
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, ts, last_touch_ts
+FROM w WHERE event_type = 'purchase'
+"""
+
+QUERIES["last_click_before_purchase"] = q_last_click_before_purchase
+ORACLES["last_click_before_purchase"] = ATTRIBUTION_SQL
+
+
+def q_cheapest_lineitem_per_part(sf_dir):
+    """Grouped ARGMIN + dimension join-back (the TPC-H Q2 'min-cost
+    supplier' shape): per part, the single cheapest lineitem (ties by
+    orderkey, linenumber), then the part name attached by broadcast
+    join. Scale shape: grouped_top_k's per-batch partial prune moves
+    <= 1 row per (part, batch) into ONE hash shuffle — never the fact
+    table — and the dimension ships once via ray.put."""
+    import ray
+
+    from mimirsbrunn_ray.stages.join import broadcast_join
+    from mimirsbrunn_ray.stages.search import grouped_top_k
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    best = grouped_top_k(
+        li, ["l_partkey"], "l_extendedprice", k=1, descending=False,
+        tiebreak_cols=("l_orderkey", "l_linenumber"),
+    )
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    lookup = dict(
+        zip(part["p_partkey"].to_pylist(), part["p_name"].to_pylist())
+    )
+    named = broadcast_join(
+        best, ray.put(lookup), key_col="l_partkey", out_col="p_name",
+        out_type=pa.string(),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "p_name": b["p_name"],
+                "l_orderkey": b["l_orderkey"],
+                "min_price_cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            b["l_extendedprice"].cast(pa.float64()), 100.0
+                        ),
+                        ndigits=0, round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return named.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+ARGMIN_SQL = """
+WITH r AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         ) AS rn
+  FROM lineitem
+)
+SELECT r.l_partkey, p.p_name, r.l_orderkey,
+       CAST(ROUND(r.l_extendedprice * 100, 0) AS BIGINT) AS min_price_cents
+FROM r JOIN part p ON p.p_partkey = r.l_partkey
+WHERE rn = 1
+"""
+
+QUERIES["cheapest_lineitem_per_part"] = q_cheapest_lineitem_per_part
+ORACLES["cheapest_lineitem_per_part"] = ARGMIN_SQL
+
+
+_MIX_BUDGET = 1000
+
+
+def q_mixture_allocation(sf_dir):
+    """Training-data mixture apportionment: split a sample budget of
+    {budget} across sources proportionally to their document counts by
+    the LARGEST-REMAINDER method (floor quotas, remainder seats to the
+    largest fractional parts, ties by source asc) — the deterministic
+    mixing-weights step of a curriculum/mixture pipeline. The distributed
+    part is the per-source count (combiner-first partials + tree merge);
+    apportionment itself is O(#sources) on the driver."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source"]).aggregate([("n", "sum")])
+        return g.rename_columns(["source", "n"])
+
+    counts = (
+        tree_merge(
+            docs.map_batches(partial, batch_format="pyarrow", batch_size=None),
+            combine,
+        )
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    n = counts["n"].to_numpy(np.float64)
+    tot = n.sum()
+    quota = _MIX_BUDGET * n / tot
+    fl = np.floor(quota)
+    rem = int(_MIX_BUDGET - fl.sum())
+    frac = quota - fl
+    # remainder seats: largest fraction first, source asc on ties
+    order = np.lexsort((counts["source"].to_numpy(), -frac))
+    alloc = fl.astype(np.int64)
+    alloc[order[:rem]] += 1
+    return pa.table(
+        {
+            "source": pa.array(counts["source"], pa.string()),
+            "alloc": pa.array(alloc),
+        }
+    )
+
+
+MIXTURE_SQL = f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, n,
+         {_MIX_BUDGET} * CAST(n AS DOUBLE) / (SELECT SUM(n) FROM c) AS quota
+  FROM c
+),
+r AS (
+  SELECT source, FLOOR(quota) AS fl, quota - FLOOR(quota) AS frac FROM q
+),
+k AS (
+  SELECT source, fl,
+         ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk,
+         (SELECT {_MIX_BUDGET} - SUM(fl) FROM r) AS rem
+  FROM r
+)
+SELECT source,
+       CAST(fl + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM k
+"""
+
+QUERIES["mixture_allocation"] = q_mixture_allocation
+ORACLES["mixture_allocation"] = MIXTURE_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

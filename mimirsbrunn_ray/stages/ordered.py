@@ -839,3 +839,104 @@ def budget_prefix_select(
         pa.Table.from_pandas(bnd.iloc[:take], preserve_index=False)
     )
     return selected.union(picked)
+
+
+def last_touch_attribution(
+    ds: "rd.Dataset",
+    key: str,
+    ts_col: str,
+    type_col: str,
+    trigger: str,
+    touch: str,
+    id_col: str,
+) -> "rd.Dataset":
+    """First-touch-style attribution: for every ``trigger`` row, the
+    timestamp of the same key's most recent PRECEDING ``touch`` row —
+    `MAX(CASE WHEN type=touch THEN ts END) OVER (PARTITION BY key
+    ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`
+    filtered to trigger rows.
+
+    Scale shape: rows of other types are dropped BEFORE the shuffle (the
+    stream moves only trigger+touch rows), ONE hash shuffle on the key,
+    then per-group a pandas segment cummax kept in int64 end-to-end — the
+    int64 sentinel (never float NaN) avoids the float64 precision trap on
+    microsecond timestamps. Null key/ts rows are dropped (SQL window
+    semantics). Output: id_col, key, ts timestamp[us],
+    last_touch_ts timestamp[us] (null when no touch precedes).
+    """
+    imin = np.iinfo(np.int64).min
+
+    def prune(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col])),
+            pc.is_in(
+                b[type_col], value_set=pa.array([trigger, touch], pa.string())
+            ),
+        )
+        b = b.filter(keep)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                key: b[key],
+                "ts": b[ts_col].cast(pa.timestamp("us")),
+                "is_touch": pc.equal(b[type_col], touch),
+                "is_trigger": pc.equal(b[type_col], trigger),
+            }
+        )
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {
+            id_col: pd.Series([], dtype="int64"),
+            key: pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "last_touch_ts": pd.Series([], dtype="datetime64[us]"),
+        }
+        if len(g) == 0:
+            return pd.DataFrame(out_cols)
+        g = g.sort_values([key, "ts", id_col], kind="mergesort")
+        ts_int = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        touch_ts = np.where(g["is_touch"].to_numpy(), ts_int, imin)
+        # segment cummax in int64 (groupby preserves order, stays int64)
+        cm = (
+            pd.Series(touch_ts)
+            .groupby(g[key].to_numpy(), sort=False)
+            .cummax()
+            .to_numpy()
+        )
+        prev = np.empty(len(cm), np.int64)
+        prev[0] = imin
+        prev[1:] = cm[:-1]
+        new_seg = np.ones(len(g), bool)
+        kv = g[key].to_numpy()
+        new_seg[1:] = kv[1:] != kv[:-1]
+        prev[new_seg] = imin  # frame is empty at each key's first row
+        trig = g["is_trigger"].to_numpy()
+        last = prev[trig]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy()[trig],
+                key: kv[trig],
+                "ts": g["ts"].to_numpy()[trig],
+                "last_touch_ts": pd.Series(
+                    np.where(last == imin, np.datetime64("NaT", "us"),
+                             last.view("datetime64[us]")),
+                    dtype="datetime64[us]",
+                ),
+            }
+        )
+
+    out = pruned.groupby(key).map_groups(per_key, batch_format="pandas")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                key: b[key],
+                "ts": b["ts"].cast(pa.timestamp("us")),
+                "last_touch_ts": b["last_touch_ts"].cast(pa.timestamp("us")),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

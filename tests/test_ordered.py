@@ -360,3 +360,44 @@ def test_contaminated_doc_ids_counts(ray_session):
     )
     assert out1["doc_id"].tolist() == [1, 2]
     assert out1["n_hits"].tolist() == [3, 1]
+
+
+def test_last_touch_attribution_edges(ray_session):
+    """Strictly-preceding frame, same-ts ordering by id, null key/ts rows
+    dropped, trigger with no preceding touch -> null."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.ordered import last_touch_attribution
+
+    us = lambda s: np.datetime64(s, "us")  # noqa: E731
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        "user_id": pa.array([10, 10, 10, 10, 20, 20, None, 30], pa.int64()),
+        "ts": pa.array([
+            us("2026-01-01 00:00:00"), us("2026-01-01 00:01:00"),
+            us("2026-01-01 00:01:00"), us("2026-01-01 00:02:00"),
+            us("2026-01-01 00:00:30"), None,
+            us("2026-01-01 00:00:10"), us("2026-01-01 00:00:40"),
+        ], pa.timestamp("us")),
+        "event_type": pa.array([
+            "click", "click", "purchase", "purchase",
+            "purchase", "click", "purchase", "view",
+        ]),
+    })
+    out = (
+        last_touch_attribution(
+            rd.from_arrow(tbl), key="user_id", ts_col="ts",
+            type_col="event_type", trigger="purchase", touch="click",
+            id_col="event_id",
+        )
+        .to_pandas().sort_values("event_id", ignore_index=True)
+    )
+    # user 10: purchase id=3 at 00:01 — click id=2 shares its ts but has a
+    # SMALLER id, so it's a preceding row (ORDER BY ts, id)
+    got = dict(zip(out["event_id"], out["last_touch_ts"]))
+    assert got[3] == pd.Timestamp("2026-01-01 00:01:00")
+    assert got[4] == pd.Timestamp("2026-01-01 00:01:00")
+    assert pd.isna(got[5])        # user 20: no preceding click (null-ts dropped)
+    assert 7 not in got           # null user dropped
+    assert set(out["event_id"]) == {3, 4, 5}  # user 30 has no purchase
