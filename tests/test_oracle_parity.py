@@ -36,6 +36,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.datetime64):
+            # the driver compares str(timestamp); NaT != NaT would fail
+            # np.array_equal on raw datetime64 even for identical columns
+            df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
