@@ -4394,6 +4394,41 @@ QUERIES["mixture_allocation"] = q_mixture_allocation
 ORACLES["mixture_allocation"] = MIXTURE_SQL
 
 
+def q_value_quantiles_cont(sf_dir):
+    """EXACT PERCENTILE_CONT (linear interpolation) over events.value —
+    the interpolated complement of value_quantiles_exact, through the
+    same two-pass histogram machinery (one extra rank per q, no extra
+    passes; DuckDB's interpolation op order mirrored bit-for-bit, then
+    both engines snap x1e6 fixed-point)."""
+    from mimirsbrunn_ray.stages.ordered import _round_half_away
+    from mimirsbrunn_ray.stages.rollup import exact_continuous_quantile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    vals = exact_continuous_quantile(
+        ev, val_fn=lambda b: b["value"], qs=(0.25, 0.5, 0.9),
+        interpolation="cont",
+    )
+    snapped = _round_half_away(np.asarray(vals, np.float64) * 1e6)
+    return pa.table(
+        {
+            "p25_x1e6": pa.array([snapped[0]], pa.int64()),
+            "p50_x1e6": pa.array([snapped[1]], pa.int64()),
+            "p90_x1e6": pa.array([snapped[2]], pa.int64()),
+        }
+    )
+
+
+VALUE_QUANTILES_CONT_SQL = """
+SELECT CAST(ROUND(quantile_cont(value, 0.25) * 1000000, 0) AS BIGINT) AS p25_x1e6,
+       CAST(ROUND(quantile_cont(value, 0.5) * 1000000, 0) AS BIGINT) AS p50_x1e6,
+       CAST(ROUND(quantile_cont(value, 0.9) * 1000000, 0) AS BIGINT) AS p90_x1e6
+FROM events WHERE value IS NOT NULL
+"""
+
+QUERIES["value_quantiles_cont"] = q_value_quantiles_cont
+ORACLES["value_quantiles_cont"] = VALUE_QUANTILES_CONT_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

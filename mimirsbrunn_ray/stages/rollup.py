@@ -529,6 +529,7 @@ def exact_continuous_quantile(
     qs=(0.5,),
     coarse_bins: int = 4096,
     bin_row_budget: int = 4_000_000,
+    interpolation: str = "disc",
 ) -> list:
     """EXACT PERCENTILE_DISC over a CONTINUOUS (double) column in two
     streaming passes — the selection-algorithm complement to
@@ -549,6 +550,13 @@ def exact_continuous_quantile(
     Returns the selected elements (python floats) in ``qs`` order —
     ACTUAL data elements, so cross-engine comparison is exact float
     equality, no rounding convention needed.
+
+    ``interpolation="cont"`` computes PERCENTILE_CONT instead: the two
+    neighboring elements at rank floor/ceil of ``(n-1)*q`` are resolved
+    through the SAME rank machinery (one extra rank per q, no extra
+    passes) and linearly interpolated with DuckDB/Postgres's exact
+    operation order ``(crn-rn)*lo + (rn-frn)*hi`` so cross-engine floats
+    agree bit-for-bit away from 1-ulp rounding boundaries.
 
     Adversarially dense bins (heavy ties / constant columns concentrating
     the mass in one coarse bin) are handled by RECURSIVE BIN REFINEMENT
@@ -651,12 +659,29 @@ def exact_continuous_quantile(
     cum = hist["n"].cumsum().to_numpy()
     bins = hist["b"].to_numpy()
 
-    targets = []
+    if interpolation not in ("disc", "cont"):
+        raise ValueError(f"unknown interpolation {interpolation!r}")
+    # per-q rank spec: disc needs ONE 1-based rank; cont needs the two
+    # neighbors of rn = (n-1)*q (identical machinery, one extra rank)
+    specs = []
+    ranks_needed = set()
     for q in qs:
-        rank = int(np.ceil(q * total - 1e-9))  # 1-based PERCENTILE_DISC
+        if interpolation == "disc":
+            rank = int(np.ceil(q * total - 1e-9))  # 1-based PERCENTILE_DISC
+            specs.append(("disc", rank, rank, 0.0))
+            ranks_needed.add(rank)
+        else:
+            rn = (total - 1) * float(q)  # 0-based, fractional
+            frn = int(np.floor(rn))
+            crn = int(np.ceil(rn))
+            specs.append(("cont", frn + 1, crn + 1, rn))
+            ranks_needed.update((frn + 1, crn + 1))
+
+    targets = {}
+    for rank in sorted(ranks_needed):
         i = int(np.searchsorted(cum, rank))
         before = int(cum[i - 1]) if i > 0 else 0
-        targets.append((int(bins[i]), rank - before))
+        targets[rank] = (int(bins[i]), rank - before)
 
     counts_by_bin = dict(zip(bins.tolist(), hist["n"].to_numpy().tolist()))
 
@@ -785,7 +810,7 @@ def exact_continuous_quantile(
     # shared fast path: every budget-sized boundary bin resolves from ONE
     # filtered collect; oversized bins go through _refine
     need_bins = sorted(
-        {b for b, _ in targets if counts_by_bin[b] <= bin_row_budget}
+        {b for b, _ in targets.values() if counts_by_bin[b] <= bin_row_budget}
     )
     bvals = None
     if need_bins:
@@ -810,13 +835,24 @@ def exact_continuous_quantile(
             boundary, batch_format="pyarrow", batch_size=None
         ).to_pandas()
 
-    out = []
-    for tb, within_rank in targets:
+    value_at = {}
+    for rank, (tb, within_rank) in targets.items():
         if counts_by_bin[tb] <= bin_row_budget:
             vals = np.sort(bvals[bvals["b"] == tb]["v"].to_numpy())
-            out.append(float(vals[within_rank - 1]))
+            value_at[rank] = float(vals[within_rank - 1])
         else:
-            out.append(_refine(tb, within_rank))
+            value_at[rank] = _refine(tb, within_rank)
+
+    out = []
+    for kind, lo_rank, hi_rank, rn in specs:
+        if kind == "disc" or lo_rank == hi_rank:
+            out.append(value_at[lo_rank])
+        else:
+            frn = float(np.floor(rn))
+            crn = float(np.ceil(rn))
+            out.append(
+                (crn - rn) * value_at[lo_rank] + (rn - frn) * value_at[hi_rank]
+            )
     return out
 
 

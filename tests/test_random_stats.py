@@ -204,3 +204,32 @@ def test_random_source_overlap_matches_sql(ray_session, seed):
         """
     ).df()
     _compare("source_overlap", got, want)
+
+
+@pytest.mark.parametrize("seed,budget", [(9, 10**9), (77, 25)])
+def test_random_percentile_cont_matches_sql(ray_session, seed, budget):
+    """interpolation="cont" == DuckDB quantile_cont, including with the
+    recursive-refinement path forced (tiny bin_row_budget)."""
+    from mimirsbrunn_ray.stages.rollup import exact_continuous_quantile
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    v = np.round(rng.lognormal(2.0, 1.2, size=n), 2)
+    v[rng.random(n) < 0.04] = np.nan
+    tbl = pa.table({"value": pa.array(v, pa.float64())})
+    con = duckdb.connect()
+    con.register("t", tbl)
+    got = exact_continuous_quantile(
+        rd.from_arrow(tbl), val_fn=lambda b: b["value"],
+        qs=(0.25, 0.5, 0.9), interpolation="cont", bin_row_budget=budget,
+    )
+    want = con.sql(
+        """
+        SELECT quantile_cont(value, 0.25), quantile_cont(value, 0.5),
+               quantile_cont(value, 0.9)
+        FROM t WHERE NOT isnan(value)
+        """
+    ).fetchone()
+    assert [round(g, 9) for g in got] == [round(w, 9) for w in want], (
+        got, want,
+    )
