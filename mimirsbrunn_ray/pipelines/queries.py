@@ -4429,6 +4429,46 @@ QUERIES["value_quantiles_cont"] = q_value_quantiles_cont
 ORACLES["value_quantiles_cont"] = VALUE_QUANTILES_CONT_SQL
 
 
+def q_semantic_dedup_embeddings(sf_dir):
+    """SemDeDup-style semantic dedup (rows-only: the kmeans quantizer is
+    not SQL-expressible; invariants pinned in
+    tests/test_similarity_neardup.py): the embeddings table plus
+    deterministic planted near-copies (tiny seeded perturbations of every
+    40th vector, re-normalized) -> stages/neardup.semantic_dedup. Output:
+    (vec_id, cluster) with cluster = min id of each semantic-dup group;
+    planted copies label back to their originals."""
+    import pyarrow.parquet as _pq
+
+    from mimirsbrunn_ray.stages.neardup import semantic_dedup
+
+    base = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = base["vec_id"].to_numpy()
+    rng = np.random.default_rng(31)
+    take = np.arange(0, len(base), 40)
+    mat = np.stack(
+        [np.asarray(v, np.float64) for v in base["embedding"].take(pa.array(take)).to_pylist()]
+    )
+    noisy = mat + rng.normal(0, 1e-3, size=mat.shape)
+    planted = pa.table(
+        {
+            "vec_id": pa.array(
+                (ids.max() + 1 + np.arange(len(take))).astype(np.int64)
+            ),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in noisy],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    emb = rd.from_arrow(pa.concat_tables([base, planted]))
+    return semantic_dedup(emb, threshold=0.98, n_clusters=12)
+
+
+QUERIES["semantic_dedup_embeddings"] = q_semantic_dedup_embeddings
+
+
 # --------------------------------------------------------------------------
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

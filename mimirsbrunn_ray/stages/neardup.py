@@ -1199,3 +1199,134 @@ def winnow_cluster_labels(
         }
     )
     return tbl, False
+
+
+def semantic_dedup(
+    emb: "rd.Dataset",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 5,
+    cluster_mode: str = "auto",
+    max_driver_pairs: int = _DRIVER_CLUSTER_PAIRS,
+) -> "rd.Dataset":
+    """SemDeDup-style semantic near-dup removal over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): k-means clusters unit embeddings
+    (deterministic mini-kmeans fit on a bounded sample), exact cosine
+    pairs are computed ONLY within each cluster, and components take the
+    keep-min winner label.
+
+    Scale shape: one bounded driver sample for the quantizer fit; ONE
+    broadcast of the centroid matrix; ONE hash shuffle on the kmeans
+    cluster id (embeddings ride the shuffle as binary — Acero rejects
+    list payloads); the in-cluster matmul is O(|cluster|^2), the
+    algorithm's own documented bound — size ``n_clusters`` ~ n/sqrt(n)
+    so clusters stay matmul-sized. Cross-cluster near-dups are missed by
+    construction (the SemDeDup trade). Pair clustering reuses the
+    auto-budgeted driver/propagate switch.
+
+    Returns (id_col, cluster): cluster = min id of the semantic-dup
+    group, own id when unique.
+    """
+    import ray
+
+    from mimirsbrunn_ray.stages.join import BroadcastJoiner
+    from mimirsbrunn_ray.stages.similarity import (
+        _to_matrix,
+        _unit,
+        fit_ivf_centroids,
+    )
+
+    emb_small = emb.select_columns([id_col, vec_col])
+    sample = emb_small.limit(sample_size).to_pandas()
+    mat = np.stack([np.asarray(v, np.float64) for v in sample[vec_col]])
+    centroids = fit_ivf_centroids(
+        mat, n_clusters=min(n_clusters, len(mat)), iters=10, seed=seed
+    )
+    cent_ref = ray.put(centroids)
+
+    def assign(b: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        vecs = _unit(_to_matrix(b[vec_col]))
+        kc = np.argmax(vecs @ cent.T, axis=1).astype(np.int32)
+        enc = [row.tobytes() for row in vecs]  # unit vecs as binary
+        return pa.table(
+            {
+                "id": b[id_col],
+                "kc": pa.array(kc),
+                "vec": pa.array(enc, pa.binary()),
+            }
+        )
+
+    assigned = emb_small.map_batches(
+        assign, batch_format="pyarrow", batch_size=None
+    )
+
+    def pairs_in_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64")}
+            )
+        m = np.stack(
+            [np.frombuffer(v, dtype=np.float64) for v in g["vec"]]
+        )
+        ids = g["id"].to_numpy()
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        keep = sims[iu, ju] >= threshold
+        a = np.minimum(ids[iu[keep]], ids[ju[keep]])
+        b = np.maximum(ids[iu[keep]], ids[ju[keep]])
+        return pd.DataFrame({"a": a.astype(np.int64),
+                             "b": b.astype(np.int64)})
+
+    pairs = assigned.groupby("kc").map_groups(
+        pairs_in_cluster, batch_format="pandas"
+    )
+    labels, distributed = winnow_cluster_labels(
+        pairs, a_col="a", b_col="b", cluster_mode=cluster_mode,
+        max_driver_pairs=max_driver_pairs,
+    )
+
+    ids_only = emb_small.map_batches(
+        lambda b: pa.table({id_col: b[id_col]}),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "cluster": pc.coalesce(b["cluster"], b[id_col]),
+            }
+        )
+
+    if distributed:
+        from mimirsbrunn_ray.context import pool_size
+
+        n_part = max(8, pool_size())
+        labeled = ids_only.repartition(n_part).join(
+            labels.map_batches(
+                lambda b: pa.table({id_col: b["doc_id"],
+                                    "cluster": b["cluster"]}),
+                batch_format="pyarrow", batch_size=None,
+            ).repartition(n_part),
+            join_type="left_outer", num_partitions=n_part, on=(id_col,),
+            right_suffix="_lab",
+        )
+        return labeled.map_batches(
+            finish, batch_format="pyarrow", batch_size=None
+        )
+
+    lut = dict(zip(labels["doc_id"].to_pylist(),
+                   labels["cluster"].to_pylist()))
+    joiner = BroadcastJoiner(
+        ray.put(lut), key_col=id_col, out_col="cluster",
+        out_type=pa.int64(),
+    )
+    return ids_only.map_batches(
+        joiner, batch_format="pyarrow", batch_size=None
+    ).map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -191,3 +191,42 @@ def test_embedding_near_dups_finds_planted(ray_session):
     pairs = embedding_near_dups(ds, dim=16, threshold=0.95)
     got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
     assert (0, 1) in got
+
+
+def test_semantic_dedup_planted(ray_session):
+    """SemDeDup: planted tight near-copies label back to their originals
+    (keep-min winner); unrelated vectors keep identity labels; the
+    propagate clusterer (forced via max_driver_pairs=0) agrees with the
+    driver path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.neardup import semantic_dedup
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((120, 16))
+    copies = base[::10] + rng.normal(0, 1e-4, size=(12, 16))
+    mat = np.vstack([base, copies])
+    ids = np.arange(len(mat), dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([r.astype(np.float32) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    out = (
+        semantic_dedup(ds, threshold=0.99, n_clusters=8)
+        .to_pandas().sort_values("vec_id", ignore_index=True)
+    )
+    lab = dict(zip(out["vec_id"], out["cluster"]))
+    for j in range(12):
+        assert lab[120 + j] == j * 10, (j, lab[120 + j])  # copy -> original
+    # random gaussians at 0.99 cosine: no false merges among originals
+    originals = out[out["vec_id"] < 120]
+    assert (originals["vec_id"] == originals["cluster"]).all()
+    # forced distributed clustering agrees
+    out2 = (
+        semantic_dedup(ds, threshold=0.99, n_clusters=8, max_driver_pairs=0)
+        .to_pandas().sort_values("vec_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(out, out2.astype(out.dtypes.to_dict()))
