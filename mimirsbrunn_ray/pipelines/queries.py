@@ -4469,6 +4469,159 @@ def q_semantic_dedup_embeddings(sf_dir):
 QUERIES["semantic_dedup_embeddings"] = q_semantic_dedup_embeddings
 
 
+def q_tpch_q5_region_revenue(sf_dir):
+    """Local-supplier revenue per nation (TPC-H Q5 shape): a SIX-table
+    join expressed with one big-big exchange and broadcast everything
+    else — region/nation resolve on the driver (25+5 rows), the customer
+    and supplier nation maps ship once per task spec as sorted-array
+    lookups (searchsorted in-stream, misses dropped = inner semantics),
+    lineitem pre-aggregates revenue per (orderkey, supplier-nation)
+    BEFORE the join, and the only shuffle is partials x date-filtered
+    orders on orderkey. The c_nation == s_nation correlation filters
+    post-join; the final per-nation sum tree-merges."""
+    import pyarrow.parquet as _pq
+
+    from mimirsbrunn_ray.context import pool_size
+    from mimirsbrunn_ray.stages.ordered import _round_half_away
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    region = _pq.read_table(f"{sf_dir}/region.parquet")
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
+    rkey = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0]
+    nat = nation.filter(pc.equal(nation["n_regionkey"], rkey))
+    nat_keys = nat["n_nationkey"].to_numpy()
+    nat_names = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+
+    def _nation_lut(path, key_col, nk_col):
+        t = _pq.read_table(f"{sf_dir}/{path}", columns=[key_col, nk_col])
+        t = t.filter(pc.is_in(t[nk_col], value_set=pa.array(nat_keys)))
+        k = t[key_col].to_numpy()
+        v = t[nk_col].to_numpy().astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        return k[order], v[order]
+
+    # target-nation members only: the broadcast is a fraction of the dim
+    ck, cv = _nation_lut("customer.parquet", "c_custkey", "c_nationkey")
+    sk, sv = _nation_lut("supplier.parquet", "s_suppkey", "s_nationkey")
+
+    def _lookup(keys: np.ndarray, lk: np.ndarray, lv: np.ndarray):
+        idx = np.searchsorted(lk, keys)
+        idx_c = np.clip(idx, 0, max(len(lk) - 1, 0))
+        hit = (len(lk) > 0) & (lk[idx_c] == keys)
+        return lv[idx_c], hit
+
+    def filter_orders(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+            pc.less(b["o_orderdate"], pa.scalar(hi)),
+        )
+        b = b.filter(keep)
+        cust = b["o_custkey"].to_numpy(zero_copy_only=False)
+        c_nat, hit = _lookup(cust, ck, cv)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].filter(pa.array(hit)),
+                "c_nat": pa.array(c_nat[hit]),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(filter_orders, batch_format="pyarrow", batch_size=None)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        supp = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_nat, hit = _lookup(supp, sk, sv)
+        b = b.filter(pa.array(hit))
+        rev = pc.multiply(
+            b["l_extendedprice"].cast(pa.float64()),
+            pc.subtract(pa.scalar(1.0), b["l_discount"].cast(pa.float64())),
+        )
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "s_nat": pa.array(s_nat[hit]),
+                "rev": rev,
+            }
+        )
+        g = t.group_by(["l_orderkey", "s_nat"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "s_nat", "rev"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=None)
+
+    n_part = max(8, pool_size())
+    joined = li.repartition(n_part).join(
+        orders.repartition(n_part),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def local_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["s_nat"], b["c_nat"]))  # local suppliers
+        g = b.group_by(["s_nat"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["s_nat", "rev"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["s_nat"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["s_nat", "rev"])
+
+    merged = tree_merge(
+        joined.map_batches(
+            local_partial, batch_format="pyarrow", batch_size=None
+        ),
+        combine,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = b["s_nat"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nat_names[int(k)] for k in nk], pa.string()
+                ),
+                "revenue_cents": pa.array(
+                    _round_half_away(
+                        b["rev"].to_numpy(zero_copy_only=False) * 100.0
+                    )
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+TPCH_Q5_SQL = """
+SELECT n_name,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0)
+            AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+QUERIES["tpch_q5_region_revenue"] = q_tpch_q5_region_revenue
+ORACLES["tpch_q5_region_revenue"] = TPCH_Q5_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
