@@ -4622,6 +4622,75 @@ QUERIES["tpch_q5_region_revenue"] = q_tpch_q5_region_revenue
 ORACLES["tpch_q5_region_revenue"] = TPCH_Q5_SQL
 
 
+_TYPO_LEXICON = ["table", "vector", "merge", "filter"]
+
+
+def q_first_token_typos(sf_dir):
+    """Edit-distance lexicon matching (the levenshtein flavor of the
+    query layer's fuzzy matching): every DISTINCT leading token of the
+    corpus scored against a small lexicon by exact Levenshtein distance
+    (vectorized batch DP, stages/text.levenshtein_matrix), keeping
+    matches within distance 2; ties to the smallest term. Shape:
+    per-batch distinct (combiner-first: the token domain is
+    vocabulary-sized), tree-merged distinct, lexicon scoring in the
+    merged block — the corpus text never leaves the workers."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+    from mimirsbrunn_ray.stages.text import best_lexicon_match
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        valid = pc.and_(pc.is_valid(t), pc.not_equal(t, ""))
+        t = t.filter(valid)
+        first = pc.list_element(
+            pc.split_pattern(t, pattern=" ", max_splits=1), 0
+        )
+        return pa.table({"token": first}).group_by(["token"]).aggregate([])
+
+    def combine(b: pa.Table) -> pa.Table:
+        return b.group_by(["token"]).aggregate([])
+
+    merged = tree_merge(
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        combine,
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        toks = b["token"].to_pylist()
+        best_t, best_d = best_lexicon_match(toks, _TYPO_LEXICON)
+        keep = best_d <= 2
+        return pa.table(
+            {
+                "token": pa.array(np.asarray(toks, object)[keep], pa.string()),
+                "best_term": pa.array(best_t[keep], pa.string()),
+                "dist": pa.array(best_d[keep]),
+            }
+        )
+
+    return merged.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+TYPO_SQL = """
+WITH tok AS (
+  SELECT DISTINCT split_part(text, ' ', 1) AS token
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+),
+lex(term) AS (VALUES ('table'), ('vector'), ('merge'), ('filter')),
+d AS (SELECT token, term, levenshtein(token, term) AS dist FROM tok, lex),
+r AS (
+  SELECT token, term, dist,
+         ROW_NUMBER() OVER (PARTITION BY token ORDER BY dist, term) AS rn
+  FROM d
+)
+SELECT token, term AS best_term, CAST(dist AS BIGINT) AS dist
+FROM r WHERE rn = 1 AND dist <= 2
+"""
+
+QUERIES["first_token_typos"] = q_first_token_typos
+ORACLES["first_token_typos"] = TYPO_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

@@ -907,3 +907,49 @@ def normalize_text(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def levenshtein_matrix(words: list[str], term: str) -> np.ndarray:
+    """Exact Levenshtein distance of every word to ``term``, vectorized
+    ACROSS the word batch: the classic DP iterates term-chars x word-cols
+    (a few dozen scalar steps), each step an O(n_words) vector op — no
+    per-word Python loop. Unicode-safe via codepoint arrays."""
+    n = len(words)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    cps = [np.array([ord(c) for c in w], dtype=np.int64) for w in words]
+    lens = np.array([len(c) for c in cps], dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    wmat = np.full((n, maxlen), -1, np.int64)
+    for i, c in enumerate(cps):  # batch-build of the padded matrix
+        wmat[i, : len(c)] = c
+    t = np.array([ord(c) for c in term], dtype=np.int64)
+    m = len(t)
+    prev = np.tile(np.arange(maxlen + 1, dtype=np.int64), (n, 1))
+    cur = np.empty_like(prev)
+    for i in range(1, m + 1):
+        cur[:, 0] = i
+        for j in range(1, maxlen + 1):
+            sub = prev[:, j - 1] + (wmat[:, j - 1] != t[i - 1])
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub
+            )
+        prev, cur = cur, prev
+    return prev[np.arange(n), lens]
+
+
+def best_lexicon_match(words: list[str], lexicon: list[str]):
+    """(best_term, dist) per word: minimum Levenshtein over the lexicon,
+    ties to the lexicographically smallest term (deterministic,
+    engine-independent)."""
+    n = len(words)
+    best_d = np.full(n, np.iinfo(np.int64).max, np.int64)
+    best_t = np.array([""] * n, dtype=object)
+    for term in sorted(lexicon):  # sorted -> first win IS the tiebreak
+        d = levenshtein_matrix(words, term)
+        better = d < best_d
+        best_d[better] = d[better]
+        best_t[better] = term
+    return best_t, best_d
+# NB: levenshtein_matrix is CODEPOINT-based; DuckDB's levenshtein() is
+# byte-based, so they differ on multi-byte UTF-8 (tests pin both).

@@ -233,3 +233,31 @@ def test_random_percentile_cont_matches_sql(ray_session, seed, budget):
     assert [round(g, 9) for g in got] == [round(w, 9) for w in want], (
         got, want,
     )
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_levenshtein_matches_duckdb(seed):
+    """The vectorized batch DP == DuckDB's levenshtein on random short
+    strings (including empty, repeats, unicode)."""
+    from mimirsbrunn_ray.stages.text import (
+        best_lexicon_match,
+        levenshtein_matrix,
+    )
+
+    rng = np.random.default_rng(seed)
+    alpha = list("abcde")
+    words = ["".join(rng.choice(alpha, size=rng.integers(0, 9)))
+             for _ in range(200)]
+    term = "abeca"
+    got = levenshtein_matrix(words, term)
+    con = duckdb.connect()
+    want = [
+        con.sql("SELECT levenshtein(?, ?)", params=[w, term]).fetchone()[0]
+        for w in words
+    ]
+    assert got.tolist() == want
+    # codepoint (not byte) semantics: one multi-byte substitution = 1
+    assert levenshtein_matrix(["éx"], "ex").tolist() == [1]
+    # tiebreak: smallest term wins at equal distance
+    bt, bd = best_lexicon_match(["ax"], ["ab", "aa"])
+    assert bt[0] == "aa" and bd[0] == 1
