@@ -4691,6 +4691,45 @@ QUERIES["first_token_typos"] = q_first_token_typos
 ORACLES["first_token_typos"] = TYPO_SQL
 
 
+def q_rolling_median_5m(sf_dir):
+    """Rolling MEDIAN over a trailing 5-minute RANGE frame per event
+    type (stages/ordered.rolling_bucket_median) — the holistic-aggregate
+    window: raw values replicate into <= 5 anchor buckets (explicit
+    hopping cost), ONE coarse hash shuffle, vectorized segment medians.
+    Phantom anchors (no own-bucket row) are dropped to match the SQL
+    window evaluated at existing buckets."""
+    from mimirsbrunn_ray.stages.ordered import rolling_bucket_median
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return rolling_bucket_median(
+        ev, key="event_type", ts_col="ts", value_col="value",
+        bucket="1m", window_buckets=5,
+    )
+
+
+ROLLING_MEDIAN_SQL = """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS bucket, value
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT DISTINCT event_type, bucket,
+       CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+       CAST(ROUND(median(value) OVER w * 1000000, 0) AS BIGINT)
+           AS roll_median_snapped
+FROM b
+WINDOW w AS (
+  PARTITION BY event_type ORDER BY bucket
+  RANGE BETWEEN INTERVAL 4 MINUTE PRECEDING AND CURRENT ROW
+)
+"""
+
+QUERIES["rolling_median_5m"] = q_rolling_median_5m
+ORACLES["rolling_median_5m"] = ROLLING_MEDIAN_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

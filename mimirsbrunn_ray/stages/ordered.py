@@ -940,3 +940,130 @@ def last_touch_attribution(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def rolling_bucket_median(
+    ds: "rd.Dataset",
+    key: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1m",
+    window_buckets: int = 5,
+    scale: float = 1e6,
+) -> "rd.Dataset":
+    """Rolling MEDIAN over a trailing bucket-grain RANGE frame — the
+    holistic-aggregate sibling of ``rolling_bucket_agg`` (sums decompose
+    into bucket partials; a median needs the raw values, so each row is
+    replicated into the <= ``window_buckets`` anchor buckets whose
+    trailing window contains it — the hopping-window cost, explicit and
+    bounded by the window size).
+
+    Anchors that have NO own-bucket row are dropped (matching
+    `median(...) OVER (ORDER BY bucket RANGE ...)` evaluated at existing
+    buckets only): replication tags the offset-0 copy and a window
+    without one never surfaces.
+
+    Shape: ONE hash shuffle on (key, anchor-bucket); per group a single
+    sort + segment-offset median, vectorized across all segments of the
+    block. Output: key, bucket timestamp[us], roll_n int64,
+    roll_median_x{scale} int64 (DuckDB-convention even-count median =
+    mean of the two middle elements, snapped fixed-point).
+    """
+    width = BUCKET_US[bucket]
+
+    def replicate(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col])),
+                pc.is_valid(b[value_col]),
+            )
+        )
+        n = b.num_rows
+        ts_us = (
+            b[ts_col].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        own = (ts_us // width) * width
+        keys = b[key].to_numpy(zero_copy_only=False)
+        vals = b[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        anchor = np.concatenate(
+            [own + j * width for j in range(window_buckets)]
+        )
+        keys_r = np.tile(keys, window_buckets)
+        vals_r = np.tile(vals, window_buckets)
+        offset0 = np.concatenate(
+            [np.full(n, j == 0, bool) for j in range(window_buckets)]
+        )
+        return pa.table(
+            {
+                key: pa.array(keys_r),
+                "anchor": pa.array(anchor),
+                "v": pa.array(vals_r),
+                "own": pa.array(offset0),
+            }
+        )
+
+    rep = ds.map_batches(replicate, batch_format="pyarrow", batch_size=None)
+
+    # coarse composite-hash bucketing: one group per (key, anchor) pair
+    # would be the tiny-groups anti-pattern (keys x buckets pandas groups);
+    # 64 coarse buckets keep each map_groups body a big vectorized block
+    def bucketize(b: pa.Table) -> pa.Table:
+        from mimirsbrunn_ray.stages.dedup import _hash64
+
+        h = _hash64(b[key]).view(np.int64) ^ b["anchor"].to_numpy(
+            zero_copy_only=False
+        )
+        return b.append_column(
+            "_b", pa.array((h % 64).astype(np.int32))
+        )
+
+    rep = rep.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype="str"),
+                "bucket": pd.Series([], dtype="datetime64[us]"),
+                "roll_n": pd.Series([], dtype="int64"),
+                "roll_median_snapped": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(g) == 0:
+            return out_empty
+        g = g.sort_values([key, "anchor", "v"], kind="mergesort")
+        kv = g[key].to_numpy()
+        an = g["anchor"].to_numpy()
+        new_seg = np.ones(len(g), bool)
+        new_seg[1:] = (kv[1:] != kv[:-1]) | (an[1:] != an[:-1])
+        starts = np.flatnonzero(new_seg)
+        sizes = np.diff(np.append(starts, len(g)))
+        # anchors lacking an own-bucket row are phantom windows: drop
+        has_own = np.logical_or.reduceat(g["own"].to_numpy(), starts)
+        v = g["v"].to_numpy()
+        lo_idx = starts + (sizes - 1) // 2
+        hi_idx = starts + sizes // 2
+        med = (v[lo_idx] + v[hi_idx]) / 2.0  # segments sorted by v
+        snapped = _round_half_away(med * scale)
+        keep = has_own
+        return pd.DataFrame(
+            {
+                key: kv[starts][keep],
+                "bucket": an[starts][keep].view("datetime64[us]"),
+                "roll_n": sizes[keep].astype(np.int64),
+                "roll_median_snapped": snapped[keep],
+            }
+        )
+
+    out = rep.groupby("_b").map_groups(
+        lambda g: per_group(g.drop(columns=["_b"])), batch_format="pandas"
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("bucket"),
+            "bucket",
+            b["bucket"].cast(pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
