@@ -210,6 +210,10 @@ def run_tiering_job(
             input_paths=input_paths,
             counters=counters,
             max_dropped=max_dropped,
+            # hot tier: re-read immediately by the 1m rollup, and token
+            # payloads gain ~3% from zstd at ~1.5x the write cost — lz4 is
+            # the right side of that trade (publish.py's codec note)
+            codec="lz4",
         )
         summary["tiers"]["raw"] = {"run_dir": run_dir}
     _mark("raw")

@@ -108,6 +108,7 @@ class TierStore:
         keep_runs: int = 2,
         append_segment: bool = False,
         allow_overwrite_live: bool = False,
+        codec: str = "zstd",
     ) -> str:
         """Write ds -> run dir, commit manifest, swap LATEST atomically.
 
@@ -132,10 +133,13 @@ class TierStore:
         kwargs = {}
         if partition_cols:
             kwargs["partition_cols"] = partition_cols
-        # zstd: ~2x smaller than snappy on token payloads -> halves the IO
-        # bytes per tier at the cost of (parallel) CPU; the right trade for
-        # a 100 TB store and for bandwidth-bound nodes
-        ds.write_parquet(run_dir, compression="zstd", **kwargs)
+        # codec is a per-tier knob: near-random token payloads compress
+        # barely better under zstd than lz4 (measured 731 vs 758 MiB on the
+        # 2M-row bench corpus, 3.6%) while writing ~1.5x slower — callers
+        # pick lz4 for HOT tiers that the next stage re-reads immediately
+        # and keep zstd (default) for cold/long-retention tiers, the
+        # classic hot/cold TSDB block compression split
+        ds.write_parquet(run_dir, compression=codec, **kwargs)
         if counters is not None and not isinstance(counters, dict):
             counters = totals(counters)
         counters = dict(counters or {})
