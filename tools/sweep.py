@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Full registry sweep: run EVERY queries() entry and, where an oracle
+exists, compare rows + columns + values against DuckDB — the same compare
+as the driver's correctness gate, over the WHOLE registry instead of its
+first 50 slots. No-oracle entries are run and row-counted.
+
+Usage: python tools/sweep.py [sf_dir]    (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object or np.issubdtype(df[c].dtype, np.datetime64):
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import duckdb
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    from mimirsbrunn_ray.context import quiet_data_context
+
+    quiet_data_context()
+    import __ray_entry__ as e
+
+    queries, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            res = fn(sf_dir)
+            df = (
+                res
+                if isinstance(res, pd.DataFrame)
+                else res.to_pandas()
+                if hasattr(res, "to_pandas")
+                else pd.DataFrame(res)
+            )
+        except Exception as ex:  # noqa: BLE001 — report, keep sweeping
+            print(f"ERROR {name}: {ex}")
+            n_fail += 1
+            continue
+        dt = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"rows_only {name}: {len(df)} rows ({dt:.1f}s)")
+            n_rows_only += 1
+            continue
+        sql_df = con.sql(oracles[name]).df()
+        ok = len(df) == len(sql_df) and sorted(df.columns) == sorted(
+            sql_df.columns
+        )
+        if ok:
+            a, b = canon(df), canon(sql_df)
+            for c in a.columns:
+                av, bv = a[c].to_numpy(), b[c].to_numpy()
+                if np.issubdtype(av.dtype, np.floating) or np.issubdtype(
+                    bv.dtype, np.floating
+                ):
+                    ok &= bool(
+                        np.allclose(
+                            av.astype(float), bv.astype(float),
+                            rtol=0, atol=0, equal_nan=True,
+                        )
+                    )
+                else:
+                    ok &= bool(np.array_equal(av, bv))
+                if not ok:
+                    print(f"  {name}: column {c} differs")
+                    break
+        status = "PASS" if ok else "FAIL"
+        print(f"{status} {name}: {len(df)} rows ({dt:.1f}s)")
+        n_pass += ok
+        n_fail += not ok
+    print(
+        f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
+        f"of {len(queries)} at {sf_dir}"
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
