@@ -4265,18 +4265,36 @@ def q_cheapest_lineitem_per_part(sf_dir):
         li, ["l_partkey"], "l_extendedprice", k=1, descending=False,
         tiebreak_cols=("l_orderkey", "l_linenumber"),
     )
+    import os as _os
+
     import pyarrow.parquet as _pq
 
-    part = _pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
-    )
-    lookup = dict(
-        zip(part["p_partkey"].to_pylist(), part["p_name"].to_pylist())
-    )
-    named = broadcast_join(
-        best, ray.put(lookup), key_col="l_partkey", out_col="p_name",
-        out_type=pa.string(),
-    )
+    if _os.path.getsize(f"{sf_dir}/part.parquet") <= BROADCAST_BYTE_BUDGET:
+        part = _pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+        )
+        lookup = dict(
+            zip(part["p_partkey"].to_pylist(), part["p_name"].to_pylist())
+        )
+        named = broadcast_join(
+            best, ray.put(lookup), key_col="l_partkey", out_col="p_name",
+            out_type=pa.string(),
+        )
+    else:
+        # dim past the broadcast budget: distributed hash join — the
+        # argmin side is already one row per part, so both sides are
+        # dim-sized
+        from mimirsbrunn_ray.context import pool_size
+
+        n_part = max(8, pool_size())
+        part_ds = rd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+        )
+        named = best.repartition(n_part).join(
+            part_ds.repartition(n_part), join_type="inner",
+            num_partitions=n_part, on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -4497,17 +4515,26 @@ def q_tpch_q5_region_revenue(sf_dir):
         zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
     )
 
+    import os as _os
+
+    n_part = max(8, pool_size())
+    nat_set = pa.array(nat_keys)
+
+    def _dim_fits(path) -> bool:
+        # decide BEFORE any driver read: the raw file size bounds the
+        # decoded dim (same discipline as orders_per_nation's budget)
+        try:
+            return _os.path.getsize(f"{sf_dir}/{path}") <= BROADCAST_BYTE_BUDGET
+        except OSError:
+            return False
+
     def _nation_lut(path, key_col, nk_col):
         t = _pq.read_table(f"{sf_dir}/{path}", columns=[key_col, nk_col])
-        t = t.filter(pc.is_in(t[nk_col], value_set=pa.array(nat_keys)))
+        t = t.filter(pc.is_in(t[nk_col], value_set=nat_set))
         k = t[key_col].to_numpy()
         v = t[nk_col].to_numpy().astype(np.int64)
         order = np.argsort(k, kind="stable")
         return k[order], v[order]
-
-    # target-nation members only: the broadcast is a fraction of the dim
-    ck, cv = _nation_lut("customer.parquet", "c_custkey", "c_nationkey")
-    sk, sv = _nation_lut("supplier.parquet", "s_suppkey", "s_nationkey")
 
     def _lookup(keys: np.ndarray, lk: np.ndarray, lv: np.ndarray):
         idx = np.searchsorted(lk, keys)
@@ -4515,50 +4542,136 @@ def q_tpch_q5_region_revenue(sf_dir):
         hit = (len(lk) > 0) & (lk[idx_c] == keys)
         return lv[idx_c], hit
 
-    def filter_orders(b: pa.Table) -> pa.Table:
+    def _attach_nat_join(ds, key_col, path, dim_key, dim_nk, out_col):
+        # past the broadcast budget: distributed hash join against the
+        # nation-filtered dim (both sides shuffle once on the key)
+        dim = rd.read_parquet(
+            f"{sf_dir}/{path}", columns=[dim_key, dim_nk]
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    dim_key: b[dim_key].filter(
+                        pc.is_in(b[dim_nk], value_set=nat_set)
+                    ),
+                    out_col: b[dim_nk]
+                    .filter(pc.is_in(b[dim_nk], value_set=nat_set))
+                    .cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        # materialize: three hash joins sharing one streaming plan can
+        # deadlock on operator resource reservation at small CPU counts —
+        # run the dim attach to completion before the big-big join starts
+        # (its output is dim/partial-sized, safe to pin)
+        return ds.repartition(n_part).join(
+            dim.repartition(n_part), join_type="inner",
+            num_partitions=n_part, on=(key_col,), right_on=(dim_key,),
+        ).materialize()
+
+    def date_filter(b: pa.Table) -> pa.Table:
         keep = pc.and_(
             pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
             pc.less(b["o_orderdate"], pa.scalar(hi)),
         )
-        b = b.filter(keep)
-        cust = b["o_custkey"].to_numpy(zero_copy_only=False)
-        c_nat, hit = _lookup(cust, ck, cv)
-        return pa.table(
-            {
-                "o_orderkey": b["o_orderkey"].filter(pa.array(hit)),
-                "c_nat": pa.array(c_nat[hit]),
-            }
-        )
+        return b.filter(keep).select(["o_orderkey", "o_custkey"])
 
-    orders = rd.read_parquet(
+    orders_base = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(filter_orders, batch_format="pyarrow", batch_size=None)
+    ).map_batches(date_filter, batch_format="pyarrow", batch_size=None)
 
-    def li_partial(b: pa.Table) -> pa.Table:
-        supp = b["l_suppkey"].to_numpy(zero_copy_only=False)
-        s_nat, hit = _lookup(supp, sk, sv)
-        b = b.filter(pa.array(hit))
-        rev = pc.multiply(
+    if _dim_fits("customer.parquet"):
+        ck, cv = _nation_lut("customer.parquet", "c_custkey", "c_nationkey")
+
+        def attach_cust(b: pa.Table) -> pa.Table:
+            cust = b["o_custkey"].to_numpy(zero_copy_only=False)
+            c_nat, hit = _lookup(cust, ck, cv)
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"].filter(pa.array(hit)),
+                    "c_nat": pa.array(c_nat[hit]),
+                }
+            )
+
+        orders = orders_base.map_batches(
+            attach_cust, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        orders = _attach_nat_join(
+            orders_base, "o_custkey", "customer.parquet",
+            "c_custkey", "c_nationkey", "c_nat",
+        ).map_batches(
+            lambda b: pa.table(
+                {"o_orderkey": b["o_orderkey"], "c_nat": b["c_nat"]}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+
+    li_base = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _rev(b: pa.Table):
+        return pc.multiply(
             b["l_extendedprice"].cast(pa.float64()),
             pc.subtract(pa.scalar(1.0), b["l_discount"].cast(pa.float64())),
         )
-        t = pa.table(
-            {
-                "l_orderkey": b["l_orderkey"],
-                "s_nat": pa.array(s_nat[hit]),
-                "rev": rev,
-            }
+
+    if _dim_fits("supplier.parquet"):
+        sk, sv = _nation_lut("supplier.parquet", "s_suppkey", "s_nationkey")
+
+        def li_partial(b: pa.Table) -> pa.Table:
+            supp = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            s_nat, hit = _lookup(supp, sk, sv)
+            b = b.filter(pa.array(hit))
+            t = pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "s_nat": pa.array(s_nat[hit]),
+                    "rev": _rev(b),
+                }
+            )
+            g = t.group_by(["l_orderkey", "s_nat"]).aggregate([("rev", "sum")])
+            return g.rename_columns(["l_orderkey", "s_nat", "rev"])
+
+        li = li_base.map_batches(
+            li_partial, batch_format="pyarrow", batch_size=None
         )
-        g = t.group_by(["l_orderkey", "s_nat"]).aggregate([("rev", "sum")])
-        return g.rename_columns(["l_orderkey", "s_nat", "rev"])
+    else:
+        # combiner-first BEFORE the supplier join: partials per
+        # (orderkey, suppkey), then attach s_nat, re-combine
+        def li_pre(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "l_suppkey": b["l_suppkey"],
+                    "rev": _rev(b),
+                }
+            )
+            g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+                [("rev", "sum")]
+            )
+            return g.rename_columns(["l_orderkey", "l_suppkey", "rev"])
 
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(li_partial, batch_format="pyarrow", batch_size=None)
+        li = _attach_nat_join(
+            li_base.map_batches(li_pre, batch_format="pyarrow",
+                                batch_size=None),
+            "l_suppkey", "supplier.parquet",
+            "s_suppkey", "s_nationkey", "s_nat",
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "s_nat": b["s_nat"],
+                    "rev": b["rev"],
+                }
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
 
-    n_part = max(8, pool_size())
     joined = li.repartition(n_part).join(
         orders.repartition(n_part),
         join_type="inner",

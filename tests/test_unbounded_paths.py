@@ -153,3 +153,26 @@ def test_minhash_cluster_modes_identical(ray_session):
     clustered = a[a["doc_id"] != a["cluster"]]
     assert len(clustered) >= 3
     assert a.set_index("doc_id").loc["d9000", "cluster"] == "d0000"
+
+
+def test_q5_and_argmin_broadcast_budget_fallback(ray_session, monkeypatch):
+    """The Q5 customer/supplier maps and the argmin part-name lookup obey
+    the broadcast byte budget: forcing BROADCAST_BYTE_BUDGET=0 routes both
+    queries through distributed Dataset.join paths with identical output."""
+    import mimirsbrunn_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(name):
+        df = Q.QUERIES[name](sf).to_pandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols, ignore_index=True)
+
+    base_q5 = run("tpch_q5_region_revenue")
+    base_argmin = run("cheapest_lineitem_per_part")
+    monkeypatch.setattr(Q, "BROADCAST_BYTE_BUDGET", 0)
+    pd.testing.assert_frame_equal(base_q5, run("tpch_q5_region_revenue"))
+    pd.testing.assert_frame_equal(
+        base_argmin, run("cheapest_lineitem_per_part")
+    )
+    assert len(base_q5) > 0 and len(base_argmin) > 0
