@@ -95,6 +95,9 @@ def main(argv=None) -> int:
     q.add_argument("--source")
     q.add_argument("--doc-id")
     q.add_argument("--ts-us", type=int)
+    q.add_argument("--lang", help="response language (i18n names map)")
+    q.add_argument("--debug", action="store_true",
+                   help="per-result score-explanation breakdown")
 
     args = p.parse_args(argv)
 
@@ -182,10 +185,10 @@ def main(argv=None) -> int:
 
         store = TierStore(args.root)
         if args.action == "top-k":
-            print(top_k(store, tier=args.tier, k=args.k,
-                        source=args.source).to_json(orient="records"))
+            print(top_k(store, tier=args.tier, k=args.k, source=args.source,
+                        debug=args.debug).to_json(orient="records"))
         elif args.action == "lookup":
-            row = lookup_id(store, args.doc_id)
+            row = lookup_id(store, args.doc_id, lang=args.lang)
             print(json.dumps({"found": row is not None,
                               "doc_id": args.doc_id}))
         elif args.action == "as-of":

@@ -62,6 +62,12 @@ def test_cli_end_to_end(tmp_path):
     assert "compressed" in summary["tiers"]
     st = json.loads(run("query", "--root", root, "status"))
     assert st["1d"]["committed"]
+    # debug explain is driver-facing via the CLI (each query subprocess is
+    # a fresh session, so latency counters are per-invocation)
+    rows = json.loads(run("query", "--root", root, "top-k", "--k", "2",
+                          "--debug"))
+    assert len(rows) == 2 and all("explain" in r for r in rows)
+    assert rows[0]["explain"]["metric"] == "sum_tok"
 
 
 def test_job_config_layering(tmp_path):
