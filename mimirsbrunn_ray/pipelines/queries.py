@@ -4843,6 +4843,86 @@ QUERIES["rolling_median_5m"] = q_rolling_median_5m
 ORACLES["rolling_median_5m"] = ROLLING_MEDIAN_SQL
 
 
+def q_top_users_ranked_with_ties(sf_dir):
+    """`RANK() <= 3` WITH TIES per event type over per-user value totals
+    (stages/search.grouped_rank_topk) — the ties-inclusive sibling of
+    topk_docs_per_lang's ROW_NUMBER. Ranks are computed over CENTS-snapped
+    totals so tie groups agree bit-for-bit across engines (raw float sums
+    could tie-break differently per partial-merge order). Shape:
+    combiner-first (type, user) partials -> tree merge -> batch-local
+    rank prune -> ONE group shuffle -> exact rank filter."""
+    from mimirsbrunn_ray.stages.ordered import _round_half_away
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+    from mimirsbrunn_ray.stages.search import grouped_rank_topk
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(b["event_type"]), pc.is_valid(b["user_id"])
+                ),
+                pc.is_valid(b["value"]),
+            )
+        )
+        g = b.group_by(["event_type", "user_id"]).aggregate([("value", "sum")])
+        g = g.select(["event_type", "user_id", "value_sum"])
+        return g.rename_columns(["event_type", "user_id", "total"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "user_id"]).aggregate([("total", "sum")])
+        g = g.select(["event_type", "user_id", "total_sum"])
+        return g.rename_columns(["event_type", "user_id", "total"])
+
+    totals = tree_merge(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        combine,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "user_id": b["user_id"].cast(pa.int64()),
+                "total_cents": pa.array(
+                    _round_half_away(
+                        b["total"].to_numpy(zero_copy_only=False) * 100.0
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return grouped_rank_topk(
+        totals, ["event_type"], "total_cents", k=3, method="rank",
+        rank_col="rnk",
+    )
+
+
+RANK_TIES_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+         CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS total_cents
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, RANK() OVER (
+    PARTITION BY event_type ORDER BY total_cents DESC
+  ) AS rnk
+  FROM s
+)
+SELECT event_type, user_id, total_cents, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+QUERIES["top_users_ranked_with_ties"] = q_top_users_ranked_with_ties
+ORACLES["top_users_ranked_with_ties"] = RANK_TIES_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

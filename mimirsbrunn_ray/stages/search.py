@@ -288,3 +288,87 @@ def grouped_top_k(
     return partial.groupby(group_cols).map_groups(
         prune, batch_format="pyarrow"
     )
+
+
+def _rank_filter(group_cols, sort_cols, order_col, k: int, method: str,
+                 emit_rank: str | None = None):
+    """Vectorized per-block RANK/DENSE_RANK filter: keep rows whose
+    within-group rank (ties SHARE a rank) is <= k. Batch-local rank is a
+    lower bound on global rank, so using this as a pre-shuffle prune keeps
+    a SUPERSET of the survivors — exactness comes from re-running it after
+    the group shuffle. ``emit_rank`` names an output rank column (final
+    stage only)."""
+
+    def fil(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            if emit_rank:
+                return b.append_column(emit_rank, pa.array([], pa.int64()))
+            return b
+        b = b.sort_by(sort_cols)
+        n = b.num_rows
+        new_seg = np.zeros(n, dtype=bool)
+        new_seg[0] = True
+        for c in group_cols:
+            v = b[c].to_numpy(zero_copy_only=False)
+            neq = v[1:] != v[:-1]
+            if np.issubdtype(v.dtype, np.floating):
+                nan = np.isnan(v)
+                neq &= ~(nan[1:] & nan[:-1])
+            new_seg[1:] |= neq
+        ov = b[order_col].to_numpy(zero_copy_only=False)
+        new_run = new_seg.copy()
+        neq_v = ov[1:] != ov[:-1]
+        if np.issubdtype(ov.dtype, np.floating):
+            nan = np.isnan(ov)
+            neq_v &= ~(nan[1:] & nan[:-1])
+        new_run[1:] |= neq_v
+        idx = np.arange(n)
+        seg_start = np.maximum.accumulate(np.where(new_seg, idx, -1))
+        if method == "rank":
+            run_start = np.maximum.accumulate(np.where(new_run, idx, -1))
+            rank = run_start - seg_start + 1
+        else:  # dense
+            run_id = np.cumsum(new_run)
+            rank = run_id - run_id[seg_start] + 1
+        keep = rank <= k
+        out = b.filter(pa.array(keep))
+        if emit_rank:
+            out = out.append_column(
+                emit_rank, pa.array(rank[keep].astype(np.int64))
+            )
+        return out
+
+    return fil
+
+
+def grouped_rank_topk(
+    ds: "rd.Dataset",
+    group_cols,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    method: str = "rank",
+    rank_col: str = "rnk",
+) -> "rd.Dataset":
+    """Per-group `RANK() <= k` (or DENSE_RANK) WITH TIES — the
+    ties-inclusive sibling of ``grouped_top_k``'s ROW_NUMBER semantics.
+    No tiebreak columns needed: tied rows all survive, exactly like SQL.
+
+    Scale shape mirrors grouped_top_k: a per-batch partial RANK prune
+    first (batch-local rank lower-bounds global rank, so the prune keeps
+    a superset; <= k distinct order values per group leave any batch) ->
+    ONE hash shuffle -> the same filter exactly, emitting the rank.
+    """
+    if method not in ("rank", "dense"):
+        raise ValueError(f"unknown method {method!r}")
+    group_cols = list(group_cols)
+    sort_cols = [(c, "ascending") for c in group_cols] + [
+        (order_col, "descending" if descending else "ascending")
+    ]
+    prune = _rank_filter(group_cols, sort_cols, order_col, k, method)
+    final = _rank_filter(group_cols, sort_cols, order_col, k, method,
+                         emit_rank=rank_col)
+    partial = ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
+    return partial.groupby(group_cols).map_groups(
+        final, batch_format="pyarrow"
+    )

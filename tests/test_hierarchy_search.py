@@ -321,3 +321,41 @@ def test_i18n_select_label_vectorized(ray_session):
     assert select_label(names, default, None).to_pylist() == default.to_pylist()
     # a lang nobody stores
     assert select_label(names, default, "zz").to_pylist() == default.to_pylist()
+
+
+def test_grouped_rank_topk_ties(ray_session):
+    """RANK/DENSE_RANK with heavy planted ties == DuckDB window output
+    (randomized small-int values force tie runs across batch boundaries)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.search import grouped_rank_topk
+
+    rng = np.random.default_rng(13)
+    n = 600
+    tbl = pa.table({
+        "g": pa.array(rng.integers(0, 5, n).astype(np.int64)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.integers(0, 6, n).astype(np.int64)),  # heavy ties
+    })
+    ds = rd.from_arrow(tbl).repartition(7)  # force cross-batch tie runs
+    con = duckdb.connect()
+    con.register("t", tbl)
+    for method, fn in (("rank", "RANK()"), ("dense", "DENSE_RANK()")):
+        got = (
+            grouped_rank_topk(ds, ["g"], "v", k=2, method=method)
+            .to_pandas()
+            .sort_values(["g", "v", "id"], ignore_index=True)
+        )
+        want = con.sql(f"""
+            WITH r AS (SELECT g, id, v,
+                       {fn} OVER (PARTITION BY g ORDER BY v DESC) AS rnk
+                       FROM t)
+            SELECT g, id, v, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 2 ORDER BY g, v, id
+        """).df()
+        assert got[["g", "id", "v", "rnk"]].astype("int64").equals(
+            want.astype("int64")
+        ), method
+        assert (got["rnk"] <= 2).all() and len(got) > 10
