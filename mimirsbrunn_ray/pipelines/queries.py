@@ -5000,6 +5000,27 @@ QUERIES["gap_counts_per_source"] = q_gap_counts_per_source
 ORACLES["gap_counts_per_source"] = GAP_COUNTS_SQL
 
 
+def q_weighted_sample_docs(sf_dir):
+    """Weighted sample without replacement (rows-only: seeded-hash keys
+    are not SQL-expressible; the exact selection is brute-force-recomputed
+    and the proportional-inclusion property chi-square-checked in
+    tests/test_corpus_hygiene.py): 50 documents, inclusion probability
+    proportional to n_chars — the weighted mixture-sampling primitive
+    (Efraimidis-Spirakis A-ExpJ keys, distributed top-k by key)."""
+    from mimirsbrunn_ray.stages.text import weighted_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars", "lang"]
+    )
+    return weighted_sample(
+        docs, k=50, weight_col="n_chars", id_col="doc_id", seed=7,
+        keep_cols=("lang",),
+    )
+
+
+QUERIES["weighted_sample_docs"] = q_weighted_sample_docs
+
+
 # --------------------------------------------------------------------------
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

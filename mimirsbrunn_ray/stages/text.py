@@ -953,3 +953,70 @@ def best_lexicon_match(words: list[str], lexicon: list[str]):
     return best_t, best_d
 # NB: levenshtein_matrix is CODEPOINT-based; DuckDB's levenshtein() is
 # byte-based, so they differ on multi-byte UTF-8 (tests pin both).
+
+
+def weighted_sample(
+    ds: "rd.Dataset",
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    keep_cols: tuple = (),
+) -> "rd.Dataset":
+    """Weighted random sample WITHOUT REPLACEMENT of k rows, inclusion
+    probability proportional to weight — Efraimidis-Spirakis A-ExpJ
+    (2006): each row gets key = u^(1/w) with u in (0,1); the sample is
+    the global top-k by key. u derives from a seeded hash of the row id,
+    so the sample is DETERMINISTIC and independently recomputable (the
+    pytest recomputes it brute-force), yet distributionally correct
+    across seeds.
+
+    Scale shape: keys are one vectorized hash per batch; each batch keeps
+    its local top-k (partial prune), a tree merge resolves the global
+    top-k — no shuffle, no sort of the corpus, driver never sees more
+    than k x blocks-per-merge rows. Null/non-positive weights and null
+    ids are excluded (they have zero inclusion probability).
+    """
+    from mimirsbrunn_ray.stages.dedup import _hash64
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    mix = np.uint64(0x9E3779B97F4A7C15) * np.uint64(2 * seed + 1)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b[id_col]), pc.is_valid(b[weight_col])),
+                pc.greater(b[weight_col].cast(pa.float64()), 0.0),
+            )
+        )
+        h = _hash64(b[id_col]) * mix
+        h ^= h >> np.uint64(33)
+        # u in (0,1): 53 mantissa bits, never exactly 0 (the +1)
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
+        w = b[weight_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        key = np.log(u) / w  # monotone transform of u^(1/w): argmax equal
+        cols = {id_col: b[id_col], weight_col: b[weight_col],
+                "_key": pa.array(key)}
+        for c in keep_cols:
+            cols[c] = b[c]
+        t = pa.table(cols)
+        order = pc.sort_indices(
+            t, sort_keys=[("_key", "descending"), (id_col, "ascending")]
+        )
+        return t.take(order[:k])
+
+    def combine(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            b, sort_keys=[("_key", "descending"), (id_col, "ascending")]
+        )
+        return b.take(order[:k])
+
+    merged = tree_merge(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
+        combine,
+    )
+    return merged.map_batches(
+        lambda b: b.drop_columns(["_key"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -376,3 +376,54 @@ def test_budget_prefix_adversarial_one_bin(ray_session):
             .sort_values("doc_id", ignore_index=True)
         )
         assert out["doc_id"].tolist() == list(range(33)), budget_rows
+
+
+def test_weighted_sample_exact_and_proportional(ray_session):
+    """A-ExpJ weighted sample: (1) the distributed selection equals the
+    brute-force recomputation of the same seeded keys; (2) inclusion
+    frequency across seeds tracks weight (heavy item ~w ratio more often);
+    (3) determinism across block layouts."""
+    import pyarrow as pa
+
+    from mimirsbrunn_ray.stages.dedup import _hash64
+    from mimirsbrunn_ray.stages.text import weighted_sample
+
+    n = 400
+    rng = np.random.default_rng(3)
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 100, n).astype(np.int64)
+    w[7] = 5000  # heavy item
+    tbl = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(w)})
+
+    def brute(seed, k):
+        mix = np.uint64(0x9E3779B97F4A7C15) * np.uint64(2 * seed + 1)
+        h = _hash64(pa.chunked_array([tbl["doc_id"]])) * mix
+        h ^= h >> np.uint64(33)
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
+        key = np.log(u) / w
+        order = np.lexsort((ids, -key))
+        return set(ids[order[:k]].tolist())
+
+    for blocks in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        got = weighted_sample(
+            ds, k=25, weight_col="n_chars", id_col="doc_id", seed=11
+        ).to_pandas()
+        assert set(got["doc_id"]) == brute(11, 25), blocks
+        assert len(got) == 25 and got["doc_id"].is_unique
+
+    # proportional inclusion: the 5000-weight item appears in nearly every
+    # seed's sample; a weight-1 item almost never (k/n base rate ~6%)
+    light = int(np.flatnonzero(w == w.min())[0])
+    ds = rd.from_arrow(tbl)
+    heavy_hits = light_hits = 0
+    for seed in range(30):
+        s = set(
+            weighted_sample(
+                ds, k=25, weight_col="n_chars", id_col="doc_id", seed=seed
+            ).to_pandas()["doc_id"]
+        )
+        heavy_hits += 7 in s
+        light_hits += light in s
+    assert heavy_hits >= 28
+    assert light_hits <= 5
