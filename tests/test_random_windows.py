@@ -231,3 +231,84 @@ def test_random_range_join_matches_sql(ray_session, seed):
         """
     ).df()
     _compare("range_join", got, want)
+
+
+@pytest.mark.parametrize("seed", [2, 29, 61])
+def test_random_attribution_matches_sql(ray_session, seed):
+    """last_touch_attribution vs the DuckDB conditional-running-max window
+    on random events: dense ts ties (ORDER BY ts, id), null keys/ts,
+    triggers with no preceding touch."""
+    from mimirsbrunn_ray.stages.ordered import last_touch_attribution
+
+    tbl = _random_events(seed)
+    con = duckdb.connect()
+    con.register("events", tbl)
+    got = last_touch_attribution(
+        rd.from_arrow(tbl).repartition(5), key="user_id", ts_col="ts",
+        type_col="event_type", trigger="purchase", touch="click",
+        id_col="event_id",
+    ).to_pandas()
+    want = con.sql(
+        """
+        WITH e AS (
+          SELECT event_id, user_id, ts, event_type
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IN ('purchase', 'click')
+        ),
+        w AS (
+          SELECT event_id, user_id, ts, event_type,
+                 MAX(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_touch_ts
+          FROM e
+        )
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id, ts,
+               last_touch_ts
+        FROM w WHERE event_type = 'purchase'
+        """
+    ).df()
+    _compare("attribution", got, want)
+
+
+@pytest.mark.parametrize("seed", [4, 37])
+def test_random_rolling_median_matches_sql(ray_session, seed):
+    """rolling_bucket_median vs DuckDB median() OVER RANGE on random
+    events with value nulls and dense bucket ties."""
+    from mimirsbrunn_ray.stages.ordered import rolling_bucket_median
+
+    rng = np.random.default_rng(seed)
+    tbl = _random_events(seed)
+    vals = np.round(rng.lognormal(1.0, 1.0, size=tbl.num_rows), 3)
+    vals[rng.random(tbl.num_rows) < 0.06] = np.nan
+    tbl = tbl.append_column(
+        "value",
+        pa.array(pd.array(vals), pa.float64()),
+    )
+    con = duckdb.connect()
+    con.register("events", tbl)
+    got = rolling_bucket_median(
+        rd.from_arrow(tbl).repartition(4), key="event_type", ts_col="ts",
+        value_col="value", bucket="1m", window_buckets=5,
+    ).to_pandas()
+    want = con.sql(
+        """
+        WITH b AS (
+          SELECT event_type, date_trunc('minute', ts) AS bucket, value
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL AND NOT isnan(value)
+        )
+        SELECT DISTINCT event_type, bucket,
+               CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+               CAST(ROUND(median(value) OVER w * 1000000, 0) AS BIGINT)
+                   AS roll_median_snapped
+        FROM b
+        WINDOW w AS (
+          PARTITION BY event_type ORDER BY bucket
+          RANGE BETWEEN INTERVAL 4 MINUTE PRECEDING AND CURRENT ROW
+        )
+        """
+    ).df()
+    _compare("rolling_median", got, want)
