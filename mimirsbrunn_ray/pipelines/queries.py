@@ -4264,6 +4264,9 @@ def q_cheapest_lineitem_per_part(sf_dir):
     best = grouped_top_k(
         li, ["l_partkey"], "l_extendedprice", k=1, descending=False,
         tiebreak_cols=("l_orderkey", "l_linenumber"),
+        # partkey is HIGH-cardinality: coarse buckets keep the post-shuffle
+        # stage a few big vectorized blocks, not one group per part
+        num_buckets=64,
     )
     import os as _os
 

@@ -257,6 +257,38 @@ def _group_rank_prune(group_cols, sort_cols, k: int):
     return prune
 
 
+def _coarse_grouped_apply(partial: "rd.Dataset", group_cols, fn,
+                          num_buckets: int | None):
+    """Apply a multi-group-safe block function after ONE group shuffle.
+
+    ``num_buckets=None`` groups directly (right for low-cardinality keys);
+    an int hash-buckets the group key into that many coarse partitions so
+    HIGH-cardinality keys don't degrade into one pandas/pyarrow group per
+    key (the tiny-groups anti-pattern) — the block functions segment by
+    the real group columns internally, so bucketing never changes output.
+    """
+    if num_buckets is None:
+        return partial.groupby(group_cols).map_groups(
+            fn, batch_format="pyarrow"
+        )
+    from mimirsbrunn_ray.stages.dedup import _hash64
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        h = np.zeros(b.num_rows, np.uint64)
+        for c in group_cols:
+            h = h * np.uint64(1099511628211) ^ _hash64(b[c])
+        return b.append_column(
+            "_gb", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    bucketed = partial.map_batches(
+        bucketize, batch_format="pyarrow", batch_size=None
+    )
+    return bucketed.groupby("_gb").map_groups(
+        lambda g: fn(g.drop_columns(["_gb"])), batch_format="pyarrow"
+    )
+
+
 def grouped_top_k(
     ds: "rd.Dataset",
     group_cols,
@@ -264,6 +296,7 @@ def grouped_top_k(
     k: int,
     descending: bool = True,
     tiebreak_cols=(),
+    num_buckets: int | None = None,
 ) -> "rd.Dataset":
     """Per-group top-k — the windowed `ROW_NUMBER() OVER (PARTITION BY g
     ORDER BY v) <= k` analog of bragi's global top-k paging (O4 family,
@@ -276,6 +309,8 @@ def grouped_top_k(
     the same vectorized rank-filter as the final per-group top-k. No
     global sort; ``tiebreak_cols`` make the result deterministic under
     ties (always pass them when ``order_col`` has duplicates).
+    ``num_buckets`` coarsens the shuffle for HIGH-cardinality group keys
+    (see _coarse_grouped_apply).
     """
     group_cols = list(group_cols)
     sort_cols = (
@@ -285,9 +320,7 @@ def grouped_top_k(
     )
     prune = _group_rank_prune(group_cols, sort_cols, k)
     partial = ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
-    return partial.groupby(group_cols).map_groups(
-        prune, batch_format="pyarrow"
-    )
+    return _coarse_grouped_apply(partial, group_cols, prune, num_buckets)
 
 
 def _rank_filter(group_cols, sort_cols, order_col, k: int, method: str,
@@ -349,6 +382,7 @@ def grouped_rank_topk(
     descending: bool = True,
     method: str = "rank",
     rank_col: str = "rnk",
+    num_buckets: int | None = None,
 ) -> "rd.Dataset":
     """Per-group `RANK() <= k` (or DENSE_RANK) WITH TIES — the
     ties-inclusive sibling of ``grouped_top_k``'s ROW_NUMBER semantics.
@@ -369,6 +403,4 @@ def grouped_rank_topk(
     final = _rank_filter(group_cols, sort_cols, order_col, k, method,
                          emit_rank=rank_col)
     partial = ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
-    return partial.groupby(group_cols).map_groups(
-        final, batch_format="pyarrow"
-    )
+    return _coarse_grouped_apply(partial, group_cols, final, num_buckets)

@@ -1,6 +1,7 @@
 """J2 ancestor-chain closure, prefix/fuzzy autocomplete, human sort, paging."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -359,3 +360,35 @@ def test_grouped_rank_topk_ties(ray_session):
             want.astype("int64")
         ), method
         assert (got["rnk"] <= 2).all() and len(got) > 10
+
+
+def test_grouped_topk_bucketed_matches_direct(ray_session):
+    """num_buckets (coarse hash buckets for high-cardinality group keys)
+    never changes output for either top-k flavor."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mimirsbrunn_ray.stages.search import grouped_rank_topk, grouped_top_k
+
+    rng = np.random.default_rng(21)
+    n = 800
+    tbl = pa.table({
+        "g": pa.array(rng.integers(0, 200, n).astype(np.int64)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+    })
+    ds = rd.from_arrow(tbl).repartition(6)
+
+    def canon(d):
+        return d.to_pandas().sort_values(
+            ["g", "id"], ignore_index=True
+        )
+
+    a = canon(grouped_top_k(ds, ["g"], "v", k=2, tiebreak_cols=("id",)))
+    b = canon(grouped_top_k(ds, ["g"], "v", k=2, tiebreak_cols=("id",),
+                            num_buckets=16))
+    pd.testing.assert_frame_equal(a, b)
+    c = canon(grouped_rank_topk(ds, ["g"], "v", k=2))
+    d = canon(grouped_rank_topk(ds, ["g"], "v", k=2, num_buckets=16))
+    pd.testing.assert_frame_equal(c, d)
+    assert len(a) > 100 and len(c) >= len(a)
