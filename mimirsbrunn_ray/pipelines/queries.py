@@ -2509,7 +2509,7 @@ def q_latest_event_per_user(sf_dir):
     )
     return grouped_top_k(
         ev, ["user_id"], "ts", k=1, descending=True,
-        tiebreak_cols=["event_id"],
+        tiebreak_cols=["event_id"], num_buckets=64,
     )
 
 

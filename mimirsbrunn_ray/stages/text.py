@@ -579,7 +579,7 @@ def tfidf_top_terms(
 
     return grouped_top_k(
         scored, ["doc_id"], "score_x1e6", k=k, descending=True,
-        tiebreak_cols=["token"],
+        tiebreak_cols=["token"], num_buckets=64,
     )
 
 
