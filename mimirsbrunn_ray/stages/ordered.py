@@ -409,7 +409,18 @@ def mode_per_key(
             }
         )
 
-    return partials.groupby(key).map_groups(argmax, batch_format="pandas")
+    # coarse key buckets: one pandas group per key would be the
+    # tiny-groups anti-pattern for high-cardinality keys; argmax segments
+    # by the real key internally, so bucketing never changes output
+    from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
+
+    bucketed = partials.map_batches(
+        lambda b: add_bucket(b, key, 64), batch_format="pyarrow",
+        batch_size=None,
+    )
+    return bucketed.groupby(_BUCKET).map_groups(
+        lambda g: argmax(g.drop(columns=[_BUCKET])), batch_format="pandas"
+    )
 
 
 def group_cume_dist(
@@ -927,7 +938,18 @@ def last_touch_attribution(
             }
         )
 
-    out = pruned.groupby(key).map_groups(per_key, batch_format="pandas")
+    # coarse key buckets (per_key segments by the real key internally):
+    # user-grade keys are high-cardinality, one pandas group per key would
+    # be the tiny-groups anti-pattern
+    from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
+
+    bucketed = pruned.map_batches(
+        lambda b: add_bucket(b, key, 64), batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = bucketed.groupby(_BUCKET).map_groups(
+        lambda g: per_key(g.drop(columns=[_BUCKET])), batch_format="pandas"
+    )
     return out.map_batches(
         lambda b: pa.table(
             {
