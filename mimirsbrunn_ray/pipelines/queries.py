@@ -761,13 +761,28 @@ ORACLES.update(
 
 def q_order_priority_revenue(sf_dir):
     """lineitem JOIN orders on orderkey (both sides large -> Ray's
-    hash-partitioned Dataset.join), then revenue per order priority."""
+    hash-partitioned Dataset.join), then revenue per order priority.
+    Combiner-first: lineitem pre-aggregates (orderkey -> rev, n) per
+    batch BEFORE the exchange, so the join moves one partial row per
+    (orderkey, batch) instead of the item stream."""
     from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"].cast(pa.float64()),
+            pc.subtract(pa.scalar(1.0), b["l_discount"].cast(pa.float64())),
+        )
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        g = t.group_by(["l_orderkey"]).aggregate(
+            [("rev", "sum"), ([], "count_all")]
+        )
+        g = g.select(["l_orderkey", "rev_sum", "count_all"])
+        return g.rename_columns(["l_orderkey", "rev", "n"])
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
-    )
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=None)
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
@@ -777,15 +792,17 @@ def q_order_priority_revenue(sf_dir):
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            b["l_extendedprice"].cast(pa.float64()),
-            pc.subtract(pa.scalar(1.0), b["l_discount"].cast(pa.float64())),
+        t = pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "rev": b["rev"],
+                "n": b["n"],
+            }
         )
-        t = pa.table({"o_orderpriority": b["o_orderpriority"], "rev": rev})
         g = t.group_by(["o_orderpriority"]).aggregate(
-            [("rev", "sum"), ([], "count_all")]
+            [("rev", "sum"), ("n", "sum")]
         )
-        g = g.select(["o_orderpriority", "rev_sum", "count_all"])
+        g = g.select(["o_orderpriority", "rev_sum", "n_sum"])
         return g.rename_columns(["o_orderpriority", "revenue", "n_items"])
 
     def combine(b: pa.Table) -> pa.Table:
