@@ -189,8 +189,15 @@ def main(argv=None) -> int:
                         debug=args.debug).to_json(orient="records"))
         elif args.action == "lookup":
             row = lookup_id(store, args.doc_id, lang=args.lang)
-            print(json.dumps({"found": row is not None,
-                              "doc_id": args.doc_id}))
+            print(json.dumps({
+                "found": row is not None,
+                "doc_id": args.doc_id,
+                # localized label is the point of --lang; tokens are
+                # elided (payload-sized)
+                "label": (row or {}).get("label"),
+                "row": {k: v for k, v in (row or {}).items()
+                        if k != "tokens"},
+            }, default=str))
         elif args.action == "as-of":
             hit = as_of(store, args.source, args.ts_us, tier=args.tier)
             print(json.dumps(hit, default=str))

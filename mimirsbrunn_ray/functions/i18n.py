@@ -71,13 +71,17 @@ def select_label(
     n = len(names)
     if len(names.items) == 0:  # no stored variants anywhere
         return default
-    # map array = list<struct<key,value>>: flat keys/values + offsets
+    # map array = list<struct<key,value>>: flat keys/values + offsets.
+    # NB: on a SLICED map array the flat children span the WHOLE parent,
+    # so hits outside [offsets[0], offsets[-1]) belong to rows not in
+    # this view and must be excluded before the searchsorted row mapping.
     offsets = names.offsets.to_numpy(zero_copy_only=False)
     flat_keys = names.keys
     flat_vals = names.items
     hit = pc.equal(flat_keys, pa.scalar(lang, pa.string()))
     hit_np = hit.to_numpy(zero_copy_only=False)
     hit_idx = np.flatnonzero(hit_np)
+    hit_idx = hit_idx[(hit_idx >= offsets[0]) & (hit_idx < offsets[-1])]
     # row of each flat entry: searchsorted over the offsets
     rows = np.searchsorted(offsets, hit_idx, side="right") - 1
     take = np.full(n, -1, np.int64)

@@ -4557,30 +4557,28 @@ def q_tpch_q5_region_revenue(sf_dir):
         return k[order], v[order]
 
     def _lookup(keys: np.ndarray, lk: np.ndarray, lv: np.ndarray):
+        if len(lk) == 0:  # numpy & doesn't short-circuit: guard the index
+            return np.zeros(len(keys), np.int64), np.zeros(len(keys), bool)
         idx = np.searchsorted(lk, keys)
-        idx_c = np.clip(idx, 0, max(len(lk) - 1, 0))
-        hit = (len(lk) > 0) & (lk[idx_c] == keys)
+        idx_c = np.clip(idx, 0, len(lk) - 1)
+        hit = lk[idx_c] == keys
         return lv[idx_c], hit
 
     def _attach_nat_join(ds, key_col, path, dim_key, dim_nk, out_col):
         # past the broadcast budget: distributed hash join against the
         # nation-filtered dim (both sides shuffle once on the key)
+        def project(b: pa.Table) -> pa.Table:
+            keep = pc.is_in(b[dim_nk], value_set=nat_set)
+            return pa.table(
+                {
+                    dim_key: b[dim_key].filter(keep),
+                    out_col: b[dim_nk].filter(keep).cast(pa.int64()),
+                }
+            )
+
         dim = rd.read_parquet(
             f"{sf_dir}/{path}", columns=[dim_key, dim_nk]
-        ).map_batches(
-            lambda b: pa.table(
-                {
-                    dim_key: b[dim_key].filter(
-                        pc.is_in(b[dim_nk], value_set=nat_set)
-                    ),
-                    out_col: b[dim_nk]
-                    .filter(pc.is_in(b[dim_nk], value_set=nat_set))
-                    .cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
+        ).map_batches(project, batch_format="pyarrow", batch_size=None)
         # materialize: three hash joins sharing one streaming plan can
         # deadlock on operator resource reservation at small CPU counts —
         # run the dim attach to completion before the big-big join starts

@@ -56,7 +56,12 @@ def expand_query(
         out = [
             (p + " " + v) if p else v for p in out for v in variants
         ][:cap]
-    return [lead + o + trail for o in out]
+    rebuilt = [lead + o + trail for o in out]
+    # the identity variant (always first: each token list starts with the
+    # token itself) must be the ORIGINAL string — single-space rejoining
+    # would silently break prefixes containing runs of whitespace
+    rebuilt[0] = query
+    return rebuilt
 
 
 def prefix_search(

@@ -392,3 +392,31 @@ def test_grouped_topk_bucketed_matches_direct(ray_session):
     d = canon(grouped_rank_topk(ds, ["g"], "v", k=2, num_buckets=16))
     pd.testing.assert_frame_equal(c, d)
     assert len(a) > 100 and len(c) >= len(a)
+
+
+def test_expand_query_preserves_original_whitespace():
+    """Review fix: the identity variant must be the ORIGINAL query string
+    — rejoining with single spaces silently broke multi-space prefixes."""
+    from mimirsbrunn_ray.stages.search import expand_query
+
+    syn = {"bd": ["boulevard"]}
+    got = expand_query("foo  bar", syn)  # no synonym applies
+    assert got[0] == "foo  bar"
+    got2 = expand_query("bd  x", syn)
+    assert got2[0] == "bd  x" and "boulevard x" in got2
+
+
+def test_select_label_sliced_map_array():
+    """Review fix: flat map children span the WHOLE parent on a sliced
+    view; out-of-view hits must not mis-assign labels or crash."""
+    import pyarrow as pa
+
+    from mimirsbrunn_ray.functions.i18n import build_names_map, select_label
+
+    default = pa.array(["A", "B", "C", "D"])
+    fr = pa.array(["A-fr", None, "C-fr", "D-fr"])
+    names = build_names_map(default, {"fr": fr})
+    sl_names = names.slice(1, 2)          # rows B, C
+    sl_default = default.slice(1, 2)
+    got = select_label(sl_names, sl_default, "fr").to_pylist()
+    assert got == ["B", "C-fr"]  # A-fr (before view) and D-fr (after) excluded
