@@ -5039,6 +5039,111 @@ def q_weighted_sample_docs(sf_dir):
 QUERIES["weighted_sample_docs"] = q_weighted_sample_docs
 
 
+def q_value_trend_per_type(sf_dir):
+    """Per-type least-squares TREND SLOPE of value over time — grouped
+    linear regression via the decomposable (n, sx, sy, sxy, sxx) moment
+    tuple (one pass + tree merge, the A2/moments discipline). x is hours
+    since 2024-01-01 (pre-centering keeps the naive normal-equation
+    arithmetic numerically close to DuckDB's stable regr_slope — raw
+    epoch microseconds would cancel catastrophically); output snapped
+    x1e6. Types with a degenerate x-variance are dropped (slope
+    undefined; the oracle's regr_slope yields NULL there)."""
+    from mimirsbrunn_ray.stages.ordered import _round_half_away
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    x0 = np.datetime64("2024-01-01", "us").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(b["event_type"]), pc.is_valid(b["ts"])
+                ),
+                pc.is_valid(b["value"]),
+            )
+        )
+        ts_us = (
+            b["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        x = (ts_us - x0) / 3.6e9  # hours since 2024-01-01
+        y = b["value"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "xy": pa.array(x * y),
+                "xx": pa.array(x * x),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [([], "count_all"), ("x", "sum"), ("y", "sum"),
+             ("xy", "sum"), ("xx", "sum")]
+        )
+        g = g.select(
+            ["event_type", "count_all", "x_sum", "y_sum", "xy_sum", "xx_sum"]
+        )
+        return g.rename_columns(["event_type", "n", "sx", "sy", "sxy", "sxx"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")]
+        )
+        g = g.select(
+            ["event_type", "n_sum", "sx_sum", "sy_sum", "sxy_sum", "sxx_sum"]
+        )
+        return g.rename_columns(["event_type", "n", "sx", "sy", "sxy", "sxx"])
+
+    merged = tree_merge(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        combine,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False)
+        denom = n * sxx - sx * sx
+        keep = denom != 0.0
+        slope = np.where(keep, (n * sxy - sx * sy) / np.where(keep, denom, 1.0), 0.0)
+        return pa.table(
+            {
+                "event_type": b["event_type"].filter(pa.array(keep)),
+                "n_vals": pa.array(n[keep].astype(np.int64)),
+                "slope_x1e6": pa.array(_round_half_away(slope[keep] * 1e6)),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+TREND_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_vals,
+       CAST(ROUND(regr_slope(
+              value,
+              (EPOCH_US(ts) - EPOCH_US(TIMESTAMP '2024-01-01')) / 3600000000.0
+            ) * 1000000, 0) AS BIGINT) AS slope_x1e6
+FROM events
+WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+GROUP BY event_type
+HAVING regr_slope(
+         value,
+         (EPOCH_US(ts) - EPOCH_US(TIMESTAMP '2024-01-01')) / 3600000000.0
+       ) IS NOT NULL
+"""
+
+QUERIES["value_trend_per_type"] = q_value_trend_per_type
+ORACLES["value_trend_per_type"] = TREND_SQL
+
+
 # --------------------------------------------------------------------------
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
