@@ -5145,6 +5145,10 @@ ORACLES["value_trend_per_type"] = TREND_SQL
 
 
 # --------------------------------------------------------------------------
+from mimirsbrunn_ray.pipelines.queries_ext import register_ext  # noqa: E402
+
+register_ext(QUERIES, ORACLES)
+
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
 # every checked slot carries a DuckDB value oracle; rows-only (no_oracle)
