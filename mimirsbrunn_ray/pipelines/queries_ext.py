@@ -41,6 +41,11 @@ def _source_chars_hist(sf_dir: str) -> "rd.Dataset":
         t = pa.table(
             {"source": b["source"], "x": b["n_chars"].cast(pa.int64())}
         )
+        # SQL twins exclude NULL keys/values (aggregates ignore NULLs;
+        # a null histogram bin would shift every rank)
+        t = t.filter(
+            pc.and_(pc.is_valid(t["source"]), pc.is_valid(t["x"]))
+        )
         g = t.group_by(["source", "x"]).aggregate([([], "count_all")])
         g = g.select(["source", "x", "count_all"])
         return g.rename_columns(["source", "x", "c"])
@@ -120,7 +125,7 @@ NTILE_SQL = """
 WITH t AS (
   SELECT source, n_chars,
          NTILE(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS tile
-  FROM documents
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
 )
 SELECT source, CAST(tile AS BIGINT) AS tile,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -165,7 +170,8 @@ def q_gini_doc_lengths(sf_dir):
 GINI_SQL = """
 WITH h AS (
   SELECT source, CAST(n_chars AS BIGINT) AS x, COUNT(*) AS c
-  FROM documents GROUP BY 1, 2
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2
 ),
 o AS (
   SELECT source, x, c,
@@ -326,6 +332,7 @@ def q_js_divergence_sources(sf_dir):
     )
 
     def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["source"]))
         ws = pc.split_pattern(
             pc.utf8_lower(pc.fill_null(b["text"], "")), " "
         )
@@ -385,7 +392,7 @@ JS_SQL = """
 WITH w AS (
   SELECT source,
          unnest(string_split(COALESCE(lower(text), ''), ' ')) AS word
-  FROM documents
+  FROM documents WHERE source IS NOT NULL
 ),
 c AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
 ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
@@ -427,6 +434,7 @@ def q_numeric_mentions(sf_dir):
     )
 
     def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["source"]))
         k = pc.count_substring_regex(
             pc.fill_null(b["text"], ""), "[0-9]+"
         ).cast(pa.int64())
@@ -466,7 +474,7 @@ NUMERIC_SQL = """
 WITH d AS (
   SELECT source,
          length(regexp_extract_all(COALESCE(text, ''), '[0-9]+')) AS k
-  FROM documents
+  FROM documents WHERE source IS NOT NULL
 )
 SELECT source, CAST(SUM(k) AS BIGINT) AS n_matches,
        CAST(SUM(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -838,6 +846,7 @@ def q_tpch_q14_promo_share(sf_dir):
                 "total_rev_e4": pa.array(
                     [pc.sum(rev).as_py() or 0], pa.int64()
                 ),
+                "n_rows": pa.array([b.num_rows], pa.int64()),
             }
         )
 
@@ -850,6 +859,9 @@ def q_tpch_q14_promo_share(sf_dir):
                 "total_rev_e4": pa.array(
                     [pc.sum(b["total_rev_e4"]).as_py() or 0], pa.int64()
                 ),
+                "n_rows": pa.array(
+                    [pc.sum(b["n_rows"]).as_py() or 0], pa.int64()
+                ),
             }
         )
 
@@ -861,11 +873,21 @@ def q_tpch_q14_promo_share(sf_dir):
     parts = list(merged.iter_batches(batch_format="pyarrow"))
     t = combine(pa.concat_tables(parts)) if parts else pa.table(
         {"promo_rev_e4": pa.array([0], pa.int64()),
-         "total_rev_e4": pa.array([0], pa.int64())}
+         "total_rev_e4": pa.array([0], pa.int64()),
+         "n_rows": pa.array([0], pa.int64())}
     )
+    if int(t["n_rows"][0].as_py()) == 0:
+        # SQL aggregate over zero rows: one row, all sums NULL
+        return pa.table(
+            {
+                "promo_share": pa.array([None], pa.float64()),
+                "promo_rev_e4": pa.array([None], pa.int64()),
+                "total_rev_e4": pa.array([None], pa.int64()),
+            }
+        )
     p = int(t["promo_rev_e4"][0].as_py())
     tot = int(t["total_rev_e4"][0].as_py())
-    share = (100.0 * float(p)) / float(tot) if tot else float("nan")
+    share = (100.0 * float(p)) / float(tot)
     return pa.table(
         {
             "promo_share": pa.array([share], pa.float64()),
