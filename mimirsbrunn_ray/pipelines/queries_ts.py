@@ -1,0 +1,693 @@
+"""Round-4 time-series + join extension queries: counter-rate semantics,
+OHLC bars, trailing EWMA, sliding-window distinct counts, day-over-day
+deltas, a 2-D skyline, and three more TPC-H join-aggregate shapes
+(Q10 / Q19 / Q7 adapted to the available columns).
+
+Exactness discipline (SURVEY.md §6): every float that feeds a SUM is
+quantized per-term to int64 fixed point BEFORE summation (integer sums
+are order-free, so the distributed result is bit-equal to any engine's);
+open/close/high/low are actual data elements; the only divisions happen
+once, from identical operands on both sides.
+
+Reference parity notes: the counter-increase operator is the metrics-
+store semantic over the reference's bulk ok/err import counters
+(/root/reference/libs/mimir/src/rubber.rs:413-452); OHLC/EWMA/sliding
+windows generalize its per-run import stats to per-bucket series; the
+TPC-H shapes exercise the same broadcast-dimension + big-big exchange
+machinery as the reference's admin/street denormalizing joins
+(/root/reference/src/osm_reader/street.rs:118-167).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+# ---------------------------------------------------------------------------
+# counter increase (PromQL-style reset-aware rate), per user x hour
+# ---------------------------------------------------------------------------
+
+
+def q_counter_increase(sf_dir):
+    """Reset-aware counter ``increase()`` per (user, hour) — see
+    stages/timeseries.counter_increase (one series-key bucket shuffle,
+    vectorized LAG + per-term x100 quantization)."""
+    from mimirsbrunn_ray.stages.timeseries import counter_increase
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return counter_increase(ev, key="user_id", freq="h")
+
+
+COUNTER_INCREASE_SQL = """
+WITH d AS (
+  SELECT user_id, ts, value,
+         value - LAG(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS delta
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT user_id, date_trunc('hour', ts) AS bucket,
+       CAST(SUM(CAST(ROUND(
+         (CASE WHEN delta >= 0 THEN delta ELSE value END) * 100, 0
+       ) AS BIGINT)) AS BIGINT) AS increase_x100,
+       CAST(COUNT(*) AS BIGINT) AS n_samples
+FROM d WHERE delta IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars per event_type x hour
+# ---------------------------------------------------------------------------
+
+
+def q_ohlc_bars(sf_dir):
+    """Hourly OHLC candlesticks per event type — decomposable partial
+    bars merged by one groupby; open/close deterministic via (ts, id)
+    tie-break (stages/timeseries.ohlc_bars)."""
+    from mimirsbrunn_ray.stages.timeseries import ohlc_bars
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+    )
+    return ohlc_bars(ev, key="event_type", freq="h")
+
+
+OHLC_SQL = """
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, bucket ORDER BY ts, event_id
+         ) AS rn_a,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, bucket ORDER BY ts DESC, event_id DESC
+         ) AS rn_d
+  FROM e
+), oc AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+         MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+  FROM r GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, bucket, MAX(value) AS high, MIN(value) AS low,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS volume_x100,
+         CAST(COUNT(*) AS BIGINT) AS n_samples
+  FROM e GROUP BY 1, 2
+)
+SELECT agg.event_type, agg.bucket, oc.open, agg.high, agg.low, oc.close,
+       agg.volume_x100, agg.n_samples
+FROM agg JOIN oc USING (event_type, bucket)
+"""
+
+
+# ---------------------------------------------------------------------------
+# trailing EWMA (alpha = 1/2, exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def q_ewma_trailing(sf_dir):
+    """Trailing-32-sample EWMA per event type in exact integer
+    arithmetic (power-of-two weights, x100 values) — the one float is a
+    single division both engines perform on identical int64 operands
+    (stages/timeseries.trailing_ewma)."""
+    from mimirsbrunn_ray.stages.timeseries import trailing_ewma
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+    )
+    return trailing_ewma(ev, key="event_type", window=32)
+
+
+EWMA_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), t AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT)
+           * CAST(POWER(2, 32 - rn) AS BIGINT) AS num,
+         CAST(POWER(2, 32 - rn) AS BIGINT) AS den
+  FROM r WHERE rn <= 32
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_used,
+       CAST(SUM(num) AS BIGINT) AS ewma_num,
+       CAST(SUM(den) AS BIGINT) AS ewma_den,
+       CAST(SUM(num) AS DOUBLE) / CAST(SUM(den) AS DOUBLE) AS ewma_x100
+FROM t GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding-window distinct users (trailing 2 hours)
+# ---------------------------------------------------------------------------
+
+
+def q_sliding_active_users(sf_dir):
+    """Trailing-2h distinct users at every hour label — bucket-pair
+    fan-out (vectorized, after a batch-local pair distinct) into the
+    exact_distinct_per_group machinery
+    (stages/timeseries.sliding_distinct)."""
+    from mimirsbrunn_ray.stages.timeseries import sliding_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sliding_distinct(ev, entity="user_id", freq="h", window_buckets=2)
+
+
+SLIDING_DISTINCT_SQL = """
+WITH uh AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), lab AS (
+  SELECT DISTINCT user_id, h + o * INTERVAL 1 HOUR AS win
+  FROM uh CROSS JOIN (SELECT UNNEST([0, 1]) AS o)
+)
+SELECT win, CAST(COUNT(*) AS BIGINT) AS n_entities
+FROM lab GROUP BY win
+"""
+
+
+# ---------------------------------------------------------------------------
+# day-over-day delta of daily value sums
+# ---------------------------------------------------------------------------
+
+
+def q_day_over_day(sf_dir):
+    """Day-over-day delta of per-type daily x100 sums — combiner-first
+    daily partials, then a per-key sort+shift over key x days rows
+    (stages/timeseries.day_over_day)."""
+    from mimirsbrunn_ray.stages.timeseries import day_over_day
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return day_over_day(ev, key="event_type")
+
+
+DOD_SQL = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_x100
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+), l AS (
+  SELECT event_type, day, total_x100,
+         LAG(total_x100) OVER (
+           PARTITION BY event_type ORDER BY day
+         ) AS prev_x100
+  FROM d
+)
+SELECT event_type, day, total_x100, prev_x100,
+       total_x100 - prev_x100 AS delta_x100
+FROM l WHERE prev_x100 IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline over part (cheapest-for-its-size Pareto front)
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_parts(sf_dir):
+    """Pareto front of parts (minimize retail price, maximize size):
+    lossless local-front pruning per block, then the same vectorized
+    rule over the union of tiny fronts
+    (stages/ordered.pareto_front_2d)."""
+    from mimirsbrunn_ray.stages.ordered import pareto_front_2d
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+    return pareto_front_2d(
+        parts, minimize_col="p_retailprice", maximize_col="p_size",
+        id_col="p_partkey",
+    )
+
+
+PARETO_SQL = """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_retailprice, p_size
+FROM part p
+WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+      AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: revenue lost to returned items, top-20 customers
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q10_returns(sf_dir):
+    """TPC-H Q10 shape: returned-lineitem revenue per customer for a
+    half-year of orders. Combiner-first per-orderkey revenue partials
+    (x1e4 int) -> big-big hash join with date-filtered orders -> small
+    per-custkey aggregate -> constant-group top-20 prune -> broadcast
+    customer + nation dims onto the 20 survivors."""
+    from mimirsbrunn_ray.stages.join import broadcast_join, make_lookup_ref_arrays
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+    from mimirsbrunn_ray.stages.search import grouped_top_k
+
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1997-07-01", "us")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        price_c = pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0)))
+        disc_c = pc.round(pc.multiply(b["l_discount"], pa.scalar(100.0)))
+        rev_e4 = pc.multiply(
+            price_c.cast(pa.int64()),
+            pc.subtract(pa.scalar(100, type=pa.int64()), disc_c.cast(pa.int64())),
+        )
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev_e4": rev_e4})
+        g = t.group_by(["l_orderkey"]).aggregate([("rev_e4", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_e4"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=None)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                pc.less(b["o_orderdate"], pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_custkey"]).aggregate([("rev_e4", "sum")])
+        return g.rename_columns(["c_custkey", "revenue_e4"])
+
+    per_cust = tree_merge(
+        joined.map_batches(cust_partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by(["c_custkey"])
+        .aggregate([("revenue_e4", "sum")])
+        .rename_columns(["c_custkey", "revenue_e4"]),
+    )
+
+    top = grouped_top_k(
+        per_cust.map_batches(
+            lambda b: b.append_column("_g", pa.array(np.zeros(b.num_rows, dtype=np.int8))),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        group_cols=["_g"],
+        order_col="revenue_e4",
+        k=20,
+        descending=True,
+        tiebreak_cols=("c_custkey",),
+    ).drop_columns(["_g"])
+
+    cust = pa.concat_tables(
+        [
+            b.select(["c_custkey", "c_name", "c_nationkey"])
+            for b in rd.read_parquet(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_name", "c_nationkey"],
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    nat = pa.concat_tables(
+        [
+            b.select(["n_nationkey", "n_name"])
+            for b in rd.read_parquet(
+                f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    nkey = nat["n_nationkey"].to_numpy()
+    order_n = np.argsort(nkey, kind="stable")
+    nmap_ref = make_lookup_ref_arrays(
+        nkey[order_n], nat["n_name"].to_numpy(zero_copy_only=False)[order_n]
+    )
+    ckey = cust["c_custkey"].to_numpy()
+    order_c = np.argsort(ckey, kind="stable")
+    cname_ref = make_lookup_ref_arrays(
+        ckey[order_c], cust["c_name"].to_numpy(zero_copy_only=False)[order_c]
+    )
+    cnat_ref = make_lookup_ref_arrays(
+        ckey[order_c], cust["c_nationkey"].to_numpy()[order_c]
+    )
+
+    out = broadcast_join(top, cname_ref, "c_custkey", "c_name", out_type=pa.string())
+    out = broadcast_join(out, cnat_ref, "c_custkey", "_nk", out_type=pa.int64())
+    out = broadcast_join(out, nmap_ref, "_nk", "n_name", out_type=pa.string())
+    return out.drop_columns(["_nk"]).select_columns(
+        ["c_name", "c_custkey", "n_name", "revenue_e4"]
+    )
+
+
+Q10_SQL = """
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS rev_e4
+  FROM lineitem WHERE l_returnflag = 'R'
+), o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1997-07-01'
+), r AS (
+  SELECT o.o_custkey AS c_custkey, CAST(SUM(l.rev_e4) AS BIGINT) AS revenue_e4
+  FROM l JOIN o ON l.l_orderkey = o.o_orderkey GROUP BY 1
+)
+SELECT c.c_name, CAST(r.c_custkey AS BIGINT) AS c_custkey, n.n_name,
+       r.revenue_e4
+FROM r
+JOIN customer c ON c.c_custkey = r.c_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY r.revenue_e4 DESC, r.c_custkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19: OR-of-brackets revenue (broadcast part attributes)
+# ---------------------------------------------------------------------------
+
+_Q19_BRACKETS = (
+    ("Brand#13", 1, 10, 1.0, 20.0),
+    ("Brand#20", 5, 25, 10.0, 35.0),
+    ("Brand#5", 15, 50, 25.0, 50.0),
+)
+
+
+def q_tpch_q19_brackets(sf_dir):
+    """TPC-H Q19 shape: discounted revenue over an OR of three
+    (brand, size-range, quantity-range) brackets. Part attributes ship
+    once as broadcast (partkey -> brand, partkey -> size) lookups; the
+    bracket mask is pure vectorized Arrow/numpy per batch; the two
+    output sums are per-term-quantized int64 partials tree-merged to a
+    single row."""
+    from mimirsbrunn_ray.stages.join import broadcast_join, make_lookup_ref_arrays
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    part = pa.concat_tables(
+        [
+            b.select(["p_partkey", "p_brand", "p_size"])
+            for b in rd.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    pkey = part["p_partkey"].to_numpy()
+    order = np.argsort(pkey, kind="stable")
+    brand_ref = make_lookup_ref_arrays(
+        pkey[order], part["p_brand"].to_numpy(zero_copy_only=False)[order]
+    )
+    size_ref = make_lookup_ref_arrays(
+        pkey[order], part["p_size"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    li = broadcast_join(li, brand_ref, "l_partkey", "p_brand", out_type=pa.string())
+    li = broadcast_join(li, size_ref, "l_partkey", "p_size", out_type=pa.int64())
+
+    def partial(b: pa.Table) -> pa.Table:
+        brand = b["p_brand"].to_numpy(zero_copy_only=False)
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(brand), dtype=bool)
+        for br, slo, shi, qlo, qhi in _Q19_BRACKETS:
+            mask |= (
+                (brand == br)
+                & (size >= slo) & (size <= shi)
+                & (qty >= qlo) & (qty <= qhi)
+            )
+        b = b.filter(pa.array(mask))
+        price_c = pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0)))
+        disc_c = pc.round(pc.multiply(b["l_discount"], pa.scalar(100.0)))
+        rev = pc.multiply(
+            price_c.cast(pa.int64()),
+            pc.subtract(pa.scalar(100, type=pa.int64()), disc_c.cast(pa.int64())),
+        )
+        return pa.table(
+            {
+                "revenue_e4": pa.array(
+                    [pc.sum(rev).as_py() or 0], type=pa.int64()
+                ),
+                "n_items": pa.array([b.num_rows], type=pa.int64()),
+            }
+        )
+
+    partials = li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def combine(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue_e4": pa.array(
+                    [pc.sum(b["revenue_e4"]).as_py() or 0], type=pa.int64()
+                ),
+                "n_items": pa.array(
+                    [pc.sum(b["n_items"]).as_py() or 0], type=pa.int64()
+                ),
+            }
+        )
+
+    return tree_merge(partials, combine)
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+         AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 5 AND 25
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 15 AND 50
+       AND l.l_quantity BETWEEN 25 AND 50)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7: bilateral shipping volume between two nations by order year
+# ---------------------------------------------------------------------------
+
+_Q7_NATIONS = ("NATION_3", "NATION_7")
+
+
+def q_tpch_q7_volume(sf_dir):
+    """TPC-H Q7 shape: yearly discounted revenue between two nations
+    (supplier side x customer side, both directions). The supplier and
+    customer nation attributes ship as broadcast lookups onto the two
+    big tables; ONE big-big exchange (lineitem partial-projected x
+    orders) carries the join, and the final aggregate is keys x years
+    sized."""
+    from mimirsbrunn_ray.stages.join import broadcast_join, make_lookup_ref_arrays
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    sup = pa.concat_tables(
+        [
+            b.select(["s_suppkey", "s_nationkey"])
+            for b in rd.read_parquet(
+                f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    cust = pa.concat_tables(
+        [
+            b.select(["c_custkey", "c_nationkey"])
+            for b in rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    nat = pa.concat_tables(
+        [
+            b.select(["n_nationkey", "n_name"])
+            for b in rd.read_parquet(
+                f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    nk = nat["n_nationkey"].to_numpy()
+    nv = nat["n_name"].to_numpy(zero_copy_only=False)
+    name_of = dict(zip(nk.tolist(), nv.tolist()))
+
+    skey = sup["s_suppkey"].to_numpy()
+    so = np.argsort(skey, kind="stable")
+    snat = np.array(
+        [name_of.get(int(x)) for x in sup["s_nationkey"].to_numpy()], dtype=object
+    )
+    sup_ref = make_lookup_ref_arrays(skey[so], snat[so])
+
+    ckey = cust["c_custkey"].to_numpy()
+    co = np.argsort(ckey, kind="stable")
+    cnat = np.array(
+        [name_of.get(int(x)) for x in cust["c_nationkey"].to_numpy()], dtype=object
+    )
+    cust_ref = make_lookup_ref_arrays(ckey[co], cnat[co])
+
+    a, bn = _Q7_NATIONS
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = broadcast_join(li, sup_ref, "l_suppkey", "supp_nation", out_type=pa.string())
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.is_in(b["supp_nation"], value_set=pa.array([a, bn])), False
+        )
+        b = b.filter(keep)
+        price_c = pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0)))
+        disc_c = pc.round(pc.multiply(b["l_discount"], pa.scalar(100.0)))
+        rev = pc.multiply(
+            price_c.cast(pa.int64()),
+            pc.subtract(pa.scalar(100, type=pa.int64()), disc_c.cast(pa.int64())),
+        )
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "supp_nation": b["supp_nation"],
+                "rev_e4": rev,
+            }
+        )
+        g = t.group_by(["l_orderkey", "supp_nation"]).aggregate([("rev_e4", "sum")])
+        return g.rename_columns(["l_orderkey", "supp_nation", "rev_e4"])
+
+    li = li.map_batches(li_partial, batch_format="pyarrow", batch_size=None)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    orders = broadcast_join(
+        orders, cust_ref, "o_custkey", "cust_nation", out_type=pa.string()
+    )
+
+    def o_proj(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.is_in(b["cust_nation"], value_set=pa.array([a, bn])), False
+        )
+        b = b.filter(keep)
+        year = pc.year(b["o_orderdate"]).cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "cust_nation": b["cust_nation"],
+                "o_year": year,
+            }
+        )
+
+    orders = orders.map_batches(o_proj, batch_format="pyarrow", batch_size=None)
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def final_partial(b: pa.Table) -> pa.Table:
+        # keep only cross-nation flows (supp != cust), both directions
+        keep = pc.invert(pc.equal(b["supp_nation"], b["cust_nation"]))
+        b = b.filter(pc.fill_null(keep, False))
+        g = b.group_by(["supp_nation", "cust_nation", "o_year"]).aggregate(
+            [("rev_e4", "sum")]
+        )
+        return g.rename_columns(
+            ["supp_nation", "cust_nation", "o_year", "revenue_e4"]
+        )
+
+    partials = joined.map_batches(final_partial, batch_format="pyarrow", batch_size=None)
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["supp_nation", "cust_nation", "o_year"]).aggregate(
+            [("revenue_e4", "sum")]
+        )
+        return g.rename_columns(
+            ["supp_nation", "cust_nation", "o_year", "revenue_e4"]
+        )
+
+    return tree_merge(partials, combine)
+
+
+Q7_SQL = """
+WITH l AS (
+  SELECT l_orderkey, s.s_nationkey AS s_nk,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS rev_e4
+  FROM lineitem li JOIN supplier s ON s.s_suppkey = li.l_suppkey
+)
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(l.rev_e4) AS BIGINT) AS revenue_e4
+FROM l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation ns ON ns.n_nationkey = l.s_nk
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ns.n_name IN ('NATION_3', 'NATION_7')
+  AND nc.n_name IN ('NATION_3', 'NATION_7')
+  AND ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def register_ts(queries: dict, oracles: dict) -> None:
+    queries.update(
+        {
+            "counter_increase_hourly": q_counter_increase,
+            "ohlc_bars_hourly": q_ohlc_bars,
+            "ewma_trailing_per_type": q_ewma_trailing,
+            "sliding_active_users_2h": q_sliding_active_users,
+            "day_over_day_value": q_day_over_day,
+            "pareto_front_parts": q_pareto_parts,
+            "tpch_q10_returns": q_tpch_q10_returns,
+            "tpch_q19_brackets": q_tpch_q19_brackets,
+            "tpch_q7_nation_volume": q_tpch_q7_volume,
+        }
+    )
+    oracles.update(
+        {
+            "counter_increase_hourly": COUNTER_INCREASE_SQL,
+            "ohlc_bars_hourly": OHLC_SQL,
+            "ewma_trailing_per_type": EWMA_SQL,
+            "sliding_active_users_2h": SLIDING_DISTINCT_SQL,
+            "day_over_day_value": DOD_SQL,
+            "pareto_front_parts": PARETO_SQL,
+            "tpch_q10_returns": Q10_SQL,
+            "tpch_q19_brackets": Q19_SQL,
+            "tpch_q7_nation_volume": Q7_SQL,
+        }
+    )

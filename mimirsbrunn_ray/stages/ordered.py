@@ -1089,3 +1089,62 @@ def rolling_bucket_median(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def pareto_front_2d(
+    ds: "rd.Dataset",
+    minimize_col: str,
+    maximize_col: str,
+    id_col: str,
+) -> "rd.Dataset":
+    """2-D skyline (Pareto front): rows not dominated by any other row,
+    where q dominates p iff q is <= p on ``minimize_col`` AND >= p on
+    ``maximize_col`` with at least one strict inequality. Ties on BOTH
+    axes are mutually non-dominating — every tied row stays.
+
+    Classic distributed shape: a LOCAL skyline per block (the global
+    skyline is a subset of every block's local skyline, so local pruning
+    is lossless), then the same vectorized rule once over the union of
+    the tiny local fronts. Per block it is one sort + two segment scans
+    (O(n log n), no pairwise matrix): after sorting by (min asc,
+    max desc), a row survives iff it carries its minimize-group's max
+    AND that max strictly exceeds the running max over all strictly
+    smaller minimize values.
+
+    For 100-TB inputs the union stage stays bounded because each block
+    contributes only its front (expected O(log n) rows for independent
+    axes); a pathological anti-correlated distribution — where the true
+    skyline IS corpus-sized — is output-bounded, not an engine flaw.
+    """
+
+    def local_front(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.is_valid(b[minimize_col]), pc.is_valid(b[maximize_col]))
+        )
+        if b.num_rows == 0:
+            return b
+        g = b.select([id_col, minimize_col, maximize_col]).to_pandas()
+        g = g.sort_values(
+            [minimize_col, maximize_col, id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        mn = g[minimize_col].to_numpy()
+        mx = g[maximize_col].to_numpy()
+        # first row of each minimize-group holds the group max (sort order)
+        starts = np.empty(len(g), dtype=bool)
+        starts[0] = True
+        starts[1:] = mn[1:] != mn[:-1]
+        seg = np.cumsum(starts) - 1
+        gmax = mx[starts][seg]  # per-row: max of its own group (sort order)
+        in_group_max = mx == gmax
+        firsts = mx[starts]  # per group (ordered by minimize asc)
+        run_before = np.concatenate(([-np.inf], np.maximum.accumulate(firsts)[:-1]))
+        keep = in_group_max & (gmax > run_before[seg])
+        return pa.Table.from_pandas(g[keep], preserve_index=False)
+
+    local = ds.map_batches(local_front, batch_format="pyarrow", batch_size=None)
+    # union of local fronts is small: one partition, same rule, globally exact
+    return local.repartition(1).map_batches(
+        local_front, batch_format="pyarrow", batch_size=None
+    )

@@ -1,0 +1,403 @@
+"""Counter / bar / window analytics over irregular event series.
+
+The reference engine's import pipeline rolls raw points into retention
+tiers (count/sum/min/max — `stages/rollup.py`); this module adds the
+*ordered* time-series reductions a metrics store layers on top of those
+tiers: monotonic-counter increase with reset detection (the PromQL
+``increase()`` semantic), OHLC candlestick bars (deterministic open/close
+via (ts, id) tie-break), trailing exponential moving averages, and
+sliding-window distinct counts.
+
+Scale shape shared by every operator here (same discipline as
+stages/ordered.py): ONE coarse hash-bucket shuffle on the series key so
+each series lands wholly in one group, then one vectorized mergesort +
+shift/segment-reduce per bucket — never per-key Python groups, never a
+global sort. Outputs are per-(key, bucket) aggregates, so result
+cardinality is bounded by key-cardinality × time-range regardless of
+input row count.
+
+Float discipline: anything summed is quantized per-term to int64 fixed
+point BEFORE the sum (integer addition is associative — the distributed
+sum is bit-equal to any oracle's), and anything divided is divided once,
+from identical operands on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+try:  # absent only in stripped-down test harnesses
+    import ray.data as rd
+except ImportError:  # pragma: no cover
+    rd = None
+
+from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
+
+
+def _round_half_away_x(x: np.ndarray, scale: float) -> np.ndarray:
+    """DuckDB ROUND(x*scale, 0) — half away from zero, as int64."""
+    s = x * scale
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+
+
+def counter_increase(
+    ds: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    freq: str = "h",
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """PromQL-style ``increase()`` with counter-reset detection, bucketed
+    to ``freq``: per series (``key``), order samples by (ts, id); each
+    sample after the first contributes ``delta = v_i - v_{i-1}`` when the
+    counter moved forward, else (a reset: the counter restarted from ~0)
+    ``v_i`` itself. Contributions are credited to the bucket of the
+    LATER sample and quantized to x100 fixed point per term, so the
+    per-(key, bucket) sums are exact integers.
+
+    Graft note: the reference rolls import counters into per-run totals
+    (/root/reference/libs/mimir/src/rubber.rs bulk ok/err counters); a
+    metrics store over those counters needs exactly this reset-aware
+    rate. One bucket shuffle; resets never cross the shuffle because a
+    series lives wholly inside its hash bucket.
+
+    Output: key, bucket (timestamp), increase_x100 int64, n_samples int64.
+    """
+    proj = ds.map_batches(
+        lambda b: add_bucket(
+            b.filter(
+                pc.and_(
+                    pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col])),
+                    pc.is_valid(b[value_col]),
+                )
+            ).select([key, ts_col, id_col, value_col]),
+            key,
+            num_buckets,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype="datetime64[us]"),
+                "increase_x100": pd.Series([], dtype=np.int64),
+                "n_samples": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        k = g[key].to_numpy()
+        v = g[value_col].to_numpy(dtype=np.float64)
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = k[1:] == k[:-1]  # row i continues row i-1's series
+        delta = np.empty_like(v)
+        delta[0] = 0.0
+        delta[1:] = v[1:] - v[:-1]
+        contrib = np.where(delta >= 0, delta, v)  # reset -> restart from v_i
+        contrib_x100 = _round_half_away_x(contrib, 100.0)
+        out = pd.DataFrame(
+            {
+                key: k[same],
+                "bucket": g[ts_col].dt.floor(freq).to_numpy()[same],
+                "inc": contrib_x100[same],
+            }
+        )
+        if len(out) == 0:
+            return empty
+        agg = (
+            out.groupby([key, "bucket"], sort=False, as_index=False)
+            .agg(increase_x100=("inc", "sum"), n_samples=("inc", "size"))
+        )
+        agg["increase_x100"] = agg["increase_x100"].astype(np.int64)
+        agg["n_samples"] = agg["n_samples"].astype(np.int64)
+        return agg
+
+    return proj.groupby(_BUCKET).map_groups(per_bucket, batch_format="pandas")
+
+
+def ohlc_bars(
+    ds: "rd.Dataset",
+    key: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    freq: str = "h",
+) -> "rd.Dataset":
+    """OHLC candlestick bars per (key, freq-bucket): open/close are the
+    values at the (ts, id)-min/max sample — deterministic under ties and
+    any partitioning — high/low are min/max, volume is the x100
+    fixed-point sum of values, n the sample count.
+
+    Decomposable: map_batches emits one partial bar per (key, bucket)
+    per batch (argmin/argmax carried WITH their ordering keys), then a
+    single groupby combines partials with the same argmin/argmax merge —
+    the same partial/combine shape as stages/rollup.py's tier aggregate,
+    so no sort shuffle and no full-series group ever materializes.
+
+    Output: key, bucket, open, high, low, close, volume_x100, n_samples.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col])),
+                pc.is_valid(b[value_col]),
+            )
+        )
+        g = pd.DataFrame(
+            {
+                key: b[key].to_pandas(),
+                "bucket": b[ts_col].to_pandas().dt.floor(freq),
+                "_ts": b[ts_col].to_pandas(),
+                "_id": b[id_col].to_pandas(),
+                "val": b[value_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        if len(g) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=b.schema.field(key).type),
+                    "bucket": pa.array([], type=pa.timestamp("us")),
+                    "o_ts": pa.array([], type=pa.timestamp("us")),
+                    "o_id": pa.array([], type=pa.int64()),
+                    "open": pa.array([], type=pa.float64()),
+                    "c_ts": pa.array([], type=pa.timestamp("us")),
+                    "c_id": pa.array([], type=pa.int64()),
+                    "close": pa.array([], type=pa.float64()),
+                    "high": pa.array([], type=pa.float64()),
+                    "low": pa.array([], type=pa.float64()),
+                    "volume_x100": pa.array([], type=pa.int64()),
+                    "n_samples": pa.array([], type=pa.int64()),
+                }
+            )
+        g["vx100"] = _round_half_away_x(g["val"].to_numpy(dtype=np.float64), 100.0)
+        # one mergesort by (key, bucket, ts, id): first/last row per group
+        # ARE the argmin/argmax by (ts, id)
+        g = g.sort_values([key, "bucket", "_ts", "_id"], kind="mergesort")
+        gb = g.groupby([key, "bucket"], sort=False, as_index=False)
+        out = gb.agg(
+            o_ts=("_ts", "first"),
+            o_id=("_id", "first"),
+            open=("val", "first"),
+            c_ts=("_ts", "last"),
+            c_id=("_id", "last"),
+            close=("val", "last"),
+            high=("val", "max"),
+            low=("val", "min"),
+            volume_x100=("vx100", "sum"),
+            n_samples=("val", "size"),
+        )
+        out["volume_x100"] = out["volume_x100"].astype(np.int64)
+        out["n_samples"] = out["n_samples"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_ts", "o_id"], kind="mergesort")
+        first = g.iloc[0]
+        lastpos = g[["c_ts", "c_id"]].sort_values(["c_ts", "c_id"], kind="mergesort").index[-1]
+        last = g.loc[lastpos]
+        return pd.DataFrame(
+            {
+                key: [first[key]],
+                "bucket": [first["bucket"]],
+                "open": [first["open"]],
+                "high": [g["high"].max()],
+                "low": [g["low"].min()],
+                "close": [last["close"]],
+                "volume_x100": np.array([g["volume_x100"].sum()], dtype=np.int64),
+                "n_samples": np.array([g["n_samples"].sum()], dtype=np.int64),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return partials.groupby([key, "bucket"]).map_groups(combine, batch_format="pandas")
+
+
+def trailing_ewma(
+    ds: "rd.Dataset",
+    key: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 32,
+    num_buckets: int = 16,
+) -> "rd.Dataset":
+    """Trailing exponential moving average (alpha = 1/2) over each
+    series' last ``window`` samples in (ts, id) order — EXACT integer
+    arithmetic end to end: values are quantized to x100 once, weights are
+    powers of two (2^j is exact, and with window<=32 and x100 values the
+    weighted sum stays far below 2^63), so the num/den integers are
+    order-independent and the single final division is performed from
+    identical operands by any conforming engine.
+
+    ewma = sum_j(v100_j * 2^j) / sum_j(2^j),  j = window-1 (newest) .. 0.
+
+    Output: key, n_used int64, ewma_num int64, ewma_den int64,
+    ewma_x100 double (= num/den).
+    """
+    proj = ds.map_batches(
+        lambda b: add_bucket(
+            b.filter(
+                pc.and_(
+                    pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col])),
+                    pc.is_valid(b[value_col]),
+                )
+            ).select([key, ts_col, id_col, value_col]),
+            key,
+            num_buckets,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=object),
+                "n_used": pd.Series([], dtype=np.int64),
+                "ewma_num": pd.Series([], dtype=np.int64),
+                "ewma_den": pd.Series([], dtype=np.int64),
+                "ewma_x100": pd.Series([], dtype=np.float64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        # newest-first within each key, keep the first `window` rows
+        g = g.sort_values([key, ts_col, id_col], ascending=[True, False, False], kind="mergesort")
+        tail = g.groupby(key, sort=False).head(window).copy()
+        rank = tail.groupby(key, sort=False).cumcount()  # 0 = newest
+        v100 = _round_half_away_x(tail[value_col].to_numpy(dtype=np.float64), 100.0)
+        w = np.int64(1) << (window - 1 - rank.to_numpy())
+        tail["num"] = v100 * w
+        tail["den"] = w
+        out = tail.groupby(key, sort=False, as_index=False).agg(
+            n_used=("den", "size"), ewma_num=("num", "sum"), ewma_den=("den", "sum")
+        )
+        out["n_used"] = out["n_used"].astype(np.int64)
+        out["ewma_x100"] = out["ewma_num"].to_numpy(dtype=np.float64) / out[
+            "ewma_den"
+        ].to_numpy(dtype=np.float64)
+        return out
+
+    return proj.groupby(_BUCKET).map_groups(per_bucket, batch_format="pandas")
+
+
+def sliding_distinct(
+    ds: "rd.Dataset",
+    entity: str = "user_id",
+    ts_col: str = "ts",
+    freq: str = "h",
+    window_buckets: int = 2,
+) -> "rd.Dataset":
+    """Distinct-``entity`` count in a trailing window of
+    ``window_buckets`` freq-buckets, evaluated at every window label an
+    entity could contribute to: label ``w`` counts entities seen in
+    buckets (w - window_buckets, w]. Exact, via bucket-level fan-out:
+    each event's (entity, bucket) is replicated — vectorized, inside
+    map_batches, AFTER a batch-local pair-distinct so the fan-out
+    multiplies per-block distinct pairs, not raw rows — to its
+    window_buckets window labels, and exact_distinct_per_group
+    (stages/dedup.py: combiner-first, one value-hash shuffle, additive
+    partials) finishes the COUNT(DISTINCT) per label.
+
+    Output: win (timestamp), n_entities int64.
+    """
+    from mimirsbrunn_ray.stages.dedup import exact_distinct_per_group
+
+    step = pd.Timedelta(1, unit=freq).value // 1000  # us per bucket
+
+    def fanout(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[entity]), pc.is_valid(b[ts_col])))
+        bkt = pd.DatetimeIndex(b[ts_col].to_pandas()).floor(freq)
+        t = pd.DataFrame(
+            {entity: b[entity].to_numpy(zero_copy_only=False), "bkt": bkt}
+        ).drop_duplicates()  # batch-local combiner before replication
+        n = len(t)
+        off = np.tile(np.arange(window_buckets, dtype=np.int64), n) * step
+        win = np.repeat(t["bkt"].to_numpy().astype("datetime64[us]").astype(np.int64), window_buckets) + off
+        return pa.table(
+            {
+                entity: pa.array(np.repeat(t[entity].to_numpy(), window_buckets)),
+                "win": pa.array(win.astype("datetime64[us]")),
+            }
+        )
+
+    labeled = ds.map_batches(fanout, batch_format="pyarrow", batch_size=None)
+    return exact_distinct_per_group(
+        labeled, group_col=["win"], distinct_col=entity, out_col="n_entities"
+    )
+
+
+def day_over_day(
+    ds: "rd.Dataset",
+    key: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> "rd.Dataset":
+    """Day-over-day delta of per-(key, day) x100 fixed-point value sums.
+
+    Stage 1 is a combiner-first partial aggregate inside map_batches
+    (input rows collapse to key x day partials before any shuffle);
+    stage 2 groups BY KEY — each group is one key's daily series, a few
+    hundred rows at most regardless of input size — sorts it, and shifts.
+    The LAG never crosses groups, so no boundary carry is needed.
+
+    Output: key, day, total_x100, prev_x100, delta_x100 (int64; rows
+    with no previous day are dropped, SQL-LAG-INNER semantics).
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col])),
+                pc.is_valid(b[value_col]),
+            )
+        )
+        t = pd.DataFrame(
+            {
+                key: b[key].to_pandas(),
+                "day": b[ts_col].to_pandas().dt.floor("D"),
+                "vx100": _round_half_away_x(
+                    b[value_col].to_numpy(zero_copy_only=False).astype(np.float64), 100.0
+                ),
+            }
+        )
+        out = t.groupby([key, "day"], sort=False, as_index=False)["vx100"].sum()
+        out["vx100"] = out["vx100"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("day", as_index=False)["vx100"].sum().sort_values("day")
+        tot["total_x100"] = tot["vx100"].astype(np.int64)
+        tot["prev_x100"] = tot["total_x100"].shift(1)
+        tot = tot.dropna(subset=["prev_x100"])
+        if len(tot) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=object),
+                    "day": pd.Series([], dtype="datetime64[us]"),
+                    "total_x100": pd.Series([], dtype=np.int64),
+                    "prev_x100": pd.Series([], dtype=np.int64),
+                    "delta_x100": pd.Series([], dtype=np.int64),
+                }
+            )
+        tot[key] = g.iloc[0][key]
+        tot["prev_x100"] = tot["prev_x100"].astype(np.int64)
+        tot["delta_x100"] = (tot["total_x100"] - tot["prev_x100"]).astype(np.int64)
+        return tot[[key, "day", "total_x100", "prev_x100", "delta_x100"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )

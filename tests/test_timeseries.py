@@ -1,0 +1,219 @@
+"""Edge-case unit tests for stages/timeseries.py and pareto_front_2d —
+the adversarial layouts the sf-corpus oracle parity sweep can't force:
+counter resets, cross-batch OHLC partial merges, EWMA window truncation,
+duplicate Pareto points, and window fan-out boundaries."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from mimirsbrunn_ray.stages.ordered import pareto_front_2d
+from mimirsbrunn_ray.stages.timeseries import (
+    counter_increase,
+    day_over_day,
+    ohlc_bars,
+    sliding_distinct,
+    trailing_ewma,
+)
+
+
+def _ts(*mins):
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    return [base + np.timedelta64(m, "m") for m in mins]
+
+
+def test_counter_increase_reset_semantics(ray_session):
+    # one series: 1 -> 5 (+4), 5 -> 2 (reset: +2), 2 -> 2 (+0)
+    df = pd.DataFrame(
+        {
+            "user_id": [7, 7, 7, 7],
+            "ts": _ts(0, 1, 2, 3),
+            "event_id": [1, 2, 3, 4],
+            "value": [1.0, 5.0, 2.0, 2.0],
+        }
+    )
+    out = (
+        counter_increase(rd.from_pandas(df), key="user_id", freq="h")
+        .to_pandas()
+    )
+    assert len(out) == 1
+    assert out.iloc[0]["increase_x100"] == 600  # (4 + 2 + 0) * 100
+    assert out.iloc[0]["n_samples"] == 3  # first sample has no delta
+
+
+def test_counter_increase_ts_tie_broken_by_id(ray_session):
+    # identical ts: order by event_id -> deltas 10->30 (+20), 30->20 (reset +20)
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": _ts(0, 0, 0),
+            "event_id": [3, 1, 2],  # sorted: 1(10), 2(30), 3(20)
+            "value": [20.0, 10.0, 30.0],
+        }
+    )
+    out = counter_increase(rd.from_pandas(df), key="user_id").to_pandas()
+    assert out.iloc[0]["increase_x100"] == 4000
+
+
+def test_ohlc_partial_merge_across_blocks(ray_session):
+    # force 4 blocks so the groupby.combine path merges real partials;
+    # open/close must follow (ts, id) order, not block order
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 8,
+            "ts": _ts(7, 3, 1, 5, 2, 6, 0, 4),
+            "event_id": [70, 30, 10, 50, 20, 60, 1, 40],
+            "value": [7.0, 3.0, 1.0, 5.0, 2.0, 6.0, 0.5, 4.0],
+        }
+    )
+    out = (
+        ohlc_bars(rd.from_pandas(df).repartition(4), key="event_type", freq="h")
+        .to_pandas()
+    )
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["open"] == 0.5 and row["close"] == 7.0
+    assert row["high"] == 7.0 and row["low"] == 0.5
+    assert row["n_samples"] == 8
+    assert row["volume_x100"] == 2850
+
+
+def test_trailing_ewma_exact_weights(ray_session):
+    # 3 samples, window 4: newest weight 2^3, then 2^2, 2^1
+    df = pd.DataFrame(
+        {
+            "event_type": ["k"] * 3,
+            "ts": _ts(0, 1, 2),
+            "event_id": [1, 2, 3],
+            "value": [1.0, 2.0, 3.0],  # newest = 3.0
+        }
+    )
+    out = trailing_ewma(rd.from_pandas(df), key="event_type", window=4).to_pandas()
+    row = out.iloc[0]
+    assert row["n_used"] == 3
+    assert row["ewma_num"] == 300 * 8 + 200 * 4 + 100 * 2
+    assert row["ewma_den"] == 8 + 4 + 2
+    assert row["ewma_x100"] == row["ewma_num"] / row["ewma_den"]
+
+
+def test_trailing_ewma_window_truncates(ray_session):
+    df = pd.DataFrame(
+        {
+            "event_type": ["k"] * 5,
+            "ts": _ts(0, 1, 2, 3, 4),
+            "event_id": [1, 2, 3, 4, 5],
+            "value": [100.0, 100.0, 1.0, 2.0, 3.0],
+        }
+    )
+    out = trailing_ewma(rd.from_pandas(df), key="event_type", window=2).to_pandas()
+    row = out.iloc[0]
+    # only the newest two samples (3.0, 2.0) participate
+    assert row["n_used"] == 2
+    assert row["ewma_num"] == 300 * 2 + 200 * 1
+    assert row["ewma_den"] == 3
+
+
+def test_sliding_distinct_window_labels(ray_session):
+    # u1 in hour 0; u2 in hour 1 -> window labels: h0:{u1}, h1:{u1,u2}, h2:{u2}
+    base = np.datetime64("2024-01-01T00:30:00", "us")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "ts": [base, base + np.timedelta64(1, "h")],
+        }
+    )
+    out = (
+        sliding_distinct(rd.from_pandas(df), entity="user_id", freq="h", window_buckets=2)
+        .to_pandas()
+        .sort_values("win", ignore_index=True)
+    )
+    assert out["n_entities"].tolist() == [1, 2, 1]
+
+
+def test_day_over_day_inner_lag(ray_session):
+    df = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "a", "b"],
+            "ts": [
+                np.datetime64("2024-01-01T05:00:00", "us"),
+                np.datetime64("2024-01-02T06:00:00", "us"),
+                np.datetime64("2024-01-04T07:00:00", "us"),  # gap day skipped
+                np.datetime64("2024-01-01T00:00:00", "us"),  # single day -> dropped
+            ],
+            "value": [1.0, 3.5, 2.0, 9.0],
+        }
+    )
+    out = day_over_day(rd.from_pandas(df), key="event_type").to_pandas()
+    out = out.sort_values("day", ignore_index=True)
+    # LAG is over the ordered distinct days present (SQL LAG over the
+    # aggregated series), not calendar-adjacent days
+    assert out["event_type"].tolist() == ["a", "a"]
+    assert out["delta_x100"].tolist() == [250, -150]
+
+
+def test_pareto_front_ties_and_duplicates(ray_session):
+    # (price, size): dominated rows dropped; exact duplicates BOTH kept;
+    # equal-price smaller-size dropped; equal-size higher-price dropped
+    df = pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4, 5, 6],
+            "p_retailprice": [10.0, 10.0, 10.0, 20.0, 5.0, 30.0],
+            "p_size": [8, 8, 3, 8, 1, 9],
+        }
+    )
+    out = (
+        pareto_front_2d(
+            rd.from_pandas(df).repartition(3),
+            minimize_col="p_retailprice",
+            maximize_col="p_size",
+            id_col="p_partkey",
+        )
+        .to_pandas()
+        .sort_values("p_partkey", ignore_index=True)
+    )
+    # brute-force oracle
+    rows = df.to_records(index=False)
+    keep = []
+    for p in rows:
+        dominated = any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in rows
+        )
+        if not dominated:
+            keep.append(p[0])
+    assert out["p_partkey"].tolist() == sorted(keep)
+    assert set(out["p_partkey"]) == {1, 2, 5, 6}
+
+
+def test_pareto_front_random_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(42)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "p_partkey": np.arange(n, dtype=np.int64),
+            "p_retailprice": rng.integers(0, 40, n).astype(np.float64),
+            "p_size": rng.integers(0, 40, n),
+        }
+    )
+    out = (
+        pareto_front_2d(
+            rd.from_pandas(df).repartition(7),
+            minimize_col="p_retailprice",
+            maximize_col="p_size",
+            id_col="p_partkey",
+        )
+        .to_pandas()
+    )
+    price = df["p_retailprice"].to_numpy()
+    size = df["p_size"].to_numpy()
+    keep = []
+    for i in range(n):
+        dominated = np.any(
+            (price <= price[i])
+            & (size >= size[i])
+            & ((price < price[i]) | (size > size[i]))
+        )
+        if not dominated:
+            keep.append(i)
+    assert sorted(out["p_partkey"].tolist()) == keep
