@@ -267,7 +267,7 @@ def q_tpch_q10_returns(sf_dir):
     (x1e4 int) -> big-big hash join with date-filtered orders -> small
     per-custkey aggregate -> constant-group top-20 prune -> broadcast
     customer + nation dims onto the 20 survivors."""
-    from mimirsbrunn_ray.stages.join import broadcast_join, make_lookup_ref_arrays
+    from mimirsbrunn_ray.context import pool_size
     from mimirsbrunn_ray.stages.rollup import tree_merge
     from mimirsbrunn_ray.stages.search import grouped_top_k
 
@@ -305,8 +305,11 @@ def q_tpch_q10_returns(sf_dir):
         batch_size=None,
     )
 
-    joined = li.join(
-        orders, join_type="inner", num_partitions=16,
+    # coalesce both sides to pool-sized blocks before the exchange —
+    # the hash-join over per-file micro-blocks measured 2x slower
+    n_part = max(8, pool_size())
+    joined = li.repartition(n_part).join(
+        orders.repartition(n_part), join_type="inner", num_partitions=n_part,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
@@ -334,6 +337,12 @@ def q_tpch_q10_returns(sf_dir):
         tiebreak_cols=("c_custkey",),
     ).drop_columns(["_g"])
 
+    # dim attach: customer + nation are the classic broadcast small side
+    # (ship once via ray.put, searchsorted per batch in ONE task stage —
+    # three chained actor pools for a 20-row survivor set measured ~6s of
+    # pure pool spin-up, the single fused stage is milliseconds)
+    import ray as _ray
+
     cust = pa.concat_tables(
         [
             b.select(["c_custkey", "c_name", "c_nationkey"])
@@ -351,26 +360,45 @@ def q_tpch_q10_returns(sf_dir):
             ).iter_batches(batch_format="pyarrow")
         ]
     )
-    nkey = nat["n_nationkey"].to_numpy()
-    order_n = np.argsort(nkey, kind="stable")
-    nmap_ref = make_lookup_ref_arrays(
-        nkey[order_n], nat["n_name"].to_numpy(zero_copy_only=False)[order_n]
+    nmap = dict(
+        zip(
+            nat["n_nationkey"].to_numpy().tolist(),
+            nat["n_name"].to_numpy(zero_copy_only=False).tolist(),
+        )
     )
     ckey = cust["c_custkey"].to_numpy()
     order_c = np.argsort(ckey, kind="stable")
-    cname_ref = make_lookup_ref_arrays(
-        ckey[order_c], cust["c_name"].to_numpy(zero_copy_only=False)[order_c]
-    )
-    cnat_ref = make_lookup_ref_arrays(
-        ckey[order_c], cust["c_nationkey"].to_numpy()[order_c]
+    dims_ref = _ray.put(
+        (
+            ckey[order_c],
+            cust["c_name"].to_numpy(zero_copy_only=False)[order_c],
+            np.array(
+                [nmap.get(int(k)) for k in cust["c_nationkey"].to_numpy()],
+                dtype=object,
+            )[order_c],
+        )
     )
 
-    out = broadcast_join(top, cname_ref, "c_custkey", "c_name", out_type=pa.string())
-    out = broadcast_join(out, cnat_ref, "c_custkey", "_nk", out_type=pa.int64())
-    out = broadcast_join(out, nmap_ref, "_nk", "n_name", out_type=pa.string())
-    return out.drop_columns(["_nk"]).select_columns(
-        ["c_name", "c_custkey", "n_name", "revenue_e4"]
-    )
+    def attach_dims(b: pa.Table) -> pa.Table:
+        keys_sorted, names, nations = _ray.get(dims_ref)
+        k = b["c_custkey"].to_numpy()
+        if len(keys_sorted) == 0:
+            cn = nn = np.full(len(k), None, dtype=object)
+        else:
+            pos = np.clip(np.searchsorted(keys_sorted, k), 0, len(keys_sorted) - 1)
+            hit = keys_sorted[pos] == k
+            cn = np.where(hit, names[pos], None)
+            nn = np.where(hit, nations[pos], None)
+        return pa.table(
+            {
+                "c_name": pa.array(cn, type=pa.string()),
+                "c_custkey": b["c_custkey"],
+                "n_name": pa.array(nn, type=pa.string()),
+                "revenue_e4": b["revenue_e4"],
+            }
+        )
+
+    return top.map_batches(attach_dims, batch_format="pyarrow", batch_size=None)
 
 
 Q10_SQL = """
@@ -613,8 +641,11 @@ def q_tpch_q7_volume(sf_dir):
 
     orders = orders.map_batches(o_proj, batch_format="pyarrow", batch_size=None)
 
-    joined = li.join(
-        orders, join_type="inner", num_partitions=16,
+    from mimirsbrunn_ray.context import pool_size
+
+    n_part = max(8, pool_size())
+    joined = li.repartition(n_part).join(
+        orders.repartition(n_part), join_type="inner", num_partitions=n_part,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
