@@ -695,6 +695,224 @@ GROUP BY 1, 2, 3
 """
 
 
+
+# ---------------------------------------------------------------------------
+# session duration quantiles (sessionize -> exact PERCENTILE_DISC)
+# ---------------------------------------------------------------------------
+
+
+def q_session_duration_quantiles(sf_dir):
+    """Distribution of gap-delimited session durations: the sessionize
+    machinery emitting per-session spans (stages/timeseries.
+    session_durations) feeding the two-pass exact continuous quantile
+    (stages/rollup.exact_continuous_quantile) — no sort shuffle, and the
+    p50/p90/p99 results are ACTUAL data elements (bit-exact compare)."""
+    from mimirsbrunn_ray.stages.rollup import exact_continuous_quantile
+    from mimirsbrunn_ray.stages.timeseries import session_durations
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    durs = session_durations(ev, key="user_id", gap_minutes=30).materialize()
+    n = durs.count()
+    p50, p90, p99 = exact_continuous_quantile(
+        durs, val_fn=lambda b: b["dur_us"].cast(pa.float64()), qs=(0.5, 0.9, 0.99)
+    )
+    return pa.table(
+        {
+            "n_sessions": pa.array([n], pa.int64()),
+            "p50_us": pa.array([int(p50)], pa.int64()),
+            "p90_us": pa.array([int(p90)], pa.int64()),
+            "p99_us": pa.array([int(p99)], pa.int64()),
+        }
+    )
+
+
+SESSION_DUR_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM e
+), d AS (
+  SELECT user_id, sid,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+  FROM s GROUP BY user_id, sid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(quantile_disc(dur_us, 0.5) AS BIGINT) AS p50_us,
+       CAST(quantile_disc(dur_us, 0.9) AS BIGINT) AS p90_us,
+       CAST(quantile_disc(dur_us, 0.99) AS BIGINT) AS p99_us
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6: forecast revenue change (pure filter + decomposable sum)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q6_forecast(sf_dir):
+    """TPC-H Q6 shape: revenue delta from a discount band in one ship
+    year — the purest predicate-pushdown aggregate: column-pruned scan,
+    vectorized mask, per-term x1e4 quantization, tree-merged int64 sum.
+    Embarrassingly parallel; no shuffle at all."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                pc.less(b["l_shipdate"], pa.scalar(hi)),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(b["l_discount"], pa.scalar(0.04)),
+                    pc.less_equal(b["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(b["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        b = b.filter(pc.fill_null(keep, False))
+        price_c = pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0)))
+        disc_c = pc.round(pc.multiply(b["l_discount"], pa.scalar(100.0)))
+        rev = pc.multiply(price_c.cast(pa.int64()), disc_c.cast(pa.int64()))
+        return pa.table(
+            {
+                "revenue_e4": pa.array([pc.sum(rev).as_py() or 0], type=pa.int64()),
+                "n_items": pa.array([b.num_rows], type=pa.int64()),
+            }
+        )
+
+    def combine(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue_e4": pa.array(
+                    [pc.sum(b["revenue_e4"]).as_py() or 0], type=pa.int64()
+                ),
+                "n_items": pa.array([pc.sum(b["n_items"]).as_py() or 0], type=pa.int64()),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    return tree_merge(li.map_batches(partial, batch_format="pyarrow", batch_size=None), combine)
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13: customer order-count distribution (incl. zero-order row)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q13_custdist(sf_dir):
+    """TPC-H Q13 shape: how many customers placed k orders, INCLUDING
+    k = 0 — the LEFT OUTER JOIN + double aggregate. Combiner-first
+    per-custkey order counts (tree-merged), a broadcast customer-keyset
+    semi filter (the dimension side, FK-validating the fact side), a
+    second tiny count-of-counts aggregate, and the zero row derived as
+    |customer| - |custkeys with orders| (exactly the outer join's
+    unmatched set) without ever shuffling the customer table."""
+    import pyarrow.parquet as _pq
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    cust_keys = pa.concat_tables(
+        [
+            b.select(["c_custkey"])
+            for b in rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )["c_custkey"].combine_chunks()
+    n_cust = len(cust_keys) - cust_keys.null_count
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["o_custkey"]))
+        g = b.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        return g.rename_columns(["o_custkey", "n"])
+
+    counts = tree_merge(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ),
+        lambda b: b.group_by(["o_custkey"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["o_custkey", "n"]),
+        final_shards=4,
+        shard_cols=["o_custkey"],
+    )
+
+    def dist_partial(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.is_in(b["o_custkey"], value_set=cust_keys), False)
+        b = b.filter(keep)
+        g = b.group_by(["n"]).aggregate([([], "count_all")])
+        return g.rename_columns(["c_count", "custdist"])
+
+    dist = tree_merge(
+        counts.map_batches(dist_partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by(["c_count"])
+        .aggregate([("custdist", "sum")])
+        .rename_columns(["c_count", "custdist"]),
+    )
+
+    tbl = pa.concat_tables(
+        [b for b in dist.iter_batches(batch_format="pyarrow")]
+    )
+    matched = pc.sum(tbl["custdist"]).as_py() or 0
+    n_zero = n_cust - matched
+    if n_zero > 0:
+        tbl = pa.concat_tables(
+            [
+                tbl.select(["c_count", "custdist"]),
+                pa.table(
+                    {
+                        "c_count": pa.array([0], type=tbl["c_count"].type),
+                        "custdist": pa.array([n_zero], type=tbl["custdist"].type),
+                    }
+                ),
+            ]
+        )
+    return tbl.set_column(
+        0, "c_count", tbl["c_count"].cast(pa.int64())
+    ).set_column(1, "custdist", tbl["custdist"].cast(pa.int64()))
+
+
+Q13_SQL = """
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
 def register_ts(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -707,6 +925,9 @@ def register_ts(queries: dict, oracles: dict) -> None:
             "tpch_q10_returns": q_tpch_q10_returns,
             "tpch_q19_brackets": q_tpch_q19_brackets,
             "tpch_q7_nation_volume": q_tpch_q7_volume,
+            "session_duration_quantiles": q_session_duration_quantiles,
+            "tpch_q6_forecast": q_tpch_q6_forecast,
+            "tpch_q13_custdist": q_tpch_q13_custdist,
         }
     )
     oracles.update(
@@ -720,5 +941,8 @@ def register_ts(queries: dict, oracles: dict) -> None:
             "tpch_q10_returns": Q10_SQL,
             "tpch_q19_brackets": Q19_SQL,
             "tpch_q7_nation_volume": Q7_SQL,
+            "session_duration_quantiles": SESSION_DUR_SQL,
+            "tpch_q6_forecast": Q6_SQL,
+            "tpch_q13_custdist": Q13_SQL,
         }
     )

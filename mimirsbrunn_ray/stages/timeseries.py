@@ -401,3 +401,63 @@ def day_over_day(
         .groupby(key)
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def session_durations(
+    ds: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """Gap-delimited session SPANS per key: (key, session_id, dur_us).
+
+    Same shape as stages/window.sessionize (one coarse key-bucket
+    shuffle, vectorized sort + diff per bucket) but emits one row per
+    SESSION with its wall-clock duration instead of per-key counts, so
+    downstream distribution operators (exact quantiles, histograms) can
+    consume sessions as a stream. Single-event sessions have dur_us = 0.
+    """
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    proj = ds.map_batches(
+        lambda b: add_bucket(
+            b.filter(pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col]))).select(
+                [key, ts_col]
+            ),
+            key,
+            num_buckets,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=np.int64),
+                    "session_id": pd.Series([], dtype=np.int64),
+                    "dur_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        k = g[key].to_numpy()
+        t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_s = np.empty(len(g), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (k[1:] != k[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        sid = np.cumsum(new_s)  # bucket-local session ids, 1-based
+        # segment min = value at session start; segment max via reduceat
+        starts = np.flatnonzero(new_s)
+        first_ts = t[starts]
+        last_ts = np.maximum.reduceat(t, starts)  # sorted -> just t at ends
+        return pd.DataFrame(
+            {
+                key: k[starts],
+                "session_id": sid[starts].astype(np.int64),
+                "dur_us": (last_ts - first_ts).astype(np.int64),
+            }
+        )
+
+    return proj.groupby(_BUCKET).map_groups(per_bucket, batch_format="pandas")

@@ -217,3 +217,29 @@ def test_pareto_front_random_matches_bruteforce(ray_session):
         if not dominated:
             keep.append(i)
     assert sorted(out["p_partkey"].tolist()) == keep
+
+
+def test_session_durations_gap_split(ray_session):
+    from mimirsbrunn_ray.stages.timeseries import session_durations
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": [
+                base,
+                base + np.timedelta64(10, "m"),   # same session (gap 10m)
+                base + np.timedelta64(60, "m"),   # 50m gap > 30m -> new session
+                base + np.timedelta64(5, "m"),    # user 2: single event
+            ],
+        }
+    )
+    out = (
+        session_durations(rd.from_pandas(df), key="user_id", gap_minutes=30)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"], ignore_index=True)
+    )
+    assert len(out) == 3
+    u1 = out[out["user_id"] == 1]["dur_us"].tolist()
+    assert sorted(u1) == [0, 600_000_000]  # 10 min session + singleton
+    assert out[out["user_id"] == 2]["dur_us"].tolist() == [0]
