@@ -913,6 +913,311 @@ FROM c_orders GROUP BY c_count
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Bollinger bands (trailing mean +/- 2 sigma at bucket grain)
+# ---------------------------------------------------------------------------
+
+
+def q_bollinger_bands(sf_dir):
+    """Trailing-4h Bollinger bands per event type — integer window
+    state (n, sum, sum-of-squares of x100 values), every float derived
+    by the oracle's exact IEEE expression tree
+    (stages/timeseries.bollinger_bands)."""
+    from mimirsbrunn_ray.stages.timeseries import bollinger_bands
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return bollinger_bands(ev, key="event_type", freq="h", window_buckets=4)
+
+
+BOLLINGER_SQL = """
+WITH g AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                  * CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sxx
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+), w AS (
+  SELECT event_type, bucket,
+         CAST(SUM(n) OVER win AS BIGINT) AS wn,
+         CAST(SUM(sx) OVER win AS BIGINT) AS wsx,
+         CAST(SUM(sxx) OVER win AS BIGINT) AS wsxx
+  FROM g
+  WINDOW win AS (
+    PARTITION BY event_type ORDER BY bucket
+    RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW
+  )
+), f AS (
+  SELECT event_type, bucket, wn AS roll_n,
+         CAST(wsx AS DOUBLE) / wn AS mean_x100,
+         sqrt(GREATEST(
+           (CAST(wn AS DOUBLE) * wsxx - CAST(wsx AS DOUBLE) * wsx)
+             / (CAST(wn AS DOUBLE) * wn),
+           0.0
+         )) AS std_x100
+  FROM w
+)
+SELECT event_type, bucket, roll_n, mean_x100, std_x100,
+       mean_x100 + 2.0 * std_x100 AS upper_x100,
+       mean_x100 - 2.0 * std_x100 AS lower_x100
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-type co-occurrence PMI (bitmask distinct-set trick)
+# ---------------------------------------------------------------------------
+
+
+def q_event_type_pmi(sf_dir):
+    """Pointwise mutual information between event-type PAIRS over user
+    sets: which behaviors co-occur in the same users beyond chance — the
+    association-mining complement of the funnel/path queries, and the
+    same shape LLM-curation uses for tag/topic co-occurrence.
+
+    Scale shape: the only per-user state is ONE int64 bitmask (type
+    domain is small and known: one tiny distinct scan first). Batches
+    collapse to distinct (user, bit) pairs, one tree-merge ORs masks per
+    user (shard-exact), a second tiny aggregate histograms the <= 2^T
+    distinct masks, and the pair PMI table is computed from that
+    bounded histogram — no self-join, nothing user-count-sized beyond
+    the mask table.
+
+    Output per unordered pair (ta < tb): n_both, n_a, n_b, n_users,
+    pmi_x1e6 (FLOOR(ln(n_both*n_users/(n_a*n_b)) * 1e6 + 0.5), the
+    tfidf ln convention).
+    """
+    import math
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    types = sorted(
+        x
+        for x in {
+            t.as_py()
+            for b in ev.map_batches(
+                lambda b: pa.table(
+                    {"event_type": b["event_type"].unique()}
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            ).iter_batches(batch_format="pyarrow")
+            for t in b["event_type"]
+        }
+        if x is not None
+    )
+    bit_of = {t: 1 << i for i, t in enumerate(types)}
+
+    def mask_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.is_valid(b["user_id"]), pc.is_valid(b["event_type"]))
+        )
+        d = b.group_by(["user_id", "event_type"]).aggregate([])
+        users = d["user_id"].to_numpy()
+        bits = np.array(
+            [bit_of[t] for t in d["event_type"].to_pylist()], dtype=np.int64
+        )
+        order = np.argsort(users, kind="stable")
+        users, bits = users[order], bits[order]
+        starts = np.empty(len(users), dtype=bool)
+        if len(users):
+            starts[0] = True
+            starts[1:] = users[1:] != users[:-1]
+            mask = np.bitwise_or.reduceat(bits, np.flatnonzero(starts))
+            users = users[starts]
+        else:
+            mask = bits
+        return pa.table(
+            {"user_id": pa.array(users), "mask": pa.array(mask, pa.int64())}
+        )
+
+    def mask_combine(b: pa.Table) -> pa.Table:
+        users = b["user_id"].to_numpy()
+        bits = b["mask"].to_numpy()
+        order = np.argsort(users, kind="stable")
+        users, bits = users[order], bits[order]
+        if len(users) == 0:
+            return b
+        starts = np.empty(len(users), dtype=bool)
+        starts[0] = True
+        starts[1:] = users[1:] != users[:-1]
+        mask = np.bitwise_or.reduceat(bits, np.flatnonzero(starts))
+        return pa.table(
+            {
+                "user_id": pa.array(users[starts]),
+                "mask": pa.array(mask, pa.int64()),
+            }
+        )
+
+    masks = tree_merge(
+        ev.map_batches(mask_partial, batch_format="pyarrow", batch_size=None),
+        mask_combine,
+        final_shards=8,
+        shard_cols=["user_id"],
+    )
+
+    hist = tree_merge(
+        masks.map_batches(
+            lambda b: b.group_by(["mask"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["mask", "cnt"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        lambda b: b.group_by(["mask"])
+        .aggregate([("cnt", "sum")])
+        .rename_columns(["mask", "cnt"]),
+    )
+    h = pa.concat_tables(list(hist.iter_batches(batch_format="pyarrow")))
+    mvals = h["mask"].to_numpy()
+    mcnts = h["cnt"].to_numpy()
+    n_users = int(mcnts.sum())
+
+    rows = []
+    for i, ta in enumerate(types):
+        for j in range(i + 1, len(types)):
+            tb = types[j]
+            ba, bb = 1 << i, 1 << j
+            n_a = int(mcnts[(mvals & ba) != 0].sum())
+            n_b = int(mcnts[(mvals & bb) != 0].sum())
+            n_both = int(mcnts[((mvals & ba) != 0) & ((mvals & bb) != 0)].sum())
+            if n_both == 0:
+                continue
+            pmi = math.log(
+                (float(n_both) * float(n_users)) / (float(n_a) * float(n_b))
+            )
+            rows.append(
+                (ta, tb, n_both, n_a, n_b, n_users, int(math.floor(pmi * 1e6 + 0.5)))
+            )
+    cols = list(zip(*rows)) if rows else [[]] * 7
+    return pa.table(
+        {
+            "ta": pa.array(list(cols[0]), pa.string()),
+            "tb": pa.array(list(cols[1]), pa.string()),
+            "n_both": pa.array(list(cols[2]), pa.int64()),
+            "n_a": pa.array(list(cols[3]), pa.int64()),
+            "n_b": pa.array(list(cols[4]), pa.int64()),
+            "n_users": pa.array(list(cols[5]), pa.int64()),
+            "pmi_x1e6": pa.array(list(cols[6]), pa.int64()),
+        }
+    )
+
+
+PMI_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+), nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt1 FROM ut GROUP BY 1),
+p AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b USING (user_id)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ta, p.tb, p.n_both,
+       ma.cnt1 AS n_a, mb.cnt1 AS n_b,
+       CAST(nu.n_users AS BIGINT) AS n_users,
+       CAST(FLOOR(ln(
+         (CAST(p.n_both AS DOUBLE) * nu.n_users)
+           / (CAST(ma.cnt1 AS DOUBLE) * mb.cnt1)
+       ) * 1e6 + 0.5) AS BIGINT) AS pmi_x1e6
+FROM p
+JOIN m ma ON ma.event_type = p.ta
+JOIN m mb ON mb.event_type = p.tb
+CROSS JOIN nu
+"""
+
+
+# ---------------------------------------------------------------------------
+# diurnal profile (hour-of-day seasonality per event type)
+# ---------------------------------------------------------------------------
+
+
+def q_diurnal_profile(sf_dir):
+    """Mean value by (event_type, hour-of-day 0-23) — the diurnal
+    seasonality profile a downsampling engine derives before fitting
+    capacity baselines. Combiner-first x100 integer partials per
+    (type, hod) inside map_batches (24 x |types| rows leave any block),
+    tree-merged; the mean is one double division from identical int64
+    operands."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+    from mimirsbrunn_ray.stages.timeseries import _round_half_away_x
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b["event_type"]), pc.is_valid(b["ts"])),
+                pc.is_valid(b["value"]),
+            )
+        )
+        v100 = _round_half_away_x(
+            b["value"].to_numpy(zero_copy_only=False).astype(np.float64), 100.0
+        )
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "hod": pc.hour(b["ts"]).cast(pa.int64()),
+                "v": pa.array(v100),
+            }
+        )
+        g = t.group_by(["event_type", "hod"]).aggregate(
+            [("v", "sum"), ("v", "count")]
+        )
+        return g.rename_columns(["event_type", "hod", "sum_x100", "n"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "hod"]).aggregate(
+            [("sum_x100", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(["event_type", "hod", "sum_x100", "n"])
+
+    agg = tree_merge(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None), combine
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        sx = b["sum_x100"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "hod": b["hod"],
+                "n": b["n"].cast(pa.int64()),
+                "sum_x100": b["sum_x100"].cast(pa.int64()),
+                "mean_x100": pa.array(sx / n, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+DIURNAL_SQL = """
+SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_x100,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS mean_x100
+FROM events
+WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def register_ts(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -928,6 +1233,9 @@ def register_ts(queries: dict, oracles: dict) -> None:
             "session_duration_quantiles": q_session_duration_quantiles,
             "tpch_q6_forecast": q_tpch_q6_forecast,
             "tpch_q13_custdist": q_tpch_q13_custdist,
+            "bollinger_bands_4h": q_bollinger_bands,
+            "event_type_pmi": q_event_type_pmi,
+            "diurnal_profile": q_diurnal_profile,
         }
     )
     oracles.update(
@@ -944,5 +1252,8 @@ def register_ts(queries: dict, oracles: dict) -> None:
             "session_duration_quantiles": SESSION_DUR_SQL,
             "tpch_q6_forecast": Q6_SQL,
             "tpch_q13_custdist": Q13_SQL,
+            "bollinger_bands_4h": BOLLINGER_SQL,
+            "event_type_pmi": PMI_SQL,
+            "diurnal_profile": DIURNAL_SQL,
         }
     )

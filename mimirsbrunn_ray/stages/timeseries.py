@@ -461,3 +461,137 @@ def session_durations(
         )
 
     return proj.groupby(_BUCKET).map_groups(per_bucket, batch_format="pandas")
+
+
+def bollinger_bands(
+    ds: "rd.Dataset",
+    key: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    freq: str = "h",
+    window_buckets: int = 4,
+    k_sigma: float = 2.0,
+) -> "rd.Dataset":
+    """Bollinger bands at bucket grain: for each (key, bucket), the
+    mean and population std-dev of x100-quantized values over the
+    trailing ``window_buckets`` buckets (RANGE frame — absent buckets
+    advance the window), plus mean +/- k_sigma * std.
+
+    Cross-engine exactness WITHOUT rounding snaps: the window state is
+    three int64 sums (n, sum(v100), sum(v100^2)) — order-free integer
+    addition — and every float output is derived from those integers by
+    the SAME IEEE expression tree the SQL oracle uses (one division, one
+    fused (n*Sxx - Sx*Sx)/n^2, one sqrt — each correctly rounded, so
+    identical operands give identical bits on any engine).
+
+    Shape: bucket-grain integer partials inside map_batches (input rows
+    collapse to key x bucket rows before anything wide), tree-merged,
+    then one shuffle on the key; per key one sort + at most
+    window_buckets vectorized shifted adds (same discipline as
+    stages/ordered.rolling_bucket_agg).
+
+    Output: key, bucket, roll_n int64, mean_x100, std_x100, upper_x100,
+    lower_x100 (float64).
+    """
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    step_us = np.int64(pd.Timedelta(1, unit=freq).value // 1000)
+    span_us = window_buckets * step_us
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col])),
+                pc.is_valid(b[value_col]),
+            )
+        )
+        v100 = _round_half_away_x(
+            b[value_col].to_numpy(zero_copy_only=False).astype(np.float64), 100.0
+        )
+        t = pd.DataFrame(
+            {
+                key: b[key].to_pandas(),
+                "bucket": pd.DatetimeIndex(b[ts_col].to_pandas()).floor(freq),
+                "sx": v100,
+                "sxx": v100 * v100,
+            }
+        )
+        g = t.groupby([key, "bucket"], sort=False, as_index=False).agg(
+            n=("sx", "size"), sx=("sx", "sum"), sxx=("sxx", "sum")
+        )
+        for c in ("n", "sx", "sxx"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by([key, "bucket"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sxx", "sum")]
+        )
+        return g.rename_columns([key, "bucket", "n", "sx", "sxx"])
+
+    grain = tree_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        combine,
+        final_shards=4,
+        shard_cols=[key],
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=object),
+                    "bucket": pd.Series([], dtype="datetime64[us]"),
+                    "roll_n": pd.Series([], dtype=np.int64),
+                    "mean_x100": pd.Series([], dtype=np.float64),
+                    "std_x100": pd.Series([], dtype=np.float64),
+                    "upper_x100": pd.Series([], dtype=np.float64),
+                    "lower_x100": pd.Series([], dtype=np.float64),
+                }
+            )
+        g = g.sort_values([key, "bucket"], kind="mergesort")
+        bu = g["bucket"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same_key = g[key].eq(g[key].shift()).to_numpy()
+        n = g["n"].to_numpy(dtype=np.int64)
+        sx = g["sx"].to_numpy(dtype=np.int64)
+        sxx = g["sxx"].to_numpy(dtype=np.int64)
+        roll_n, roll_sx, roll_sxx = n.copy(), sx.copy(), sxx.copy()
+        for j in range(1, window_buckets):
+            in_win = np.zeros(len(bu), dtype=bool)
+            if len(bu) > j:
+                contiguous = same_key[j:].copy()
+                for jj in range(1, j):
+                    contiguous &= same_key[j - jj:-jj]
+                in_win[j:] = contiguous & ((bu[j:] - bu[:-j]) < span_us)
+            src = np.flatnonzero(in_win) - j
+            roll_n[in_win] += n[src]
+            roll_sx[in_win] += sx[src]
+            roll_sxx[in_win] += sxx[src]
+        nf = roll_n.astype(np.float64)
+        sxf = roll_sx.astype(np.float64)
+        sxxf = roll_sxx.astype(np.float64)
+        mean = sxf / nf
+        var = (nf * sxxf - sxf * sxf) / (nf * nf)
+        std = np.sqrt(np.maximum(var, 0.0))
+        return pd.DataFrame(
+            {
+                key: g[key],
+                "bucket": g["bucket"],
+                "roll_n": roll_n,
+                "mean_x100": mean,
+                "std_x100": std,
+                "upper_x100": mean + k_sigma * std,
+                "lower_x100": mean - k_sigma * std,
+            }
+        )
+
+    out = grain.groupby(key).map_groups(per_key, batch_format="pandas")
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("bucket"),
+            "bucket",
+            b["bucket"].cast(pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -243,3 +243,38 @@ def test_session_durations_gap_split(ray_session):
     u1 = out[out["user_id"] == 1]["dur_us"].tolist()
     assert sorted(u1) == [0, 600_000_000]  # 10 min session + singleton
     assert out[out["user_id"] == 2]["dur_us"].tolist() == [0]
+
+
+def test_bollinger_window_and_constant_series(ray_session):
+    from mimirsbrunn_ray.stages.timeseries import bollinger_bands
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # key 'c': constant value -> std exactly 0, upper == lower == mean
+    # key 'v': hours 0..3 values 1,3,5,7 with window 2
+    df = pd.DataFrame(
+        {
+            "event_type": ["c"] * 4 + ["v"] * 4,
+            "ts": [base + np.timedelta64(h, "h") for h in range(4)] * 2,
+            "value": [5.0] * 4 + [1.0, 3.0, 5.0, 7.0],
+        }
+    )
+    out = (
+        bollinger_bands(
+            rd.from_pandas(df).repartition(3),
+            key="event_type",
+            freq="h",
+            window_buckets=2,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "bucket"], ignore_index=True)
+    )
+    c = out[out["event_type"] == "c"]
+    assert (c["std_x100"] == 0.0).all()
+    assert (c["upper_x100"] == c["mean_x100"]).all()
+    v = out[out["event_type"] == "v"]
+    # hour 0: window {1} -> mean 100; hour 1: {1,3} -> mean 200, std 100
+    assert v.iloc[0]["mean_x100"] == 100.0 and v.iloc[0]["roll_n"] == 1
+    assert v.iloc[1]["mean_x100"] == 200.0 and v.iloc[1]["std_x100"] == 100.0
+    assert v.iloc[1]["upper_x100"] == 400.0 and v.iloc[1]["lower_x100"] == 0.0
+    # hour 3: trailing 2h window = {5,7}
+    assert v.iloc[3]["mean_x100"] == 600.0 and v.iloc[3]["roll_n"] == 2
