@@ -1218,6 +1218,67 @@ GROUP BY 1, 2
 """
 
 
+
+# ---------------------------------------------------------------------------
+# integer-exact PageRank (iterative algorithm with an unrolled SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_part_pagerank(sf_dir):
+    """3-iteration PageRank over the same deterministic multi-parent DAG
+    as part_dep_closure (k -> k//2 and k -> k//3): the iterative-
+    algorithm shape, made value-exactly verifiable by running the power
+    iteration entirely in int64 arithmetic (floor-div shares, additive
+    sums) so an UNROLLED recursive-free SQL oracle reproduces it bit for
+    bit (stages/hierarchy.integer_pagerank)."""
+    from mimirsbrunn_ray.stages.hierarchy import integer_pagerank
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    mx = int(part.max("p_partkey"))
+    ks = np.arange(2, mx + 1, dtype=np.int64)
+    src = np.concatenate([ks, ks[ks >= 3]])
+    dst = np.concatenate([ks // 2, ks[ks >= 3] // 3])
+    pr = integer_pagerank(part, src, dst, node_col="p_partkey", iters=3)
+    return pr.map_batches(
+        lambda b: b.rename_columns(["node", "pr"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).sort("node")
+
+
+_PR_ITER = """
+it{n} AS (
+  SELECT n.v, 150000000 + COALESCE(SUM((p.pr * 85) // (d.deg * 100)), 0) AS pr
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.v
+  LEFT JOIN it{m} p ON p.v = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.v
+)"""
+
+PAGERANK_SQL = (
+    """
+WITH nodes AS (
+  SELECT p_partkey AS v FROM part WHERE p_partkey IS NOT NULL
+),
+edges AS (
+  SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part WHERE p_partkey >= 2
+  UNION ALL
+  SELECT p_partkey, p_partkey // 3 FROM part WHERE p_partkey >= 3
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+it0 AS (SELECT v, CAST(1000000000 AS BIGINT) AS pr FROM nodes),"""
+    + _PR_ITER.format(n=1, m=0)
+    + ","
+    + _PR_ITER.format(n=2, m=1)
+    + ","
+    + _PR_ITER.format(n=3, m=2)
+    + """
+SELECT v AS node, CAST(pr AS BIGINT) AS pr FROM it3 ORDER BY node
+"""
+)
+
+
 def register_ts(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -1236,6 +1297,7 @@ def register_ts(queries: dict, oracles: dict) -> None:
             "bollinger_bands_4h": q_bollinger_bands,
             "event_type_pmi": q_event_type_pmi,
             "diurnal_profile": q_diurnal_profile,
+            "part_pagerank": q_part_pagerank,
         }
     )
     oracles.update(
@@ -1255,5 +1317,6 @@ def register_ts(queries: dict, oracles: dict) -> None:
             "bollinger_bands_4h": BOLLINGER_SQL,
             "event_type_pmi": PMI_SQL,
             "diurnal_profile": DIURNAL_SQL,
+            "part_pagerank": PAGERANK_SQL,
         }
     )

@@ -222,3 +222,124 @@ def ancestor_chain(
         _EdgeMap(edge_ids, edge_parents), key_col, parent_col, max_depth
     )
     return ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
+
+
+def integer_pagerank(
+    ds: "rd.Dataset",
+    edge_src,
+    edge_dst,
+    node_col: str = "node_id",
+    iters: int = 3,
+    init_pr: int = 10**9,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> "rd.Dataset":
+    """PageRank over a broadcast (src -> dst) edge set in EXACT integer
+    arithmetic — the iterative-algorithm shape (power iteration) with a
+    cross-engine-reproducible fixed point:
+
+        pr_0(v)     = init_pr
+        share_t(u)  = (pr_t(u) * damp_num) // (outdeg(u) * damp_den)
+        pr_{t+1}(v) = base + sum_{u -> v} share_t(u),
+        base        = (init_pr * (damp_den - damp_num)) // damp_den
+
+    Every operation is int64 floor-division / addition, so the result is
+    bit-identical under ANY summation order or partitioning — an
+    unrolled-SQL oracle can verify an iterative distributed algorithm
+    exactly (the same per-term-quantization discipline the window family
+    uses, applied per ITERATION). Dangling nodes keep base only (no
+    redistribution), matching the oracle's LEFT JOIN shape.
+
+    Scale shape: the edge set is dimension-scale and ships once
+    (ray.put'd CSR by src, same contract as DependencyClosure); each
+    iteration is one vectorized map_batches over the pr Dataset
+    (searchsorted src-range -> np.repeat share emission) followed by a
+    tree-merged integer sum per dst and a union with the per-node base —
+    no per-iteration all-to-all beyond the bounded (nodes) aggregate.
+    Graph roots/leaves cite the reference's admin hierarchy walk
+    (/root/reference/src/admin_geofinder.rs iterative parent climb).
+
+    Output: node_col (int64), pr (int64) — one row per input node.
+    """
+    import ray
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    src = np.asarray(edge_src, dtype=np.int64)
+    dst = np.asarray(edge_dst, dtype=np.int64)
+    order = np.argsort(src, kind="stable")
+    src_sorted, dst_sorted = src[order], dst[order]
+    # outdegree per distinct src (CSR row extents)
+    uniq_src, counts = np.unique(src_sorted, return_counts=True)
+    edges_ref = ray.put((src_sorted, dst_sorted, uniq_src, counts))
+    base = (init_pr * (damp_den - damp_num)) // damp_den
+
+    def init_nodes(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[node_col]))
+        n = b.num_rows
+        return pa.table(
+            {
+                "v": b[node_col].cast(pa.int64()),
+                "pr": pa.array(np.full(n, init_pr, dtype=np.int64)),
+            }
+        )
+
+    pr = ds.map_batches(init_nodes, batch_format="pyarrow", batch_size=None)
+    nodes = pr.map_batches(
+        lambda b: b.select(["v"]), batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    for _ in range(iters):
+        def emit_shares(b: pa.Table, _ref=edges_ref) -> pa.Table:
+            s_src, s_dst, u_src, u_cnt = ray.get(_ref)
+            v = b["v"].to_numpy()
+            p = b["pr"].to_numpy()
+            # outdegree of each v (0 if dangling)
+            pos = np.searchsorted(u_src, v)
+            pos = np.clip(pos, 0, max(len(u_src) - 1, 0))
+            has = (len(u_src) > 0) & (u_src[pos] == v) if len(u_src) else np.zeros(len(v), bool)
+            deg = np.where(has, u_cnt[pos] if len(u_src) else 0, 0).astype(np.int64)
+            keep = deg > 0
+            v, p, deg = v[keep], p[keep], deg[keep]
+            share = (p * damp_num) // (deg * damp_den)
+            lo = np.searchsorted(s_src, v, side="left")
+            hi = np.searchsorted(s_src, v, side="right")
+            n_each = hi - lo  # == deg
+            # gather every out-edge target of every v, vectorized
+            idx = np.repeat(lo, n_each) + (
+                np.arange(int(n_each.sum())) - np.repeat(np.cumsum(n_each) - n_each, n_each)
+            )
+            return pa.table(
+                {
+                    "v": pa.array(s_dst[idx]),
+                    "c": pa.array(np.repeat(share, n_each)),
+                }
+            )
+
+        contribs = pr.map_batches(emit_shares, batch_format="pyarrow", batch_size=None)
+        based = nodes.map_batches(
+            lambda b: pa.table(
+                {
+                    "v": b["v"],
+                    "c": pa.array(np.full(b.num_rows, base, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        pr = tree_merge(
+            contribs.union(based),
+            lambda b: b.group_by(["v"]).aggregate([("c", "sum")]).rename_columns(["v", "c"]),
+            final_shards=4,
+            shard_cols=["v"],
+        ).map_batches(
+            lambda b: b.rename_columns(["v", "pr"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).materialize()
+
+    return pr.map_batches(
+        lambda b: b.rename_columns([node_col, "pr"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -278,3 +278,28 @@ def test_bollinger_window_and_constant_series(ray_session):
     assert v.iloc[1]["upper_x100"] == 400.0 and v.iloc[1]["lower_x100"] == 0.0
     # hour 3: trailing 2h window = {5,7}
     assert v.iloc[3]["mean_x100"] == 600.0 and v.iloc[3]["roll_n"] == 2
+
+
+def test_integer_pagerank_hand_computed(ray_session):
+    from mimirsbrunn_ray.stages.hierarchy import integer_pagerank
+
+    nodes = pd.DataFrame({"node_id": [1, 2, 3]})
+    # edges: 2->1, 3->1, 3->2 (node 1 dangling)
+    src = np.array([2, 3, 3], dtype=np.int64)
+    dst = np.array([1, 1, 2], dtype=np.int64)
+    out = (
+        integer_pagerank(
+            rd.from_pandas(nodes).repartition(2), src, dst,
+            node_col="node_id", iters=2,
+        )
+        .to_pandas()
+        .sort_values("node_id", ignore_index=True)
+    )
+    # it1: share(2)=850000000, share(3)=425000000
+    #   pr1 = [1425000000, 575000000, 150000000]
+    # it2: share(2)=(575000000*85)//100=488750000, share(3)=(150000000*85)//200=63750000
+    assert out["pr"].tolist() == [
+        150_000_000 + 488_750_000 + 63_750_000,
+        150_000_000 + 63_750_000,
+        150_000_000,
+    ]
