@@ -1279,6 +1279,114 @@ SELECT v AS node, CAST(pr AS BIGINT) AS pr FROM it3 ORDER BY node
 )
 
 
+
+# ---------------------------------------------------------------------------
+# chi-square independence test (event_type x hour-of-day)
+# ---------------------------------------------------------------------------
+
+
+def q_chi2_type_hour(sf_dir):
+    """Pearson chi-square independence statistic for the event_type x
+    hour-of-day contingency table — is behavior diurnal?  Counting is
+    the distributed part (combiner-first partials per (type, hod),
+    tree-merged); the |types| x 24 table is then completed with its
+    structural zero cells and reduced with the oracle's exact per-cell
+    IEEE expression, each cell snapped to x1e6 int64 BEFORE the final
+    sum (order-free)."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["event_type"]), pc.is_valid(b["ts"])))
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "hod": pc.hour(b["ts"]).cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "hod"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "hod", "o"])
+
+    counts = tree_merge(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by(["event_type", "hod"])
+        .aggregate([("o", "sum")])
+        .rename_columns(["event_type", "hod", "o"]),
+    )
+    tbl = pa.concat_tables(list(counts.iter_batches(batch_format="pyarrow")))
+    df = tbl.to_pandas()
+    pivot = df.pivot_table(
+        index="event_type", columns="hod", values="o", fill_value=0, aggfunc="sum"
+    )
+    O = pivot.to_numpy(dtype=np.int64)
+    rt = O.sum(axis=1)
+    ct = O.sum(axis=0)
+    n = int(O.sum())
+    rt_f = rt.astype(np.float64)[:, None]
+    ct_f = ct.astype(np.float64)[None, :]
+    e = (rt_f * ct_f) / float(n)
+    diff = O.astype(np.float64) - e
+    contrib = (diff * diff) / e
+    cells = np.floor(contrib * 1e6 + 0.5).astype(np.int64)
+    chi2 = int(cells.sum())
+    dof = (O.shape[0] - 1) * (O.shape[1] - 1)
+    return pa.table(
+        {
+            "chi2_x1e6": pa.array([chi2], pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "n": pa.array([n], pa.int64()),
+        }
+    )
+
+
+CHI2_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+ct AS (SELECT hod, CAST(SUM(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+cells AS (
+  SELECT COALESCE(c.o, 0) AS o, r.rt, cc.ct
+  FROM rt r CROSS JOIN ct cc
+  LEFT JOIN c ON c.event_type = r.event_type AND c.hod = cc.hod
+)
+SELECT CAST(SUM(CAST(FLOOR(
+         ((CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * ct) / (SELECT n FROM tot))
+          * (CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * ct) / (SELECT n FROM tot)))
+         / ((CAST(rt AS DOUBLE) * ct) / (SELECT n FROM tot)) * 1e6 + 0.5
+       ) AS BIGINT)) AS BIGINT) AS chi2_x1e6,
+       CAST(((SELECT COUNT(*) FROM rt) - 1)
+            * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+       (SELECT n FROM tot) AS n
+FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
+# LTTB visualization downsampling (rows-only: algorithmic selection)
+# ---------------------------------------------------------------------------
+
+
+def q_lttb_value_series(sf_dir):
+    """LTTB-downsampled hourly mean-value series per event type
+    (stages/timeseries.lttb_downsample) — rows-only (the triangle-area
+    selection rule is not SQL-expressible); invariants (endpoints kept,
+    exact point budget, spike preservation, determinism) pinned in
+    tests/test_timeseries.py."""
+    from mimirsbrunn_ray.stages.timeseries import lttb_downsample
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return lttb_downsample(
+        ev, key="event_type", freq="h", target_points=50
+    )
+
+
 def register_ts(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -1298,6 +1406,8 @@ def register_ts(queries: dict, oracles: dict) -> None:
             "event_type_pmi": q_event_type_pmi,
             "diurnal_profile": q_diurnal_profile,
             "part_pagerank": q_part_pagerank,
+            "chi2_type_hour": q_chi2_type_hour,
+            "lttb_value_series": q_lttb_value_series,
         }
     )
     oracles.update(
@@ -1318,5 +1428,6 @@ def register_ts(queries: dict, oracles: dict) -> None:
             "event_type_pmi": PMI_SQL,
             "diurnal_profile": DIURNAL_SQL,
             "part_pagerank": PAGERANK_SQL,
+            "chi2_type_hour": CHI2_SQL,
         }
     )

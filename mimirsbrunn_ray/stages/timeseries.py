@@ -595,3 +595,115 @@ def bollinger_bands(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def lttb_downsample(
+    ds: "rd.Dataset",
+    key: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    freq: str = "h",
+    target_points: int = 50,
+) -> "rd.Dataset":
+    """Largest-Triangle-Three-Buckets downsampling per series — the
+    standard visualization-grade reducer (Steinarsson 2013): keep first
+    and last points, split the interior into target_points-2 frames, and
+    from each frame keep the point maximizing the triangle area with the
+    previously kept point and the next frame's centroid.
+
+    Runs over BUCKET GRAIN, not raw rows: a combiner-first (key, bucket)
+    mean pre-aggregation (x100 integer sums, exact) bounds the per-key
+    series at time-range/freq points regardless of input size, then one
+    vectorized LTTB pass per key group. The selected points are actual
+    (bucket, mean) elements of the pre-aggregated series.
+
+    Output: key, bucket, mean_x100 (double), selected by LTTB in bucket
+    order; series with <= target_points buckets pass through whole.
+    """
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col])),
+                pc.is_valid(b[value_col]),
+            )
+        )
+        v100 = _round_half_away_x(
+            b[value_col].to_numpy(zero_copy_only=False).astype(np.float64), 100.0
+        )
+        t = pd.DataFrame(
+            {
+                key: b[key].to_pandas(),
+                "bucket": pd.DatetimeIndex(b[ts_col].to_pandas()).floor(freq),
+                "sx": v100,
+            }
+        )
+        g = t.groupby([key, "bucket"], sort=False, as_index=False).agg(
+            n=("sx", "size"), sx=("sx", "sum")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["sx"] = g["sx"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    grain = tree_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by([key, "bucket"])
+        .aggregate([("n", "sum"), ("sx", "sum")])
+        .rename_columns([key, "bucket", "n", "sx"]),
+        final_shards=4,
+        shard_cols=[key],
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=object),
+                "bucket": pd.Series([], dtype="datetime64[us]"),
+                "mean_x100": pd.Series([], dtype=np.float64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values("bucket", kind="mergesort", ignore_index=True)
+        x = g["bucket"].to_numpy().astype("datetime64[us]").astype(np.int64).astype(np.float64)
+        y = g["sx"].to_numpy(dtype=np.float64) / g["n"].to_numpy(dtype=np.float64)
+        n = len(g)
+        m = target_points
+        if n <= m:
+            keep = np.arange(n)
+        else:
+            # frame boundaries over the interior points 1..n-2
+            bounds = np.linspace(1, n - 1, m - 1).astype(np.int64)
+            keep_list = [0]
+            a = 0  # index of previously kept point
+            for fi in range(m - 2):
+                lo, hi = bounds[fi], bounds[fi + 1]
+                nlo, nhi = hi, (bounds[fi + 2] if fi + 2 < len(bounds) else n)
+                cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+                seg_x, seg_y = x[lo:hi], y[lo:hi]
+                area = np.abs(
+                    (x[a] - cx) * (seg_y - y[a]) - (x[a] - seg_x) * (cy - y[a])
+                )
+                a = lo + int(np.argmax(area))
+                keep_list.append(a)
+            keep_list.append(n - 1)
+            keep = np.array(keep_list)
+        return pd.DataFrame(
+            {
+                key: g[key].to_numpy()[keep],
+                "bucket": g["bucket"].to_numpy()[keep],
+                "mean_x100": y[keep],
+            }
+        )
+
+    out = grain.groupby(key).map_groups(per_key, batch_format="pandas")
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("bucket"),
+            "bucket",
+            b["bucket"].cast(pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

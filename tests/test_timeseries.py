@@ -303,3 +303,46 @@ def test_integer_pagerank_hand_computed(ray_session):
         150_000_000 + 63_750_000,
         150_000_000,
     ]
+
+
+def test_lttb_invariants_and_spike(ray_session):
+    from mimirsbrunn_ray.stages.timeseries import lttb_downsample
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    n = 200
+    rng = np.random.default_rng(3)
+    vals = rng.normal(10.0, 0.5, n)
+    vals[117] = 500.0  # a spike LTTB must keep
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * n,
+            "ts": [base + np.timedelta64(h, "h") for h in range(n)],
+            "value": vals,
+        }
+    )
+    out = (
+        lttb_downsample(
+            rd.from_pandas(df).repartition(4),
+            key="event_type",
+            freq="h",
+            target_points=20,
+        )
+        .to_pandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    assert len(out) == 20
+    # endpoints kept
+    assert out.iloc[0]["bucket"] == pd.Timestamp(base)
+    assert out.iloc[-1]["bucket"] == pd.Timestamp(base + np.timedelta64(n - 1, "h"))
+    # spike kept
+    assert (out["mean_x100"] == 50000.0).any()
+    # every selected point is an element of the hourly series
+    hourly = dict(zip(df["ts"], np.round(df["value"] * 100)))
+    for _, r in out.iterrows():
+        assert abs(hourly[r["bucket"]] - r["mean_x100"]) < 1e-9
+    # series shorter than the budget passes through whole
+    short = df.iloc[:7]
+    out2 = lttb_downsample(
+        rd.from_pandas(short), key="event_type", freq="h", target_points=20
+    ).to_pandas()
+    assert len(out2) == 7
