@@ -1,0 +1,883 @@
+"""Round-4 continuation batch 2: the remaining TPC-H shapes expressible on
+the available columns (Q8 market share, Q15 top supplier, Q17 small-quantity
+revenue), M4 visualization downsampling (Jugel et al., VLDB 2014 — the
+width-pixel min/max/first/last POINT-selection operator), an inverted-index
+posting-list builder (the search-indexing primitive behind the reference's
+Elasticsearch import — /root/reference/libs/mimir/src/rubber.rs:200-260
+builds exactly this structure server-side), and a Prometheus-style
+histogram_quantile over le-bucketed counters.
+
+Exactness discipline (SURVEY.md §6): every float feeding a SUM is quantized
+per-term to int64 fixed point BEFORE summation; the only float derivations
+(market share, interpolated quantile) happen once, at the end, from
+identical integer operands on both sides, so IEEE-754 gives bit-equal
+doubles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8: national market share
+# ---------------------------------------------------------------------------
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_7"
+_Q8_TYPE = "PROMO"
+
+
+def _rev_e4(b: pa.Table) -> pa.ChunkedArray:
+    """extendedprice*(1-discount) as exact int64 x1e4 (cents x (100-disc%))."""
+    price_c = pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0)))
+    disc_c = pc.round(pc.multiply(b["l_discount"], pa.scalar(100.0)))
+    return pc.multiply(
+        price_c.cast(pa.int64()),
+        pc.subtract(pa.scalar(100, type=pa.int64()), disc_c.cast(pa.int64())),
+    )
+
+
+def _sorted_key_ref(keys: np.ndarray):
+    """ray.put a sorted int64 key array for membership probes (ships once
+    per task spec, searchsorted per batch)."""
+    import ray as _ray
+
+    return _ray.put(np.sort(keys.astype(np.int64), kind="stable"))
+
+
+def _member_mask(keys: np.ndarray, sorted_ref) -> np.ndarray:
+    import ray as _ray
+
+    lk = _ray.get(sorted_ref)
+    if len(lk) == 0:
+        return np.zeros(len(keys), dtype=bool)
+    idx = np.clip(np.searchsorted(lk, keys), 0, len(lk) - 1)
+    return lk[idx] == keys
+
+
+def q_tpch_q8_market_share(sf_dir):
+    """TPC-H Q8 shape: per order-year share of PROMO-part revenue delivered
+    to ASIA-region customers that came from one supplier nation.
+
+    Scale shape: region/nation resolve on the driver (5 + 25 rows); the
+    PROMO partkey set and target-nation suppkey set ship once as sorted
+    membership arrays (both are filtered dims — the same broadcast class
+    as Q19's part attributes); lineitem pre-aggregates revenue per
+    (orderkey, is-target-nation) — at most 2 rows per order — BEFORE the
+    one big-big orderkey exchange with date-filtered orders; the
+    ASIA-customer restriction is the bloom-pruned EXACT semi-join (no
+    |customer| broadcast assumption at 100 TB); the per-year totals
+    tree-merge, and the single float division happens once per year row
+    from identical int64 operands on both sides."""
+    import pyarrow.parquet as _pq
+
+    from mimirsbrunn_ray.context import pool_size
+    from mimirsbrunn_ray.stages.join import bloom_semi_join
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+
+    region = _pq.read_table(f"{sf_dir}/region.parquet")
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
+    rkey = region.filter(pc.equal(region["r_name"], _Q8_REGION))["r_regionkey"][0]
+    asia_keys = nation.filter(pc.equal(nation["n_regionkey"], rkey))[
+        "n_nationkey"
+    ].to_numpy()
+    target_nk = nation.filter(pc.equal(nation["n_name"], _Q8_NATION))[
+        "n_nationkey"
+    ][0].as_py()
+
+    part = _pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    promo_ref = _sorted_key_ref(
+        part.filter(pc.equal(part["p_type"], _Q8_TYPE))["p_partkey"].to_numpy()
+    )
+    supp = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    target_supp_ref = _sorted_key_ref(
+        supp.filter(
+            pc.equal(supp["s_nationkey"], pa.scalar(target_nk, supp["s_nationkey"].type))
+        )["s_suppkey"].to_numpy()
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy()
+        keep = _member_mask(pk, promo_ref)
+        b = b.filter(pa.array(keep))
+        is_t = _member_mask(b["l_suppkey"].to_numpy(), target_supp_ref)
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "is_t": pa.array(is_t.astype(np.int64)),
+                "rev_e4": _rev_e4(b),
+            }
+        )
+        g = t.group_by(["l_orderkey", "is_t"]).aggregate([("rev_e4", "sum")])
+        return g.rename_columns(["l_orderkey", "is_t", "rev_e4"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=None)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: (
+            lambda f: pa.table(
+                {
+                    "o_orderkey": f["o_orderkey"],
+                    "o_custkey": f["o_custkey"],
+                    "o_year": pc.year(f["o_orderdate"]).cast(pa.int64()),
+                }
+            )
+        )(
+            b.filter(
+                pc.and_(
+                    pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    n_part = max(8, pool_size())
+    joined = li.repartition(n_part).join(
+        orders.repartition(n_part), join_type="inner", num_partitions=n_part,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    asia_set = pa.array(asia_keys)
+    asia_cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["c_nationkey"], value_set=asia_set)
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    in_region = bloom_semi_join(joined, asia_cust, "o_custkey", "c_custkey")
+
+    def year_partial(b: pa.Table) -> pa.Table:
+        nat = pc.multiply(b["rev_e4"], b["is_t"])
+        t = pa.table(
+            {"o_year": b["o_year"], "total_e4": b["rev_e4"], "nation_e4": nat}
+        )
+        g = t.group_by(["o_year"]).aggregate(
+            [("total_e4", "sum"), ("nation_e4", "sum")]
+        )
+        return g.rename_columns(["o_year", "total_e4", "nation_e4"])
+
+    merged = tree_merge(
+        in_region.map_batches(year_partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by(["o_year"])
+        .aggregate([("total_e4", "sum"), ("nation_e4", "sum")])
+        .rename_columns(["o_year", "total_e4", "nation_e4"]),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = b["total_e4"].to_numpy().astype(np.float64)
+        nat = b["nation_e4"].to_numpy().astype(np.float64)
+        share = np.divide(nat, tot, out=np.zeros_like(nat), where=tot != 0)
+        return b.append_column("mkt_share", pa.array(share, pa.float64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+TPCH_Q8_SQL = f"""
+WITH promo AS (SELECT p_partkey FROM part WHERE p_type = '{_Q8_TYPE}'),
+tnat AS (SELECT n_nationkey FROM nation WHERE n_name = '{_Q8_NATION}'),
+anat AS (
+  SELECT n_nationkey FROM nation n JOIN region r
+    ON n.n_regionkey = r.r_regionkey WHERE r.r_name = '{_Q8_REGION}'
+),
+l AS (
+  SELECT li.l_orderkey,
+         CAST(ROUND(li.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(ROUND(li.l_discount * 100, 0) AS BIGINT)) AS rev_e4,
+         CASE WHEN s.s_nationkey IN (SELECT n_nationkey FROM tnat)
+              THEN 1 ELSE 0 END AS is_t
+  FROM lineitem li
+  JOIN promo p ON li.l_partkey = p.p_partkey
+  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+),
+o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o.o_year,
+       CAST(SUM(l.rev_e4) AS BIGINT) AS total_e4,
+       CAST(SUM(l.rev_e4 * l.is_t) AS BIGINT) AS nation_e4,
+       CASE WHEN SUM(l.rev_e4) = 0 THEN 0.0
+            ELSE CAST(SUM(l.rev_e4 * l.is_t) AS DOUBLE)
+                 / CAST(SUM(l.rev_e4) AS DOUBLE) END AS mkt_share
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_custkey IN (
+  SELECT c_custkey FROM customer
+  WHERE c_nationkey IN (SELECT n_nationkey FROM anat)
+)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15: top supplier(s) by quarterly revenue (ties kept)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q15_top_supplier(sf_dir):
+    """TPC-H Q15 shape: supplier(s) with MAX revenue over one quarter of
+    shipments, ties kept (the reference SQL's correlated `= (SELECT MAX)`).
+
+    Scale shape: combiner-first per-suppkey int64 revenue partials (the
+    shuffle moves <= |suppliers seen| rows per block, never lineitem) ->
+    tree merge -> the global max is ONE scalar reduced by a second partial
+    pass over the merged per-supplier table (driver state = 8 bytes) ->
+    streaming filter for the tie set -> broadcast s_name attach."""
+    import ray as _ray
+
+    import pyarrow.parquet as _pq
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1997-04-01", "us")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                pc.less(b["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        t = pa.table({"s_suppkey": b["l_suppkey"], "rev_e4": _rev_e4(b)})
+        g = t.group_by(["s_suppkey"]).aggregate([("rev_e4", "sum")])
+        return g.rename_columns(["s_suppkey", "total_revenue_e4"])
+
+    per_supp = tree_merge(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        ).map_batches(li_partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by(["s_suppkey"])
+        .aggregate([("total_revenue_e4", "sum")])
+        .rename_columns(["s_suppkey", "total_revenue_e4"]),
+    ).materialize()
+
+    empty = pa.table(
+        {
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_revenue_e4": pa.array([], pa.int64()),
+        }
+    )
+    if per_supp.count() == 0:
+        # rd.from_arrow LOSES the schema of a 0-row table; the driver's
+        # schema compare needs the typed empty — return the Table itself
+        return empty
+    rev_max = per_supp.max("total_revenue_e4")
+
+    supp = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    sk = supp["s_suppkey"].to_numpy()
+    order = np.argsort(sk, kind="stable")
+    name_ref = _ray.put(
+        (sk[order], supp["s_name"].to_numpy(zero_copy_only=False)[order])
+    )
+
+    def winners(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.equal(b["total_revenue_e4"], pa.scalar(int(rev_max), pa.int64()))
+        )
+        keys_sorted, names = _ray.get(name_ref)
+        k = b["s_suppkey"].to_numpy()
+        if len(keys_sorted) == 0:
+            nm = np.full(len(k), None, dtype=object)
+        else:
+            pos = np.clip(np.searchsorted(keys_sorted, k), 0, len(keys_sorted) - 1)
+            nm = np.where(keys_sorted[pos] == k, names[pos], None)
+        return pa.table(
+            {
+                "s_suppkey": b["s_suppkey"].cast(pa.int64()),
+                "s_name": pa.array(nm, pa.string()),
+                "total_revenue_e4": b["total_revenue_e4"],
+            }
+        )
+
+    return per_supp.map_batches(winners, batch_format="pyarrow", batch_size=None)
+
+
+TPCH_Q15_SQL = """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+           AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT CAST(r.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, r.total_revenue_e4
+FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM r)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: small-quantity-order revenue
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#23"
+
+
+def q_tpch_q17_small_qty(sf_dir):
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (quantity < 20% of the part's average) were not filled, for one
+    brand. The correlated AVG subquery decomposes into per-part (sum_qty,
+    count) partials over the brand-filtered lineitems; the comparison
+    `qty < 0.2 * avg` cross-multiplies to the EXACT integer predicate
+    `5 * qty_x100 * cnt < sum_qty_x100` (quantities are money-like 2dp),
+    so no float division ever happens inside the filter.
+
+    Scale shape: the brand partkey set ships once as a sorted membership
+    array; pass 1 tree-merges per-part stats (bounded by |brand parts| —
+    a filtered dim, the Q19 broadcast class); pass 2 streams lineitem
+    again with the stats as a broadcast sorted-array lookup; the output is
+    one row of int64 sums with the single /7.0 derivation at the end."""
+    import ray as _ray
+
+    import pyarrow.parquet as _pq
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    part = _pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    brand_ref = _sorted_key_ref(
+        part.filter(pc.equal(part["p_brand"], _Q17_BRAND))["p_partkey"].to_numpy()
+    )
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        keep = _member_mask(b["l_partkey"].to_numpy(), brand_ref)
+        b = b.filter(pa.array(keep))
+        q100 = pc.round(pc.multiply(b["l_quantity"], pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        t = pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "sq": q100,
+                "cnt": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["l_partkey"]).aggregate([("sq", "sum"), ("cnt", "sum")])
+        return g.rename_columns(["l_partkey", "sq", "cnt"])
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    stats = tree_merge(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols[:2]).map_batches(
+            stat_partial, batch_format="pyarrow", batch_size=None
+        ),
+        lambda b: b.group_by(["l_partkey"])
+        .aggregate([("sq", "sum"), ("cnt", "sum")])
+        .rename_columns(["l_partkey", "sq", "cnt"]),
+    )
+    st_blocks = list(stats.iter_batches(batch_format="pyarrow"))
+    st = (
+        pa.concat_tables(st_blocks)
+        if st_blocks
+        else pa.table(
+            {
+                "l_partkey": pa.array([], pa.int64()),
+                "sq": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    )
+    if st.num_rows:
+        k = st["l_partkey"].to_numpy()
+        order = np.argsort(k, kind="stable")
+        stats_ref = _ray.put(
+            (
+                k[order],
+                st["sq"].to_numpy()[order],
+                st["cnt"].to_numpy()[order],
+            )
+        )
+    else:
+        stats_ref = _ray.put(
+            (np.array([], np.int64), np.array([], np.int64), np.array([], np.int64))
+        )
+
+    def small_partial(b: pa.Table) -> pa.Table:
+        keys_sorted, sq, cnt = _ray.get(stats_ref)
+        k = b["l_partkey"].to_numpy()
+        if len(keys_sorted) == 0:
+            small = np.zeros(len(k), dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(keys_sorted, k), 0, len(keys_sorted) - 1)
+            hit = keys_sorted[pos] == k
+            q100 = np.round(
+                b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            small = hit & (
+                5 * q100 * np.where(hit, cnt[pos], 0) < np.where(hit, sq[pos], 0)
+            )
+        b = b.filter(pa.array(small))
+        price_c = pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        tot = pc.sum(price_c).as_py() or 0
+        return pa.table(
+            {
+                "total_e2": pa.array([tot], pa.int64()),
+                "n_items": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    partials = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=li_cols
+    ).map_batches(small_partial, batch_format="pyarrow", batch_size=None)
+
+    def combine(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "total_e2": pa.array(
+                    [pc.sum(b["total_e2"]).as_py() or 0], pa.int64()
+                ),
+                "n_items": pa.array(
+                    [pc.sum(b["n_items"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    merged = tree_merge(partials, combine)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = combine(b)  # tree_merge converges to one block; be defensive
+        avg = float(b["total_e2"][0].as_py()) / 7.0
+        return b.append_column("avg_yearly_e2", pa.array([avg], pa.float64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+TPCH_Q17_SQL = f"""
+WITH b AS (SELECT p_partkey FROM part WHERE p_brand = '{_Q17_BRAND}'),
+st AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem JOIN b ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT
+  CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)), 0)
+       AS BIGINT) AS total_e2,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)), 0)
+       AS DOUBLE) / 7.0 AS avg_yearly_e2
+FROM lineitem l JOIN st ON l.l_partkey = st.l_partkey
+WHERE 5 * CAST(ROUND(l.l_quantity * 100, 0) AS BIGINT) * st.cnt < st.sq
+"""
+
+
+# ---------------------------------------------------------------------------
+# M4 visualization downsampling (point selection, not aggregation)
+# ---------------------------------------------------------------------------
+
+_M4_ROLES = ("first", "last", "low", "high")
+
+
+def q_m4_downsample(sf_dir):
+    """M4 width-pixel downsampling (Jugel et al., VLDB 2014): per
+    (series, pixel-bucket) select the ACTUAL ROWS hit by min/max time and
+    min/max value — the four points that make a line rendering of the
+    bucket pixel-exact, unlike OHLC which emits aggregates. One row per
+    (event_type, hour-bucket, role).
+
+    Scale shape: each row flat-maps into 4 role rows with sign-encoded
+    (k1, k2, k3) sort keys so every role reduces by the SAME min-select;
+    grouped_top_k's per-batch partial prune keeps <= 1 row per
+    (series, bucket, role) per batch, so the single hash shuffle moves
+    4 x |buckets seen|, never the corpus. Ties resolve by (ts, event_id)
+    exactly as the oracle's ROW_NUMBER ordering."""
+    from mimirsbrunn_ray.stages.search import grouped_top_k
+
+    def expand(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b["event_type"]), pc.is_valid(b["ts"])),
+                pc.is_valid(b["value"]),
+            )
+        )
+        ts64 = b["ts"].cast(pa.int64()).to_numpy()  # us since epoch < 2^53
+        ev = b["event_id"].to_numpy()
+        val = b["value"].to_numpy(zero_copy_only=False)
+        bucket = pc.floor_temporal(b["ts"], unit="hour")
+        n = b.num_rows
+        tsd = ts64.astype(np.float64)
+        # (k1, k2, k3) per role; min over the triple == the oracle ordering
+        k1 = [tsd, -tsd, val, -val]
+        k2 = [ev, -ev, ts64, ts64]
+        k3 = [np.zeros(n, np.int64), np.zeros(n, np.int64), ev, ev]
+        parts = []
+        for i, role in enumerate(_M4_ROLES):
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": b["event_type"],
+                        "bucket": bucket,
+                        "role": pa.array([role] * n, pa.string()),
+                        "ts": b["ts"],
+                        "value": b["value"],
+                        "k1": pa.array(k1[i], pa.float64()),
+                        "k2": pa.array(k2[i], pa.int64()),
+                        "k3": pa.array(k3[i], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+    ).map_batches(expand, batch_format="pyarrow", batch_size=None)
+
+    picked = grouped_top_k(
+        ev,
+        group_cols=["event_type", "bucket", "role"],
+        order_col="k1",
+        k=1,
+        descending=False,
+        tiebreak_cols=("k2", "k3"),
+    )
+    return picked.map_batches(
+        lambda b: b.select(["event_type", "bucket", "role", "ts", "value"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+M4_SQL = """
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, ts, value, event_id
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts, event_id) AS rf,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, event_id DESC) AS rl,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                       ORDER BY value, ts, event_id) AS rlo,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                       ORDER BY value DESC, ts, event_id) AS rhi
+  FROM e
+)
+SELECT event_type, bucket, 'first' AS role, ts, value FROM r WHERE rf = 1
+UNION ALL
+SELECT event_type, bucket, 'last', ts, value FROM r WHERE rl = 1
+UNION ALL
+SELECT event_type, bucket, 'low', ts, value FROM r WHERE rlo = 1
+UNION ALL
+SELECT event_type, bucket, 'high', ts, value FROM r WHERE rhi = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index posting lists (the search-index build primitive)
+# ---------------------------------------------------------------------------
+
+_POSTING_MIN_DF_FRAC = 0.6
+_POSTING_CAP = 20
+
+
+def q_inverted_postings(sf_dir):
+    """Inverted-index posting lists for high-df terms: term -> document
+    frequency + the first ``_POSTING_CAP`` doc_ids ascending, comma-joined.
+    This is the structure the reference hands Elasticsearch to build
+    (rubber.rs bulk-indexes docs and ES builds postings server-side); here
+    the index build itself is the distributed operator.
+
+    Scale shape: doc rows are unique per doc_id, so within-batch
+    (term, doc) dedup yields globally unique pairs with NO distinct
+    shuffle; df is a combiner-first count tree merge (driver state =
+    |vocab| rows, the classic term-dictionary small side); the posting cap
+    bounds per-term output before the one grouped-top-k hash shuffle, so
+    no term's full posting list ever colocates."""
+    import ray as _ray
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+    from mimirsbrunn_ray.stages.search import grouped_top_k
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = docs.count()
+    min_df = _POSTING_MIN_DF_FRAC * n_docs
+
+    def pairs_of(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.utf8_lower(pc.fill_null(b["text"], "")), " "
+        )
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc = np.repeat(b["doc_id"].to_numpy(), lens)
+        t = pa.table({"term": pc.list_flatten(words), "doc_id": pa.array(doc)})
+        # one (term, doc) pair per doc — doc_ids are unique per row, so
+        # this within-batch dedup is already the global dedup
+        g = t.group_by(["term", "doc_id"]).aggregate([])
+        return g
+
+    pairs = docs.map_batches(
+        pairs_of, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    df = tree_merge(
+        pairs.map_batches(
+            lambda b: b.group_by(["term"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["term", "df"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        lambda b: b.group_by(["term"])
+        .aggregate([("df", "sum")])
+        .rename_columns(["term", "df"]),
+    )
+    dft = pa.concat_tables(list(df.iter_batches(batch_format="pyarrow")))
+    dft = dft.filter(pc.greater_equal(dft["df"], pa.scalar(min_df)))
+    terms = dft["term"].to_numpy(zero_copy_only=False)
+    order = np.argsort(terms, kind="stable")
+    df_ref = _ray.put((terms[order], dft["df"].to_numpy()[order]))
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        hot, _ = _ray.get(df_ref)
+        t = b["term"].to_numpy(zero_copy_only=False)
+        if len(hot) == 0:
+            return b.slice(0, 0)
+        idx = np.clip(np.searchsorted(hot, t), 0, len(hot) - 1)
+        return b.filter(pa.array(hot[idx] == t))
+
+    capped = grouped_top_k(
+        pairs.map_batches(keep_hot, batch_format="pyarrow", batch_size=None),
+        group_cols=["term"],
+        order_col="doc_id",
+        k=_POSTING_CAP,
+        descending=False,
+    )
+
+    def join_postings(g: pa.Table) -> pa.Table:
+        hot, dfs = _ray.get(df_ref)
+        term = g["term"][0].as_py()
+        ids = np.sort(g["doc_id"].to_numpy())
+        i = int(np.searchsorted(hot, term))
+        dfv = int(dfs[i]) if i < len(hot) and hot[i] == term else 0
+        return pa.table(
+            {
+                "term": pa.array([term], pa.string()),
+                "df": pa.array([dfv], pa.int64()),
+                "posting_csv": pa.array(
+                    [",".join(str(int(x)) for x in ids)], pa.string()
+                ),
+            }
+        )
+
+    # the capped postings are <= |hot terms| x CAP rows — the per-term
+    # concat runs as a grouped apply over that bounded set
+    return capped.groupby("term").map_groups(
+        join_postings, batch_format="pyarrow"
+    )
+
+
+POSTINGS_SQL = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split(COALESCE(lower(text), ''), ' ')) AS term
+    FROM documents
+  )
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM w GROUP BY 1
+  HAVING COUNT(*) >= {_POSTING_MIN_DF_FRAC} * (SELECT COUNT(*) FROM documents)
+), capped AS (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM w WHERE term IN (SELECT term FROM df)
+)
+SELECT c.term, d.df,
+       string_agg(CAST(c.doc_id AS VARCHAR), ',' ORDER BY c.doc_id)
+         AS posting_csv
+FROM capped c JOIN df d ON c.term = d.term
+WHERE c.rn <= {_POSTING_CAP}
+GROUP BY c.term, d.df
+"""
+
+
+# ---------------------------------------------------------------------------
+# Prometheus-style histogram_quantile over le-bucketed counters
+# ---------------------------------------------------------------------------
+
+_HQ_LE = (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0)
+_HQ_Q = 0.95
+
+
+def q_histogram_quantile(sf_dir):
+    """Prometheus ``histogram_quantile(0.95, ...)`` per event type: counts
+    land in fixed le-buckets (value <= bound), and the quantile linearly
+    interpolates inside the boundary bucket — the metrics-store answer to
+    "p95 without a sort", trading exactness for a FIXED-size state per
+    series (len(LE)+1 int64s) that merges by plain addition.
+
+    Scale shape: per-(type, bucket-idx) int64 count partials tree-merge;
+    the finish stage works on |types| x |buckets| rows. The interpolation
+    `lo + (hi - lo) * ((q * total - below) / cnt)` runs once per type from
+    identical int64 operands on both sides, so the doubles are bit-equal.
+    If p95 lands in the +Inf bucket, the highest finite bound is returned
+    (the Prometheus convention)."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    le = np.asarray(_HQ_LE)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.is_valid(b["event_type"]), pc.is_valid(b["value"]))
+        )
+        v = b["value"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(le, v, side="left").astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "idx": pa.array(idx),
+                "n": pa.array(np.ones(len(v), np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "idx"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "idx", "n"])
+
+    merged = tree_merge(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by(["event_type", "idx"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["event_type", "idx", "n"]),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "p95": pa.array([], pa.float64()),
+                    "total": pa.array([], pa.int64()),
+                }
+            )
+        pdf = b.to_pandas()
+        out_t, out_p, out_n = [], [], []
+        for et, g in pdf.groupby("event_type", sort=True):
+            counts = np.zeros(len(le) + 1, np.int64)
+            counts[g["idx"].to_numpy()] = g["n"].to_numpy()
+            cum = np.cumsum(counts)
+            total = int(cum[-1])
+            rank = _HQ_Q * float(total)
+            j = int(np.argmax(cum.astype(np.float64) >= rank))
+            if j >= len(le):
+                p = float(le[-1])
+            else:
+                lo = float(le[j - 1]) if j > 0 else 0.0
+                hi = float(le[j])
+                below = float(cum[j - 1]) if j > 0 else 0.0
+                p = lo + (hi - lo) * ((rank - below) / float(counts[j]))
+            out_t.append(et)
+            out_p.append(p)
+            out_n.append(total)
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "p95": pa.array(out_p, pa.float64()),
+                "total": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    # tree_merge converges to one block; finish maps over that block
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+_HQ_CASE = " ".join(
+    f"WHEN value <= {b} THEN {i}" for i, b in enumerate(_HQ_LE)
+)
+_HQ_LO_CASE = " ".join(
+    f"WHEN idx = {i} THEN {0.0 if i == 0 else _HQ_LE[i - 1]}"
+    for i in range(len(_HQ_LE))
+)
+_HQ_HI_CASE = " ".join(f"WHEN idx = {i} THEN {b}" for i, b in enumerate(_HQ_LE))
+
+HISTOGRAM_QUANTILE_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(CASE {_HQ_CASE} ELSE {len(_HQ_LE)} END AS BIGINT) AS idx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+), c AS (
+  SELECT event_type, idx, n,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY idx) AS BIGINT)
+           AS cum,
+         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM b
+), pick AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY idx) AS rn
+  FROM c WHERE CAST(cum AS DOUBLE) >= {_HQ_Q} * CAST(total AS DOUBLE)
+)
+SELECT event_type,
+       CASE WHEN idx >= {len(_HQ_LE)} THEN {_HQ_LE[-1]}
+            ELSE (CASE {_HQ_LO_CASE} END)
+                 + ((CASE {_HQ_HI_CASE} END) - (CASE {_HQ_LO_CASE} END))
+                   * (({_HQ_Q} * CAST(total AS DOUBLE)
+                       - CAST(cum - n AS DOUBLE)) / CAST(n AS DOUBLE))
+       END AS p95,
+       total
+FROM pick WHERE rn = 1
+"""
+
+
+def register_r4c(queries: dict, oracles: dict) -> None:
+    queries.update(
+        {
+            "tpch_q8_market_share": q_tpch_q8_market_share,
+            "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+            "tpch_q17_small_qty": q_tpch_q17_small_qty,
+            "m4_downsample": q_m4_downsample,
+            "inverted_postings": q_inverted_postings,
+            "histogram_quantile_p95": q_histogram_quantile,
+        }
+    )
+    oracles.update(
+        {
+            "tpch_q8_market_share": TPCH_Q8_SQL,
+            "tpch_q15_top_supplier": TPCH_Q15_SQL,
+            "tpch_q17_small_qty": TPCH_Q17_SQL,
+            "m4_downsample": M4_SQL,
+            "inverted_postings": POSTINGS_SQL,
+            "histogram_quantile_p95": HISTOGRAM_QUANTILE_SQL,
+        }
+    )
