@@ -860,6 +860,293 @@ FROM pick WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS-filtered order counts per priority
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q4_priority(sf_dir):
+    """TPC-H Q4 shape (the commit/receipt-date predicate adapted to the
+    available columns): count orders per priority that have AT LEAST ONE
+    high-quantity lineitem — the correlated EXISTS.
+
+    Scale shape: the qualifying-lineitem side reduces to its DISTINCT
+    orderkeys inside the bloom semi-join's one right-side pass; orders
+    date-filter early; the EXISTS is the bloom-pruned exact semi-join
+    (exactly-once emission = SQL EXISTS), and the final per-priority count
+    tree-merges a 5-row table."""
+    from mimirsbrunn_ray.stages.join import bloom_semi_join
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1997-10-01", "us")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                pc.less(b["o_orderdate"], pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    big_li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater(b["l_quantity"], pa.scalar(45.0))
+        ).select(["l_orderkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    hit = bloom_semi_join(orders, big_li, "o_orderkey", "l_orderkey")
+
+    return tree_merge(
+        hit.map_batches(
+            lambda b: b.group_by(["o_orderpriority"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["o_orderpriority", "order_count"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        lambda b: b.group_by(["o_orderpriority"])
+        .aggregate([("order_count", "sum")])
+        .rename_columns(["o_orderpriority", "order_count"]),
+    )
+
+
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+  )
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: exclusive-supplier order counts
+# ---------------------------------------------------------------------------
+
+
+def q_exclusive_supplier_orders(sf_dir):
+    """TPC-H Q21's structural core on the available columns: orders served
+    by EXACTLY ONE distinct supplier, counted per that supplier; top 10
+    suppliers by exclusive-order count (ties by suppkey).
+
+    Scale shape: per-order distinct-supplier state is decomposable as
+    (min_supp, max_supp, any-two-differ flag) — constant size per order,
+    no distinct-set shuffle: a per-batch group partial emits (orderkey,
+    min, max), the orderkey tree merge ANDs min==max, and the survivor
+    rows feed a combiner-first per-supplier count + constant-group top-k
+    prune."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+    from mimirsbrunn_ray.stages.search import grouped_top_k
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"l_orderkey": b["l_orderkey"], "mn": b["l_suppkey"], "mx": b["l_suppkey"]}
+        )
+        g = t.group_by(["l_orderkey"]).aggregate([("mn", "min"), ("mx", "max")])
+        return g.rename_columns(["l_orderkey", "mn", "mx"])
+
+    per_order = tree_merge(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+        ).map_batches(order_partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by(["l_orderkey"])
+        .aggregate([("mn", "min"), ("mx", "max")])
+        .rename_columns(["l_orderkey", "mn", "mx"]),
+        final_shards=8,
+        shard_cols=["l_orderkey"],
+    )
+
+    def supp_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["mn"], b["mx"]))
+        t = pa.table({"s_suppkey": b["mn"].cast(pa.int64())})
+        g = t.group_by(["s_suppkey"]).aggregate([([], "count_all")])
+        return g.rename_columns(["s_suppkey", "exclusive_orders"])
+
+    per_supp = tree_merge(
+        per_order.map_batches(supp_partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by(["s_suppkey"])
+        .aggregate([("exclusive_orders", "sum")])
+        .rename_columns(["s_suppkey", "exclusive_orders"]),
+    )
+    top = grouped_top_k(
+        per_supp.map_batches(
+            lambda b: b.append_column(
+                "_g", pa.array(np.zeros(b.num_rows, dtype=np.int8))
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        group_cols=["_g"],
+        order_col="exclusive_orders",
+        k=10,
+        descending=True,
+        tiebreak_cols=("s_suppkey",),
+    )
+    return top.map_batches(
+        lambda b: b.drop_columns(["_g"]), batch_format="pyarrow", batch_size=None
+    )
+
+
+EXCLUSIVE_SUPPLIER_SQL = """
+WITH po AS (
+  SELECT l_orderkey, MIN(l_suppkey) AS mn, MAX(l_suppkey) AS mx
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(mn AS BIGINT) AS s_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS exclusive_orders
+FROM po WHERE mn = mx
+GROUP BY 1
+ORDER BY exclusive_orders DESC, s_suppkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: above-average-balance customers with no recent orders
+# ---------------------------------------------------------------------------
+
+
+def q_idle_rich_customers(sf_dir):
+    """TPC-H Q22 shape on the available columns: per nation, count and
+    total balance of customers whose balance beats the GLOBAL average of
+    positive balances and who placed NO orders from 1999 on.
+
+    Scale shape: the global average is two int64 scalars (sum of 2dp
+    balances x100, count) tree-merged in one pass; the threshold compare
+    cross-multiplies to the EXACT integer predicate
+    `bal_x100 * cnt > sum_x100` — no float average ever feeds a filter.
+    The NOT EXISTS is the bloom-pruned exact ANTI-join (bloom-absent rows
+    are definitely order-less and skip the verify join). Output is a
+    per-nation int64 rollup."""
+    from mimirsbrunn_ray.stages.join import bloom_anti_join
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def avg_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["c_acctbal"], pa.scalar(0.0)))
+        bal = pc.round(pc.multiply(b["c_acctbal"], pa.scalar(100.0))).cast(pa.int64())
+        return pa.table(
+            {
+                "sum_e2": pa.array([pc.sum(bal).as_py() or 0], pa.int64()),
+                "cnt": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    stat = pa.concat_tables(
+        list(
+            tree_merge(
+                cust.map_batches(avg_partial, batch_format="pyarrow", batch_size=None),
+                lambda b: pa.table(
+                    {
+                        "sum_e2": pa.array([pc.sum(b["sum_e2"]).as_py() or 0], pa.int64()),
+                        "cnt": pa.array([pc.sum(b["cnt"]).as_py() or 0], pa.int64()),
+                    }
+                ),
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    sum_e2 = int(stat["sum_e2"][0].as_py())
+    cnt = int(stat["cnt"][0].as_py())
+
+    rich = cust.map_batches(
+        lambda b: b.filter(
+            pc.greater(
+                pc.multiply(
+                    pc.round(pc.multiply(b["c_acctbal"], pa.scalar(100.0))).cast(
+                        pa.int64()
+                    ),
+                    pa.scalar(cnt, pa.int64()),
+                ),
+                pa.scalar(sum_e2, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    lo = np.datetime64("1999-01-01", "us")
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(lo))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    idle = bloom_anti_join(rich, recent, "c_custkey", "o_custkey")
+
+    def nat_partial(b: pa.Table) -> pa.Table:
+        bal = pc.round(pc.multiply(b["c_acctbal"], pa.scalar(100.0))).cast(pa.int64())
+        t = pa.table(
+            {
+                "c_nationkey": b["c_nationkey"].cast(pa.int64()),
+                "total_bal_e2": bal,
+            }
+        )
+        g = t.group_by(["c_nationkey"]).aggregate(
+            [("total_bal_e2", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["c_nationkey", "total_bal_e2", "n_custs"])
+
+    out = tree_merge(
+        idle.map_batches(nat_partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by(["c_nationkey"])
+        .aggregate([("total_bal_e2", "sum"), ("n_custs", "sum")])
+        .rename_columns(["c_nationkey", "total_bal_e2", "n_custs"]),
+    ).materialize()
+    if out.count() == 0:
+        # an all-empty union drops the schema; the driver compare needs
+        # the typed empty
+        return pa.table(
+            {
+                "c_nationkey": pa.array([], pa.int64()),
+                "total_bal_e2": pa.array([], pa.int64()),
+                "n_custs": pa.array([], pa.int64()),
+            }
+        )
+    return out
+
+
+IDLE_RICH_SQL = """
+WITH s AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_e2,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_bal_e2,
+       CAST(COUNT(*) AS BIGINT) AS n_custs
+FROM customer c, s
+WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) * s.cnt > s.sum_e2
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY 1
+"""
+
+
 def register_r4c(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -869,6 +1156,9 @@ def register_r4c(queries: dict, oracles: dict) -> None:
             "m4_downsample": q_m4_downsample,
             "inverted_postings": q_inverted_postings,
             "histogram_quantile_p95": q_histogram_quantile,
+            "tpch_q4_priority": q_tpch_q4_priority,
+            "exclusive_supplier_orders": q_exclusive_supplier_orders,
+            "idle_rich_customers": q_idle_rich_customers,
         }
     )
     oracles.update(
@@ -879,5 +1169,8 @@ def register_r4c(queries: dict, oracles: dict) -> None:
             "m4_downsample": M4_SQL,
             "inverted_postings": POSTINGS_SQL,
             "histogram_quantile_p95": HISTOGRAM_QUANTILE_SQL,
+            "tpch_q4_priority": TPCH_Q4_SQL,
+            "exclusive_supplier_orders": EXCLUSIVE_SUPPLIER_SQL,
+            "idle_rich_customers": IDLE_RICH_SQL,
         }
     )

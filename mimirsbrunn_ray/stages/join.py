@@ -141,6 +141,110 @@ def conditional_override(
     )
 
 
+def bloom_anti_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    left_key: str,
+    right_key: str,
+    n_bits: int = 1 << 21,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """EXACT anti-join (SQL NOT EXISTS): left rows with NO matching right
+    key — the packaged form of ``customers_without_events``'s inline
+    pipeline (D4 family; see that query's docstring for the shape
+    rationale). A bloom has no false negatives, so bloom-absent left rows
+    are DEFINITELY unmatched and emit with no shuffle; only maybe-present
+    rows pay the exact left_outer + null-marker verify. NULL left keys
+    never equality-match (SQL semantics) and are kept."""
+    import pyarrow.compute as pc
+
+    from mimirsbrunn_ray.context import pool_size
+    from mimirsbrunn_ray.sources.synth import _splitmix64
+    from mimirsbrunn_ray.stages.sketch import (
+        bloom_add,
+        bloom_contains,
+        bloom_new,
+        bloom_or_merge,
+    )
+
+    def partial_distinct(b: pa.Table) -> pa.Table:
+        u = np.unique(b[right_key].drop_null().to_numpy(zero_copy_only=False))
+        words = bloom_new(n_bits)
+        bloom_add(words, _splitmix64(u.astype(np.uint64)))
+        return pa.table(
+            {
+                right_key: pa.concat_arrays(
+                    [pa.array(u.astype(np.int64)), pa.array([None], type=pa.int64())]
+                ),
+                "_bits": pa.array(
+                    [None] * len(u) + [words.tobytes()], type=pa.binary()
+                ),
+            }
+        )
+
+    distinct_partials = right.map_batches(
+        partial_distinct, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    acc = bloom_or_merge(
+        distinct_partials.map_batches(
+            lambda b: pa.table(
+                {"bits": b.filter(pc.is_valid(b["_bits"]))["_bits"]}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        n_bits,
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        col = b[left_key]
+        valid = ~pc.is_null(col).to_numpy(zero_copy_only=False)
+        keys = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        maybe = np.zeros(b.num_rows, dtype=bool)
+        if valid.any():
+            h = _splitmix64(keys[valid].astype(np.uint64))
+            maybe[valid] = bloom_contains(acc, h)
+        return b.append_column("_maybe", pa.array(maybe))
+
+    flagged = left.map_batches(flag, batch_format="pyarrow", batch_size=None)
+    absent = flagged.filter(expr="_maybe == False").map_batches(
+        lambda b: b.drop_columns(["_maybe"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    n_part = num_partitions or max(8, pool_size())
+    # left_outer + null-marker needs no global right distinct: duplicated
+    # keys only multiply MATCHED rows, which are discarded
+    marker = distinct_partials.map_batches(
+        lambda b: pa.table(
+            {
+                right_key: (v := b.filter(pc.is_valid(b[right_key]))[right_key]),
+                "_hit": pa.array(np.ones(len(v), np.int8)),
+            }
+        ),
+        batch_format="pyarrow", batch_size=None,
+    ).repartition(n_part)
+    confirmed = (
+        flagged.filter(expr="_maybe == True")
+        .map_batches(
+            lambda b: b.drop_columns(["_maybe"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+        .repartition(n_part)
+        .join(
+            marker, join_type="left_outer", num_partitions=n_part,
+            on=(left_key,), right_on=(right_key,),
+        )
+        .map_batches(
+            lambda b: b.filter(pc.is_null(b["_hit"])).drop_columns(
+                ["_hit"] + ([right_key] if right_key in b.schema.names else [])
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+    )
+    return absent.union(confirmed)
+
+
 def bloom_semi_join(
     left: "rd.Dataset",
     right: "rd.Dataset",
