@@ -1147,6 +1147,216 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# linear-interpolation gap-fill (the north-star's second fill policy,
+# driver-oracled — LOCF has been oracled since round 1)
+# ---------------------------------------------------------------------------
+
+
+def q_gapfill_linear_1m(sf_dir):
+    """The 1m rollup tier gap-filled by LINEAR interpolation
+    (stages/gapfill.py policy="linear"): missing buckets take
+    ``slope * (t - t0) + v0`` between their known neighbors — numpy's
+    compiled np.interp formula, which the oracle mirrors operation-for-
+    operation (and np.rint's round-HALF-EVEN for the integer token
+    columns maps to DuckDB round_even), so every filled value is
+    bit-equal."""
+    from mimirsbrunn_ray.sources.documents_adapter import sequences_from_documents
+    from mimirsbrunn_ray.stages.gapfill import gapfill
+    from mimirsbrunn_ray.stages.rollup import rollup
+
+    seq = sequences_from_documents(sf_dir)
+    return gapfill(rollup(seq, "1m", from_tier="raw"), "1m", policy="linear")
+
+
+def _gapfill_linear_sql() -> str:
+    from mimirsbrunn_ray.sources.documents_adapter import SEQ_CTE
+
+    # per value column: v0/t0 from the last KNOWN row at-or-before, v1/t1
+    # from the first KNOWN row at-or-after; filled rows interpolate with
+    # numpy's exact formula slope*(t-t0)+v0
+    cols = ["sum_tok", "min_tok", "max_tok", "mean_tok"]
+    prev = ",\n    ".join(
+        f"last_value({c} IGNORE NULLS) OVER wprev AS p_{c}" for c in cols
+    )
+    nxt = ",\n    ".join(
+        f"first_value({c} IGNORE NULLS) OVER wnext AS n_{c}" for c in cols
+    )
+
+    def interp(c):
+        return (
+            f"((CAST(n_{c} AS DOUBLE) - CAST(p_{c} AS DOUBLE))"
+            f" / (CAST(t1 AS DOUBLE) - CAST(t0 AS DOUBLE)))"
+            f" * (CAST(t AS DOUBLE) - CAST(t0 AS DOUBLE))"
+            f" + CAST(p_{c} AS DOUBLE)"
+        )
+
+    return (
+        SEQ_CTE
+        + f"""
+, r AS (
+  SELECT source, date_trunc('minute', ts) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+         CAST(MIN(n_tok) AS INTEGER) AS min_tok,
+         CAST(MAX(n_tok) AS INTEGER) AS max_tok,
+         CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS mean_tok
+  FROM seq GROUP BY source, bucket),
+bounds AS (SELECT source, MIN(bucket) lo, MAX(bucket) hi FROM r GROUP BY source),
+grid AS (
+  SELECT b.source, unnest(generate_series(b.lo, b.hi, INTERVAL 1 MINUTE)) AS bucket
+  FROM bounds b),
+j AS (
+  SELECT grid.source, grid.bucket,
+         r.n_rows, r.sum_tok, r.min_tok, r.max_tok, r.mean_tok,
+         (r.bucket IS NULL) AS filled
+  FROM grid LEFT JOIN r ON r.source = grid.source AND r.bucket = grid.bucket),
+f AS (
+  SELECT *,
+    epoch_us(bucket) AS t,
+    last_value(CASE WHEN NOT filled THEN epoch_us(bucket) END IGNORE NULLS)
+      OVER wprev AS t0,
+    first_value(CASE WHEN NOT filled THEN epoch_us(bucket) END IGNORE NULLS)
+      OVER wnext AS t1,
+    {prev},
+    {nxt}
+  FROM j
+  WINDOW wprev AS (PARTITION BY source ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wnext AS (PARTITION BY source ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT source, bucket,
+  COALESCE(n_rows, 0) AS n_rows,
+  CASE WHEN NOT filled THEN sum_tok
+       ELSE CAST(round_even({interp('sum_tok')}, 0) AS BIGINT) END AS sum_tok,
+  CASE WHEN NOT filled THEN min_tok
+       ELSE CAST(CAST(round_even({interp('min_tok')}, 0) AS BIGINT)
+            AS INTEGER) END AS min_tok,
+  CASE WHEN NOT filled THEN max_tok
+       ELSE CAST(CAST(round_even({interp('max_tok')}, 0) AS BIGINT)
+            AS INTEGER) END AS max_tok,
+  CASE WHEN NOT filled THEN mean_tok
+       ELSE {interp('mean_tok')} END AS mean_tok,
+  filled,
+  CASE WHEN filled THEN 'linear' ELSE 'none' END AS fill_kind
+FROM f
+"""
+    )
+
+
+GAPFILL_LINEAR_SQL = _gapfill_linear_sql()
+
+
+# ---------------------------------------------------------------------------
+# seasonal hour-of-day baseline anomaly ratio
+# ---------------------------------------------------------------------------
+
+
+def q_seasonal_hour_baseline(sf_dir):
+    """Seasonal-baseline anomaly signal: each (type, day, hour-of-day)
+    cell's value total compared to the expanding mean of the SAME hour on
+    all PRIOR days — the metrics-store "is today's 3pm unusual for a 3pm"
+    question (generalizes the diurnal profile to a causal, point-in-time
+    baseline; no future data leaks into the denominator).
+
+    Scale shape: per-(type, day, hod) int64 partials tree-merge (state
+    bounded by series x days x 24); the expanding prior-sum scan runs
+    per (type, hod) series inside a grouped apply with a vectorized
+    segment cumsum — the cumulative_bucket_agg discipline. The single
+    float ratio derives once per row as (v * prior_cnt) / prior_sum from
+    identical int64 operands on both sides."""
+    import pandas as pd
+
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b["event_type"]), pc.is_valid(b["ts"])),
+                pc.is_valid(b["value"]),
+            )
+        )
+        v_e2 = pc.round(pc.multiply(b["value"], pa.scalar(100.0))).cast(pa.int64())
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": pc.floor_temporal(b["ts"], unit="day"),
+                "hod": pc.hour(b["ts"]).cast(pa.int64()),
+                "v_e2": v_e2,
+            }
+        )
+        g = t.group_by(["event_type", "day", "hod"]).aggregate([("v_e2", "sum")])
+        return g.rename_columns(["event_type", "day", "hod", "v_e2"])
+
+    grain = tree_merge(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by(["event_type", "day", "hod"])
+        .aggregate([("v_e2", "sum")])
+        .rename_columns(["event_type", "day", "hod", "v_e2"]),
+    )
+
+    def per_series(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "hod", "day"], kind="mergesort").reset_index(
+            drop=True
+        )
+        v = g["v_e2"].to_numpy(np.int64)
+        new_seg = ~(
+            g["event_type"].eq(g["event_type"].shift())
+            & g["hod"].eq(g["hod"].shift())
+        ).to_numpy()
+        seg_id = np.cumsum(new_seg) - 1
+        starts = np.flatnonzero(new_seg)
+        cs = np.cumsum(v)
+        base = np.where(starts > 0, cs[starts - 1], 0)[seg_id]
+        prior_sum = cs - v - base
+        prior_cnt = np.arange(len(g)) - starts[seg_id]
+        keep = (prior_cnt >= 1) & (prior_sum != 0)
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"].astype("datetime64[us]"),
+                "hod": g["hod"],
+                "v_e2": v,
+                "prior_sum_e2": prior_sum,
+                "prior_cnt": prior_cnt.astype(np.int64),
+            }
+        )[keep]
+        out["ratio"] = (
+            out["v_e2"].to_numpy(np.float64) * out["prior_cnt"].to_numpy(np.float64)
+        ) / out["prior_sum_e2"].to_numpy(np.float64)
+        return out
+
+    return grain.groupby("event_type").map_groups(per_series, batch_format="pandas")
+
+
+SEASONAL_BASELINE_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_e2
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2, 3
+), w AS (
+  SELECT *,
+    CAST(COALESCE(SUM(v_e2) OVER (PARTITION BY event_type, hod ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS prior_sum_e2,
+    CAST(COUNT(*) OVER (PARTITION BY event_type, hod ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+      AS prior_cnt
+  FROM h
+)
+SELECT event_type, day, hod, v_e2, prior_sum_e2, prior_cnt,
+       (CAST(v_e2 AS DOUBLE) * CAST(prior_cnt AS DOUBLE))
+         / CAST(prior_sum_e2 AS DOUBLE) AS ratio
+FROM w WHERE prior_cnt >= 1 AND prior_sum_e2 <> 0
+"""
+
+
 def register_r4c(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -1159,6 +1369,8 @@ def register_r4c(queries: dict, oracles: dict) -> None:
             "tpch_q4_priority": q_tpch_q4_priority,
             "exclusive_supplier_orders": q_exclusive_supplier_orders,
             "idle_rich_customers": q_idle_rich_customers,
+            "gapfill_linear_1m": q_gapfill_linear_1m,
+            "seasonal_hour_baseline": q_seasonal_hour_baseline,
         }
     )
     oracles.update(
@@ -1172,5 +1384,7 @@ def register_r4c(queries: dict, oracles: dict) -> None:
             "tpch_q4_priority": TPCH_Q4_SQL,
             "exclusive_supplier_orders": EXCLUSIVE_SUPPLIER_SQL,
             "idle_rich_customers": IDLE_RICH_SQL,
+            "gapfill_linear_1m": GAPFILL_LINEAR_SQL,
+            "seasonal_hour_baseline": SEASONAL_BASELINE_SQL,
         }
     )
