@@ -1357,6 +1357,128 @@ FROM w WHERE prior_cnt >= 1 AND prior_sum_e2 <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+# per-node triangle counting over the dependency edge set
+# ---------------------------------------------------------------------------
+
+
+def q_part_triangles(sf_dir):
+    """Per-node triangle counts over the same deterministic dependency
+    edge set as ``part_dep_closure`` (k -> k//2, k -> k//3), treated as an
+    undirected graph — the graph-analytics sibling of the closure and
+    PageRank operators (3-way self-join in SQL).
+
+    Scale shape: the compact-forward algorithm — edges oriented low->high,
+    each triangle a<b<c found EXACTLY once at edge (a,b) as
+    c in N(a) n N(b). The oriented adjacency (CSR) and the sorted packed
+    edge-key array broadcast once (dimension-scale, the documented
+    dependency_closure assumption); the edge Dataset partitions across the
+    pool, and each batch counts its edges' triangles with zero Python
+    loops: candidates expand by np.repeat over CSR degrees and membership
+    resolves by ONE searchsorted against the packed edge keys. Per-node
+    partial counts (np.bincount over the three corners) tree-merge."""
+    import ray as _ray
+
+    from mimirsbrunn_ray.context import pool_size
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    mx = int(part.max("p_partkey"))
+    ks = np.arange(2, mx + 1, dtype=np.int64)
+    src = np.concatenate([ks, ks[ks >= 3]])
+    dst = np.concatenate([ks // 2, ks[ks >= 3] // 3])
+    keep = (src != dst) & (np.minimum(src, dst) >= 1)
+    u = np.minimum(src, dst)[keep]
+    v = np.maximum(src, dst)[keep]
+    K = np.int64(mx + 2)
+    packed = np.unique(u * K + v)  # sorted + dedup'd oriented edges
+    eu, ev = packed // K, packed % K
+    # CSR over u (edges are already sorted by (u, v) via the packed sort)
+    indptr = np.zeros(mx + 2, dtype=np.int64)
+    np.add.at(indptr, eu + 1, 1)
+    indptr = np.cumsum(indptr)
+    adj_ref = _ray.put((packed, indptr, ev))
+
+    n_part = max(8, pool_size())
+    edges = rd.from_arrow(
+        pa.table({"u": pa.array(eu), "v": pa.array(ev)})
+    ).repartition(n_part)
+
+    def tri_partial(b: pa.Table) -> pa.Table:
+        pk, ptr, nbr = _ray.get(adj_ref)
+        bu = b["u"].to_numpy()
+        bv = b["v"].to_numpy()
+        deg = ptr[bu + 1] - ptr[bu]
+        # candidate ws: every forward neighbor of u, per edge — flat CSR
+        # gather with the repeat-offset trick (no per-edge Python loop)
+        row = np.repeat(np.arange(len(bu)), deg)
+        within = np.arange(len(row)) - np.repeat(np.cumsum(deg) - deg, deg)
+        w = nbr[np.repeat(ptr[bu], deg) + within]
+        vv = bv[row]
+        cand = w > vv  # orientation: count each triangle at its (a,b) edge
+        vv, w, uu = vv[cand], w[cand], bu[row][cand]
+        probe = vv * K + w
+        pos = np.searchsorted(pk, probe)
+        pos = np.clip(pos, 0, len(pk) - 1)
+        hit = pk[pos] == probe
+        corners = np.concatenate([uu[hit], vv[hit], w[hit]])
+        if len(corners) == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "n_triangles": pa.array([], pa.int64()),
+                }
+            )
+        nodes, counts = np.unique(corners, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nodes),
+                "n_triangles": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    out = tree_merge(
+        edges.map_batches(tri_partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by(["node"])
+        .aggregate([("n_triangles", "sum")])
+        .rename_columns(["node", "n_triangles"]),
+    ).materialize()
+    if out.count() == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "n_triangles": pa.array([], pa.int64()),
+            }
+        )
+    return out.sort("node")
+
+
+PART_TRIANGLES_SQL = """
+WITH ks AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part WHERE p_partkey >= 2),
+edges0 AS (
+  SELECT k AS a, k // 2 AS b FROM ks
+  UNION
+  SELECT k, k // 3 FROM ks WHERE k >= 3
+),
+e AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM edges0 WHERE a <> b AND LEAST(a, b) >= 1
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY 1
+"""
+
+
 def register_r4c(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -1371,6 +1493,7 @@ def register_r4c(queries: dict, oracles: dict) -> None:
             "idle_rich_customers": q_idle_rich_customers,
             "gapfill_linear_1m": q_gapfill_linear_1m,
             "seasonal_hour_baseline": q_seasonal_hour_baseline,
+            "part_triangles": q_part_triangles,
         }
     )
     oracles.update(
@@ -1386,5 +1509,6 @@ def register_r4c(queries: dict, oracles: dict) -> None:
             "idle_rich_customers": IDLE_RICH_SQL,
             "gapfill_linear_1m": GAPFILL_LINEAR_SQL,
             "seasonal_hour_baseline": SEASONAL_BASELINE_SQL,
+            "part_triangles": PART_TRIANGLES_SQL,
         }
     )
