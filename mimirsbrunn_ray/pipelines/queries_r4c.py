@@ -1479,6 +1479,138 @@ FROM nodes GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# pairwise correlation matrix between event-type hourly series
+# ---------------------------------------------------------------------------
+
+
+def q_type_correlation_matrix(sf_dir):
+    """Pearson correlation between every PAIR of event types' hourly-sum
+    series over the completed hour grid (absent hours are 0, the chi2
+    completion rule) — the cross-series co-movement matrix a metrics
+    store derives for alerting ("these two signals always spike
+    together").
+
+    Scale shape: one per-(type, hour) int64 partial pass tree-merges to a
+    |types| x |hours| grain; ALL pairwise moments then come from a single
+    int64 matmul M^T M on the densified grid (exact: hourly sums bounded
+    well under the 2^63 product headroom) — no per-pair shuffle, no
+    self-join of the event stream. The Pearson derivation runs once per
+    pair from identical int64 moments on both sides, term-for-term in
+    double."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b["event_type"]), pc.is_valid(b["ts"])),
+                pc.is_valid(b["value"]),
+            )
+        )
+        v_e2 = pc.round(pc.multiply(b["value"], pa.scalar(100.0))).cast(pa.int64())
+        t = pa.table(
+            {
+                "t": b["event_type"],
+                "b": pc.floor_temporal(b["ts"], unit="hour"),
+                "v": v_e2,
+            }
+        )
+        g = t.group_by(["t", "b"]).aggregate([("v", "sum")])
+        return g.rename_columns(["t", "b", "v"])
+
+    merged = tree_merge(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by(["t", "b"])
+        .aggregate([("v", "sum")])
+        .rename_columns(["t", "b", "v"]),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "corr": pa.array([], pa.float64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        types, t_idx = np.unique(
+            b["t"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        hours, h_idx = np.unique(b["b"].to_numpy(), return_inverse=True)
+        M = np.zeros((len(hours), len(types)), dtype=np.int64)
+        M[h_idx, t_idx] = b["v"].to_numpy()
+        S = M.T @ M  # exact int64 pairwise cross-moments
+        col = M.sum(axis=0)
+        n = np.int64(len(hours))
+        ia, ib = np.triu_indices(len(types), k=1)
+        nd = np.float64(n)
+        sa, sb = col[ia].astype(np.float64), col[ib].astype(np.float64)
+        sab = S[ia, ib].astype(np.float64)
+        saa = S[ia, ia].astype(np.float64)
+        sbb = S[ib, ib].astype(np.float64)
+        var_a = nd * saa - sa * sa
+        var_b = nd * sbb - sb * sb
+        keep = (var_a > 0) & (var_b > 0)
+        corr = (nd * sab - sa * sb)[keep] / (
+            np.sqrt(var_a[keep]) * np.sqrt(var_b[keep])
+        )
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "type_a": pa.array(types[ia[keep]], pa.string()),
+                "type_b": pa.array(types[ib[keep]], pa.string()),
+                "n": pa.array(np.full(int(keep.sum()), n)),
+                "corr": pa.array(corr, pa.float64()),
+            }
+        )
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+TYPE_CORR_SQL = """
+WITH h AS (
+  SELECT event_type AS t, date_trunc('hour', ts) AS b,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+), bk AS (SELECT DISTINCT b FROM h), ty AS (SELECT DISTINCT t FROM h),
+g AS (
+  SELECT bk.b, ty.t, COALESCE(h.v, 0) AS v
+  FROM bk CROSS JOIN ty LEFT JOIN h ON h.b = bk.b AND h.t = ty.t
+), p AS (
+  SELECT a.t AS type_a, c.t AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a.v) AS BIGINT) AS sa, CAST(SUM(c.v) AS BIGINT) AS sb,
+         CAST(SUM(a.v * c.v) AS BIGINT) AS sab,
+         CAST(SUM(a.v * a.v) AS BIGINT) AS saa,
+         CAST(SUM(c.v * c.v) AS BIGINT) AS sbb
+  FROM g a JOIN g c ON a.b = c.b AND a.t < c.t
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n,
+       (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+          - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS corr
+FROM p
+WHERE (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+       - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0
+  AND (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+"""
+
+
 def register_r4c(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -1494,6 +1626,7 @@ def register_r4c(queries: dict, oracles: dict) -> None:
             "gapfill_linear_1m": q_gapfill_linear_1m,
             "seasonal_hour_baseline": q_seasonal_hour_baseline,
             "part_triangles": q_part_triangles,
+            "type_correlation_matrix": q_type_correlation_matrix,
         }
     )
     oracles.update(
@@ -1510,5 +1643,6 @@ def register_r4c(queries: dict, oracles: dict) -> None:
             "gapfill_linear_1m": GAPFILL_LINEAR_SQL,
             "seasonal_hour_baseline": SEASONAL_BASELINE_SQL,
             "part_triangles": PART_TRIANGLES_SQL,
+            "type_correlation_matrix": TYPE_CORR_SQL,
         }
     )
