@@ -1611,6 +1611,94 @@ WHERE (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
 """
 
 
+# ---------------------------------------------------------------------------
+# exact weighted quantiles (mass cut-points)
+# ---------------------------------------------------------------------------
+
+_WQ_PCTS = (50, 90, 99)
+
+
+def q_weighted_char_quantiles(sf_dir):
+    """Exact WEIGHTED quantiles of document length, weight = the length
+    itself: the smallest length L such that documents of length <= L hold
+    at least q% of ALL characters — the curation cut "how short can I
+    truncate and keep 90% of the corpus mass".
+
+    Scale shape: the answer depends only on the (length -> total weight)
+    HISTOGRAM, so one decomposable count pass tree-merges a table bounded
+    by the length domain; the driver walk compares int64 cumulative
+    weights against the integer threshold ceil(q*W/100) — no sort
+    shuffle, no float mass fractions anywhere."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["n_chars"]))
+        x = b["n_chars"].cast(pa.int64())
+        t = pa.table({"x": x, "w": x})
+        g = t.group_by(["x"]).aggregate([("w", "sum")])
+        return g.rename_columns(["x", "w"])
+
+    merged = tree_merge(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["n_chars"]
+        ).map_batches(partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by(["x"])
+        .aggregate([("w", "sum")])
+        .rename_columns(["x", "w"]),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "q_pct": pa.array([], pa.int64()),
+                    "x_cut": pa.array([], pa.int64()),
+                    "total_w": pa.array([], pa.int64()),
+                }
+            )
+        order = pc.sort_indices(b["x"])
+        x = b["x"].take(order).to_numpy()
+        w = b["w"].take(order).to_numpy()
+        cw = np.cumsum(w)
+        W = int(cw[-1])
+        qs, cuts = [], []
+        for q in _WQ_PCTS:
+            thr = (W * q + 99) // 100  # ceil(q*W/100), pure ints
+            j = int(np.searchsorted(cw, thr, side="left"))
+            qs.append(q)
+            cuts.append(int(x[min(j, len(x) - 1)]))
+        return pa.table(
+            {
+                "q_pct": pa.array(qs, pa.int64()),
+                "x_cut": pa.array(cuts, pa.int64()),
+                "total_w": pa.array([W] * len(qs), pa.int64()),
+            }
+        )
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+_WQ_UNION = " UNION ALL ".join(f"SELECT {q} AS q_pct" for q in _WQ_PCTS)
+
+WEIGHTED_QUANTILES_SQL = f"""
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) AS x, CAST(n_chars AS BIGINT) AS w
+  FROM documents WHERE n_chars IS NOT NULL
+), c AS (SELECT x, CAST(SUM(w) AS BIGINT) AS wx FROM d GROUP BY 1),
+cum AS (
+  SELECT x, CAST(SUM(wx) OVER (ORDER BY x) AS BIGINT) AS cw FROM c
+), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS W FROM d),
+qs AS ({_WQ_UNION})
+SELECT qs.q_pct,
+       CAST(MIN(cum.x) AS BIGINT) AS x_cut,
+       (SELECT W FROM tot) AS total_w
+FROM qs JOIN cum ON cum.cw >= ((SELECT W FROM tot) * qs.q_pct + 99) // 100
+GROUP BY 1
+"""
+
+
 def register_r4c(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -1627,6 +1715,7 @@ def register_r4c(queries: dict, oracles: dict) -> None:
             "seasonal_hour_baseline": q_seasonal_hour_baseline,
             "part_triangles": q_part_triangles,
             "type_correlation_matrix": q_type_correlation_matrix,
+            "weighted_char_quantiles": q_weighted_char_quantiles,
         }
     )
     oracles.update(
@@ -1644,5 +1733,6 @@ def register_r4c(queries: dict, oracles: dict) -> None:
             "seasonal_hour_baseline": SEASONAL_BASELINE_SQL,
             "part_triangles": PART_TRIANGLES_SQL,
             "type_correlation_matrix": TYPE_CORR_SQL,
+            "weighted_char_quantiles": WEIGHTED_QUANTILES_SQL,
         }
     )
