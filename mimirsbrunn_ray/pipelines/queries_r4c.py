@@ -1699,6 +1699,117 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# keyed interval-overlap join (intervals x intervals, not point-in-window)
+# ---------------------------------------------------------------------------
+
+_IVL_GRAIN_US = 600_000_000  # 10 min >= both interval widths -> <=2 buckets
+
+
+def q_interval_overlap_join(sf_dir):
+    """TRUE interval x interval overlap join, keyed by user: every
+    (error-window, purchase-window) pair of the SAME user whose intervals
+    intersect — error windows [ts, ts+10m), purchase windows [ts-5m,
+    ts+5m). Complements the point-in-interval join
+    (clicks_in_error_windows) with the two-sided case.
+
+    Scale shape: each interval lands in every 10-min grid bucket it
+    touches (grain >= interval width -> replication factor <= 2); ONE
+    equi-join on (user, bucket) replaces the quadratic range predicate;
+    a pair is emitted ONLY in the bucket containing max(start_a, start_b)
+    — a bucket both sides share whenever they overlap — so no
+    dedup shuffle ever runs. Overlap length derives from int64 epoch-us
+    on both sides."""
+    from mimirsbrunn_ray.context import pool_size
+
+    def side(event_type: str, lo_off: int, hi_off: int, id_name: str):
+        def expand(b: pa.Table) -> pa.Table:
+            b = b.filter(
+                pc.and_(
+                    pc.and_(
+                        pc.equal(b["event_type"], event_type),
+                        pc.is_valid(b["user_id"]),
+                    ),
+                    pc.is_valid(b["ts"]),
+                )
+            )
+            t64 = b["ts"].cast(pa.int64()).to_numpy()
+            s = t64 + lo_off
+            e = t64 + hi_off
+            uid = b["user_id"].to_numpy()
+            eid = b["event_id"].to_numpy()
+            b1 = s // _IVL_GRAIN_US
+            b2 = (e - 1) // _IVL_GRAIN_US
+            extra = b2 != b1
+            bucket = np.concatenate([b1, b2[extra]])
+            rep = lambda a: np.concatenate([a, a[extra]])  # noqa: E731
+            return pa.table(
+                {
+                    "user_id": pa.array(rep(uid)),
+                    "bucket": pa.array(bucket),
+                    id_name: pa.array(rep(eid)),
+                    f"{id_name}_s": pa.array(rep(s)),
+                    f"{id_name}_e": pa.array(rep(e)),
+                }
+            )
+
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        ).map_batches(expand, batch_format="pyarrow", batch_size=None)
+
+    a = side("error", 0, 600_000_000, "error_id")
+    b = side("purchase", -300_000_000, 300_000_000, "purchase_id")
+
+    n_part = max(8, pool_size())
+    joined = a.repartition(n_part).join(
+        b.repartition(n_part),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("user_id", "bucket"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sa = t["error_id_s"].to_numpy()
+        ea = t["error_id_e"].to_numpy()
+        sb = t["purchase_id_s"].to_numpy()
+        eb = t["purchase_id_e"].to_numpy()
+        bucket = t["bucket"].to_numpy()
+        meet = np.maximum(sa, sb)
+        keep = (sa < eb) & (sb < ea) & (meet // _IVL_GRAIN_US == bucket)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "error_id": t["error_id"],
+                "purchase_id": t["purchase_id"],
+                "overlap_us": pa.array(
+                    np.minimum(ea, eb)[keep] - meet[keep], pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH a AS (
+  SELECT event_id AS error_id, user_id,
+         epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+  FROM events
+  WHERE event_type = 'error' AND user_id IS NOT NULL AND ts IS NOT NULL
+), b AS (
+  SELECT event_id AS purchase_id, user_id,
+         epoch_us(ts) - 300000000 AS s, epoch_us(ts) + 300000000 AS e
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT a.user_id, a.error_id, b.purchase_id,
+       CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT) AS overlap_us
+FROM a JOIN b ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+"""
+
+
 def register_r4c(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -1716,6 +1827,7 @@ def register_r4c(queries: dict, oracles: dict) -> None:
             "part_triangles": q_part_triangles,
             "type_correlation_matrix": q_type_correlation_matrix,
             "weighted_char_quantiles": q_weighted_char_quantiles,
+            "interval_overlap_join": q_interval_overlap_join,
         }
     )
     oracles.update(
@@ -1734,5 +1846,6 @@ def register_r4c(queries: dict, oracles: dict) -> None:
             "part_triangles": PART_TRIANGLES_SQL,
             "type_correlation_matrix": TYPE_CORR_SQL,
             "weighted_char_quantiles": WEIGHTED_QUANTILES_SQL,
+            "interval_overlap_join": INTERVAL_OVERLAP_SQL,
         }
     )
