@@ -150,12 +150,6 @@ def q_tpch_q8_market_share(sf_dir):
         batch_size=None,
     )
 
-    n_part = max(8, pool_size())
-    joined = li.repartition(n_part).join(
-        orders.repartition(n_part), join_type="inner", num_partitions=n_part,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
-
     asia_set = pa.array(asia_keys)
     asia_cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
@@ -166,7 +160,17 @@ def q_tpch_q8_market_share(sf_dir):
         batch_format="pyarrow",
         batch_size=None,
     )
-    in_region = bloom_semi_join(joined, asia_cust, "o_custkey", "c_custkey")
+    # semi-join the SMALL side (date-filtered orders) BEFORE the big-big
+    # exchange: shrinks the join's probe side ~5x (one region of five) and
+    # keeps the corpus-sized lineitem partials out of the bloom stage
+    orders_in_region = bloom_semi_join(orders, asia_cust, "o_custkey", "c_custkey")
+
+    n_part = max(8, pool_size())
+    in_region = li.repartition(n_part).join(
+        orders_in_region.repartition(n_part), join_type="inner",
+        num_partitions=n_part,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
 
     def year_partial(b: pa.Table) -> pa.Table:
         nat = pc.multiply(b["rev_e4"], b["is_t"])
