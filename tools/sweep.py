@@ -4,7 +4,8 @@ exists, compare rows + columns + values against DuckDB — the same compare
 as the driver's correctness gate, over the WHOLE registry instead of its
 first 50 slots. No-oracle entries are run and row-counted.
 
-Usage: python tools/sweep.py [sf_dir]    (default /root/testdata/sf0.01)
+Usage: python tools/sweep.py [sf_dir] [only=name1,name2,...]
+       (sf_dir default /root/testdata/sf0.01; only= restricts to listed queries)
 """
 
 from __future__ import annotations
@@ -34,6 +35,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = None
+    for a in sys.argv[2:]:
+        if a.startswith("only="):
+            only = set(a[5:].split(","))
     import duckdb
     import ray
 
@@ -51,6 +56,8 @@ def main() -> int:
 
     n_pass = n_fail = n_rows_only = 0
     for name, fn in queries.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             res = fn(sf_dir)
