@@ -707,3 +707,301 @@ def lttb_downsample(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def _project_series(
+    ds: "rd.Dataset",
+    key: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    num_buckets: int,
+) -> "rd.Dataset":
+    """Null-filtered (key, ts, id, value) projection + series hash bucket —
+    the shared front half of every ordered-series reduction here."""
+    return ds.map_batches(
+        lambda b: add_bucket(
+            b.filter(
+                pc.and_(
+                    pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col])),
+                    pc.is_valid(b[value_col]),
+                )
+            ).select([key, ts_col, id_col, value_col]),
+            key,
+            num_buckets,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def _series_segments(g: pd.DataFrame, key: str, ts_col: str, id_col: str):
+    """Sort one hash-bucket group by (key, ts, id) and return the sorted
+    frame plus the boolean mask of rows that CONTINUE their predecessor's
+    series (row i-1 has the same key)."""
+    g = g.sort_values([key, ts_col, id_col], kind="mergesort", ignore_index=True)
+    k = g[key].to_numpy()
+    same = np.empty(len(g), dtype=bool)
+    if len(g):
+        same[0] = False
+        same[1:] = k[1:] == k[:-1]
+    return g, same
+
+
+def time_weighted_avg(
+    ds: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """LOCF time-weighted average per series over its observed span — the
+    TSDB ``time_weight('locf')`` primitive: each sample holds its value
+    until the next sample, so segment i contributes ``value_i * dt_us``.
+
+    Exactness: the numerator is SUM(value_i_x100 * dt_us) with both
+    factors int64 (value quantized per-term, dt exact microseconds), so
+    the distributed sum is bit-equal to any engine's; numerator and
+    denominator (span_us) are emitted as separate integer columns — no
+    float division anywhere. Keys with < 2 samples have no segments and
+    drop out (matching SQL's LEAD IS NOT NULL).
+
+    One series-key hash shuffle; one vectorized diff per bucket.
+    Output: key, n_segments int64, span_us int64, twa_num_x100 int64.
+    """
+    proj = _project_series(ds, key, ts_col, id_col, value_col, num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=np.int64),
+                "n_segments": pd.Series([], dtype=np.int64),
+                "span_us": pd.Series([], dtype=np.int64),
+                "twa_num_x100": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g, same = _series_segments(g, key, ts_col, id_col)
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v100 = _round_half_away_x(g[value_col].to_numpy(dtype=np.float64), 100.0)
+        dt = np.empty(len(g), dtype=np.int64)
+        dt[0] = 0
+        dt[1:] = ts_us[1:] - ts_us[:-1]
+        # segment row i (same[i]) carries value of row i-1 over dt[i]
+        prev_v = np.empty(len(g), dtype=np.int64)
+        prev_v[0] = 0
+        prev_v[1:] = v100[:-1]
+        seg = pd.DataFrame(
+            {key: g[key].to_numpy()[same], "dt": dt[same],
+             "num": (prev_v * dt)[same]}
+        )
+        if len(seg) == 0:
+            return empty
+        agg = seg.groupby(key, sort=False, as_index=False).agg(
+            n_segments=("dt", "size"), span_us=("dt", "sum"),
+            twa_num_x100=("num", "sum"),
+        )
+        for c in ("n_segments", "span_us", "twa_num_x100"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    return proj.groupby(_BUCKET).map_groups(per_bucket, batch_format="pandas")
+
+
+def acf_lags(
+    ds: "rd.Dataset",
+    key: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    lags: tuple = (1, 2, 3),
+    num_buckets: int = 16,
+    snap: float = 1e6,
+) -> "rd.Dataset":
+    """Lag-k autocorrelation per series: Pearson correlation of the
+    (x_i, x_{i+k}) pairs of the (ts, id)-ordered x100-quantized value
+    series, for each requested lag.
+
+    Exactness: all five correlation moments (sx, sy, sxy, sxx, syy) are
+    int64 sums of int64 terms — order-free — and the final correlation is
+    ONE float expression from identical integer operands on both sides,
+    snapped to ``snap`` fixed point. Series with zero variance at a lag
+    drop out (correlation undefined; SQL's corr yields NULL).
+
+    Output: key, lag int64, n_pairs int64, acf_x1e6 int64.
+    """
+    proj = _project_series(ds, key, ts_col, id_col, value_col, num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=object),
+                "lag": pd.Series([], dtype=np.int64),
+                "n_pairs": pd.Series([], dtype=np.int64),
+                "acf_x1e6": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g, _same = _series_segments(g, key, ts_col, id_col)
+        k = g[key].to_numpy()
+        x = _round_half_away_x(g[value_col].to_numpy(dtype=np.float64), 100.0)
+        rows = []
+        for lag in lags:
+            if len(g) <= lag:
+                continue
+            # pair (xi, xj) = (later, lag-earlier) within the same series
+            ok = k[lag:] == k[:-lag]
+            xi, xj, kk = x[lag:][ok], x[:-lag][ok], k[lag:][ok]
+            if len(xi) == 0:
+                continue
+            d = pd.DataFrame(
+                {key: kk, "xi": xi, "xj": xj, "xy": xi * xj,
+                 "xx": xi * xi, "yy": xj * xj}
+            )
+            a = d.groupby(key, sort=False, as_index=False).agg(
+                n=("xi", "size"), sx=("xi", "sum"), sy=("xj", "sum"),
+                sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"),
+            )
+            n = a["n"].to_numpy(dtype=np.float64)
+            sx = a["sx"].to_numpy(dtype=np.float64)
+            sy = a["sy"].to_numpy(dtype=np.float64)
+            sxy = a["sxy"].to_numpy(dtype=np.float64)
+            sxx = a["sxx"].to_numpy(dtype=np.float64)
+            syy = a["syy"].to_numpy(dtype=np.float64)
+            vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+            keep = (vx > 0) & (vy > 0)
+            acf = (n * sxy - sx * sy)[keep] / np.sqrt(vx[keep] * vy[keep])
+            rows.append(
+                pd.DataFrame(
+                    {
+                        key: a[key].to_numpy()[keep],
+                        "lag": np.int64(lag),
+                        "n_pairs": a["n"].to_numpy()[keep].astype(np.int64),
+                        "acf_x1e6": _round_half_away_x(acf, snap),
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True) if rows else empty
+
+    return proj.groupby(_BUCKET).map_groups(per_bucket, batch_format="pandas")
+
+
+def cumdev_anomalies(
+    ds: "rd.Dataset",
+    key: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    q: float = 0.95,
+    num_buckets: int = 16,
+) -> "rd.Dataset":
+    """Cumulative-deviation anomaly counting per series (a Page-test
+    variant): over the (ts, id)-ordered x100 series, the scaled deviation
+    at position i is ``|n * S_i - i * S_n|`` (the cumulative sum's
+    distance from the uniform-accumulation line, cross-multiplied by n so
+    it stays INTEGER — no float mean anywhere). A point is anomalous when
+    its deviation strictly exceeds the series' exact PERCENTILE_DISC(q)
+    of deviations.
+
+    Output: key, n_points int64, n_anomalies int64, max_absdev int64.
+    """
+    proj = _project_series(ds, key, ts_col, id_col, value_col, num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=object),
+                "n_points": pd.Series([], dtype=np.int64),
+                "n_anomalies": pd.Series([], dtype=np.int64),
+                "max_absdev": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g, _same = _series_segments(g, key, ts_col, id_col)
+        k = g[key].to_numpy()
+        x = _round_half_away_x(g[value_col].to_numpy(dtype=np.float64), 100.0)
+        # series boundaries in the bucket-sorted frame
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        out = []
+        for s, e in zip(starts, ends):
+            xs = x[s:e]
+            n = e - s
+            cs = np.cumsum(xs)
+            i = np.arange(1, n + 1, dtype=np.int64)
+            d = np.abs(n * cs - i * cs[-1])
+            p = np.sort(d)[int(np.ceil(q * n)) - 1]  # PERCENTILE_DISC(q)
+            out.append((k[s], n, int((d > p).sum()), int(d.max())))
+        return pd.DataFrame(
+            {
+                key: [o[0] for o in out],
+                "n_points": np.array([o[1] for o in out], dtype=np.int64),
+                "n_anomalies": np.array([o[2] for o in out], dtype=np.int64),
+                "max_absdev": np.array([o[3] for o in out], dtype=np.int64),
+            }
+        )
+
+    return proj.groupby(_BUCKET).map_groups(per_bucket, batch_format="pandas")
+
+
+def coverage_sla(
+    ds: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    staleness_us: int = 1_800_000_000,  # 30 min
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """Per-series coverage / SLA report: over the (ts, id)-ordered series,
+    a sample "covers" up to ``staleness_us`` after itself, so covered
+    time is SUM(min(dt_us, staleness_us)) across consecutive gaps and the
+    uptime ratio is covered / span. All integer: uptime_ppm uses floor
+    division on both sides. Series with zero span drop out.
+
+    Output: key, n_gaps int64, span_us int64, covered_us int64,
+    uptime_ppm int64.
+    """
+    proj = _project_series(ds, key, ts_col, id_col, value_col, num_buckets)
+    cap = np.int64(staleness_us)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=np.int64),
+                "n_gaps": pd.Series([], dtype=np.int64),
+                "span_us": pd.Series([], dtype=np.int64),
+                "covered_us": pd.Series([], dtype=np.int64),
+                "uptime_ppm": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g, same = _series_segments(g, key, ts_col, id_col)
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dt = np.empty(len(g), dtype=np.int64)
+        dt[0] = 0
+        dt[1:] = ts_us[1:] - ts_us[:-1]
+        seg = pd.DataFrame(
+            {key: g[key].to_numpy()[same], "dt": dt[same],
+             "cov": np.minimum(dt, cap)[same]}
+        )
+        if len(seg) == 0:
+            return empty
+        agg = seg.groupby(key, sort=False, as_index=False).agg(
+            n_gaps=("dt", "size"), span_us=("dt", "sum"),
+            covered_us=("cov", "sum"),
+        )
+        agg = agg[agg["span_us"] > 0].reset_index(drop=True)
+        agg["uptime_ppm"] = (
+            agg["covered_us"].to_numpy(dtype=np.int64) * np.int64(1_000_000)
+        ) // agg["span_us"].to_numpy(dtype=np.int64)
+        for c in ("n_gaps", "span_us", "covered_us", "uptime_ppm"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    return proj.groupby(_BUCKET).map_groups(per_bucket, batch_format="pandas")
