@@ -346,3 +346,96 @@ def test_lttb_invariants_and_spike(ray_session):
         rd.from_pandas(short), key="event_type", freq="h", target_points=20
     ).to_pandas()
     assert len(out2) == 7
+
+
+def test_time_weighted_avg_hand_computed(ray_session):
+    from mimirsbrunn_ray.stages.timeseries import time_weighted_avg
+
+    # user 7: values 2.0 for 60s, then 4.0 for 120s  -> num = 200*60e6 + 400*120e6
+    # user 8: single sample -> no segments -> dropped
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "user_id": [7, 7, 7, 8],
+            "ts": [base, base + np.timedelta64(60, "s"),
+                   base + np.timedelta64(180, "s"), base],
+            "event_id": [1, 2, 3, 4],
+            "value": [2.0, 4.0, 9.0, 5.0],
+        }
+    )
+    out = time_weighted_avg(rd.from_pandas(df), key="user_id").to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["user_id"] == 7
+    assert r["n_segments"] == 2
+    assert r["span_us"] == 180_000_000
+    assert r["twa_num_x100"] == 200 * 60_000_000 + 400 * 120_000_000
+
+
+def test_acf_constant_series_dropped_and_perfect_trend(ray_session):
+    from mimirsbrunn_ray.stages.timeseries import acf_lags
+
+    # type "c": constant -> zero variance -> dropped at every lag.
+    # type "r": strictly linear ramp -> lag-1 ACF of 1.0 exactly.
+    df = pd.DataFrame(
+        {
+            "event_type": ["c"] * 4 + ["r"] * 5,
+            "ts": _ts(0, 1, 2, 3, 0, 1, 2, 3, 4),
+            "event_id": list(range(9)),
+            "value": [5.0] * 4 + [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    out = acf_lags(rd.from_pandas(df), key="event_type", lags=(1,)).to_pandas()
+    assert set(out["event_type"]) == {"r"}
+    r = out.iloc[0]
+    assert r["n_pairs"] == 4
+    assert r["acf_x1e6"] == 1_000_000  # perfect linear autocorrelation
+
+
+def test_cumdev_single_point_and_spike(ray_session):
+    from mimirsbrunn_ray.stages.timeseries import cumdev_anomalies
+
+    # single-point series: d = |1*S_1 - 1*S_1| = 0, p95 = 0, no anomaly.
+    df = pd.DataFrame(
+        {
+            "event_type": ["solo"] + ["s"] * 10,
+            "ts": _ts(*range(11)),
+            "event_id": list(range(11)),
+            "value": [3.0] + [1.0] * 9 + [100.0],
+        }
+    )
+    out = cumdev_anomalies(rd.from_pandas(df), key="event_type").to_pandas()
+    solo = out[out["event_type"] == "solo"].iloc[0]
+    assert solo["n_points"] == 1 and solo["n_anomalies"] == 0
+    spiky = out[out["event_type"] == "s"].iloc[0]
+    assert spiky["n_points"] == 10
+    # deviations strictly above the exact P95 are the anomalies
+    x = np.array([100] * 9 + [10000], dtype=np.int64)
+    cs, n = np.cumsum(x), 10
+    d = np.abs(n * cs - np.arange(1, 11) * cs[-1])
+    p95 = np.sort(d)[int(np.ceil(0.95 * n)) - 1]
+    assert spiky["n_anomalies"] == int((d > p95).sum())
+    assert spiky["max_absdev"] == int(d.max())
+
+
+def test_coverage_sla_staleness_cap(ray_session):
+    from mimirsbrunn_ray.stages.timeseries import coverage_sla
+
+    # gaps: 10 min (covered fully), 60 min (capped at 30) -> 40/70 uptime
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": _ts(0, 10, 70),
+            "event_id": [1, 2, 3],
+            "value": [0.0, 0.0, 0.0],
+        }
+    )
+    out = coverage_sla(
+        rd.from_pandas(df), key="user_id",
+        staleness_us=30 * 60_000_000,
+    ).to_pandas()
+    r = out.iloc[0]
+    assert r["n_gaps"] == 2
+    assert r["span_us"] == 70 * 60_000_000
+    assert r["covered_us"] == 40 * 60_000_000
+    assert r["uptime_ppm"] == (40 * 60_000_000 * 1_000_000) // (70 * 60_000_000)
