@@ -1005,3 +1005,58 @@ def coverage_sla(
         return agg
 
     return proj.groupby(_BUCKET).map_groups(per_bucket, batch_format="pandas")
+
+
+def rolling_median(
+    ds: "rd.Dataset",
+    key: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 5,
+    num_buckets: int = 16,
+) -> "rd.Dataset":
+    """Trailing rolling MEDIAN per series — the order-statistic window the
+    mean/sum rolling family (stages/ordered.rolling_bucket_agg) can't
+    decompose: per (ts, id)-ordered series, the median of the last
+    ``window`` samples (shorter prefix at series start, SQL's ROWS
+    BETWEEN n-1 PRECEDING AND CURRENT ROW semantics).
+
+    Exactness: values are x100-quantized int64; the median of an
+    even-width frame is the midpoint of the two middle elements, so the
+    output is emitted x200 (2x the x100 median) which is always integer.
+
+    Output: one row per input sample — key, ts, id, med_x200 int64.
+    """
+    proj = _project_series(ds, key, ts_col, id_col, value_col, num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=object),
+                ts_col: pd.Series([], dtype="datetime64[us]"),
+                id_col: pd.Series([], dtype=np.int64),
+                "med_x200": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g, _same = _series_segments(g, key, ts_col, id_col)
+        x = _round_half_away_x(g[value_col].to_numpy(dtype=np.float64), 100.0)
+        med = (
+            pd.Series(x)
+            .groupby(g[key].to_numpy(), sort=False)
+            .rolling(window, min_periods=1)
+            .median()
+            .to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                ts_col: g[ts_col].to_numpy().astype("datetime64[us]"),
+                id_col: g[id_col].to_numpy().astype(np.int64),
+                "med_x200": _round_half_away_x(med, 2.0),
+            }
+        )
+
+    return proj.groupby(_BUCKET).map_groups(per_bucket, batch_format="pandas")
