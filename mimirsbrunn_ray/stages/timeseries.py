@@ -1060,3 +1060,202 @@ def rolling_median(
         )
 
     return proj.groupby(_BUCKET).map_groups(per_bucket, batch_format="pandas")
+
+
+def alert_transitions(
+    ds: "rd.Dataset",
+    key: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    hi_x100: int = 15000,
+    lo_x100: int = 7500,
+) -> "rd.Dataset":
+    """Hysteresis alerting state machine per series — the two-threshold
+    alert rule every metrics store ships (alert fires when the value
+    reaches ``hi``, clears only when it falls to ``lo``; the dead band
+    between them suppresses flapping). Per series ordered by (ts, id),
+    starting OFF: count rising/falling transitions and total time in
+    alert (microseconds between consecutive samples whose PREVIOUS
+    state was ON — LOCF semantics, same convention as time_weighted_avg).
+
+    Vectorization: the sequential state recurrence is a last-marker
+    carry-forward, computed with one np.maximum.accumulate over marker
+    positions (series starts are seeded with the implicit OFF marker so
+    carries can never cross a series boundary inside the hash bucket).
+
+    Output: key, n_samples, n_rising, n_falling, alert_us — one row per
+    series, bounded by key cardinality.
+    """
+    proj = _project_series(ds, key, ts_col, id_col, value_col, 64)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=object),
+                "n_samples": pd.Series([], dtype=np.int64),
+                "n_rising": pd.Series([], dtype=np.int64),
+                "n_falling": pd.Series([], dtype=np.int64),
+                "alert_us": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g, same = _series_segments(g, key, ts_col, id_col)
+        n = len(g)
+        x = _round_half_away_x(g[value_col].to_numpy(dtype=np.float64), 100.0)
+        marker = np.full(n, -1, dtype=np.int8)
+        marker[x >= hi_x100] = 1
+        marker[x <= lo_x100] = 0
+        # implicit OFF marker at a series start that has no explicit one
+        seed = (~same) & (marker == -1)
+        marker[seed] = 0
+        valid = marker != -1
+        idx = np.where(valid, np.arange(n), 0)
+        np.maximum.accumulate(idx, out=idx)
+        state = marker[idx]
+        prev_state = np.where(same, np.concatenate(([0], state[:-1])), 0)
+        tu = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dt = np.where(same, tu - np.concatenate(([0], tu[:-1])), 0)
+        out = pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                "rising": ((state == 1) & (prev_state == 0)).astype(np.int64),
+                "falling": ((state == 0) & (prev_state == 1)).astype(np.int64),
+                "aus": np.where(prev_state == 1, dt, 0).astype(np.int64),
+            }
+        )
+        agg = out.groupby(key, sort=False, as_index=False).agg(
+            n_samples=("rising", "size"),
+            n_rising=("rising", "sum"),
+            n_falling=("falling", "sum"),
+            alert_us=("aus", "sum"),
+        )
+        for c in ("n_samples", "n_rising", "n_falling", "alert_us"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    return proj.groupby(_BUCKET).map_groups(per_bucket, batch_format="pandas")
+
+
+# Knuth multiplicative permutation: bijective on [0, 2^32) for odd
+# multipliers — models out-of-order ARRIVAL over ts-ordered event_ids
+# deterministically (both engine and oracle compute it in exact int64).
+_ARRIVAL_MULT = 2654435761
+_ARRIVAL_MOD = 1 << 32
+
+
+def watermark_late(
+    ds: "rd.Dataset",
+    key: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lateness_us: int = 0,
+    num_ranges: int = 64,
+) -> "rd.Dataset":
+    """Streaming watermark lateness audit — the event-time/arrival-time
+    skew report a streaming ingest keeps (SURVEY §2.11): replay events in
+    ARRIVAL order (the deterministic multiplicative-hash permutation of
+    event_id), maintain watermark = max event ts seen so far, and flag an
+    event late when it arrives more than ``lateness_us`` behind the
+    watermark.
+
+    The arrival-order prefix-max is distributed as a two-pass range scan
+    (the classic prefix-sum shape): split arrival-key space into
+    ``num_ranges`` contiguous ranges; pass 1 reduces each range to its
+    max ts (tree-merged, ~num_ranges rows on the driver); the exclusive
+    prefix-max over those range maxima is the carry-in each range needs,
+    broadcast to pass 2 which sorts only WITHIN its range. No global
+    sort, no sequential scan across partitions.
+
+    Output per key: n_total, n_late, max_late_us (0 when none late).
+    """
+    def project(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col])),
+                pc.is_valid(b[id_col]),
+            )
+        )
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ak = (ids * _ARRIVAL_MULT) % _ARRIVAL_MOD
+        r = ak // (_ARRIVAL_MOD // num_ranges)
+        return pa.table(
+            {
+                key: b[key],
+                "tu": pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64()),
+                "ak": pa.array(ak),
+                "r": pa.array(r.astype(np.int32)),
+            }
+        )
+
+    proj = ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+    # pass 1: per-range max ts -> exclusive prefix-max (num_ranges rows)
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.select(["r", "tu"])
+            .group_by(["r"])
+            .aggregate([("tu", "max")])
+            .rename_columns(["r", "mx"])
+        )
+
+    rng = tree_merge(
+        proj.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        lambda b: b.group_by(["r"]).aggregate([("mx", "max")])
+        .rename_columns(["r", "mx"]),
+    ).to_pandas()
+    rng = rng.sort_values("r", ignore_index=True)
+    sentinel = np.iinfo(np.int64).min
+    carry = {}
+    run = sentinel
+    for _, row in rng.iterrows():
+        carry[int(row["r"])] = run
+        run = max(run, int(row["mx"]))
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=object),
+                "n_total": pd.Series([], dtype=np.int64),
+                "n_late": pd.Series([], dtype=np.int64),
+                "max_late_us": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values("ak", kind="mergesort", ignore_index=True)
+        tu = g["tu"].to_numpy(dtype=np.int64)
+        cin = carry.get(int(g["r"].iloc[0]), sentinel)
+        run_max = np.maximum.accumulate(tu)
+        wm = np.maximum(
+            np.concatenate(([sentinel], run_max[:-1])), cin
+        )
+        late_us = wm - tu
+        late = (wm > sentinel) & (late_us > lateness_us)
+        out = pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                "late": late.astype(np.int64),
+                "lus": np.where(late, late_us, 0).astype(np.int64),
+            }
+        )
+        agg = out.groupby(key, sort=False, as_index=False).agg(
+            n_total=("late", "size"),
+            n_late=("late", "sum"),
+            max_late_us=("lus", "max"),
+        )
+        for c in ("n_total", "n_late", "max_late_us"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    per_rng = proj.groupby("r").map_groups(per_range, batch_format="pandas")
+    # final per-key combine: range partials are disjoint in rows, sum them
+    return tree_merge(
+        per_rng,
+        lambda b: b.group_by([key])
+        .aggregate([("n_total", "sum"), ("n_late", "sum"), ("max_late_us", "max")])
+        .rename_columns([key, "n_total", "n_late", "max_late_us"]),
+    )

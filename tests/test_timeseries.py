@@ -439,3 +439,71 @@ def test_coverage_sla_staleness_cap(ray_session):
     assert r["span_us"] == 70 * 60_000_000
     assert r["covered_us"] == 40 * 60_000_000
     assert r["uptime_ppm"] == (40 * 60_000_000 * 1_000_000) // (70 * 60_000_000)
+
+
+def test_alert_transitions_hysteresis_dead_band(ray_session):
+    from mimirsbrunn_ray.stages.timeseries import alert_transitions
+
+    # type "a": OFF -> 160 (rise) -> 100 dead band (stays ON) -> 70 (fall)
+    #           -> 120 dead band (stays OFF) -> 151 (rise again)
+    # type "b": starts ABOVE hi on its very first sample -> one rising
+    #           transition from the implicit initial OFF state.
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 5 + ["b"] * 2,
+            "ts": _ts(0, 1, 3, 4, 5, 0, 2),
+            "event_id": list(range(7)),
+            "value": [160.0, 100.0, 70.0, 120.0, 151.0, 200.0, 80.0],
+        }
+    )
+    out = (
+        alert_transitions(rd.from_pandas(df), key="event_type")
+        .to_pandas()
+        .set_index("event_type")
+    )
+    a = out.loc["a"]
+    assert a["n_rising"] == 2 and a["n_falling"] == 1
+    # in alert from t=0 to t=3 (rise at 0, fall at minute 3): 1m + 2m
+    assert a["alert_us"] == 3 * 60_000_000
+    b = out.loc["b"]
+    assert b["n_rising"] == 1 and b["n_falling"] == 0
+    # 200 at t=0, 80 (dead band, stays ON) at t=2 -> 2 minutes in alert
+    assert b["alert_us"] == 2 * 60_000_000
+
+
+def test_watermark_late_carry_across_ranges(ray_session):
+    from mimirsbrunn_ray.stages.timeseries import (
+        _ARRIVAL_MOD,
+        _ARRIVAL_MULT,
+        watermark_late,
+    )
+
+    # Arrival order is the multiplicative permutation of event_id; with
+    # num_ranges=4 the carry-in must cross range boundaries. Build events
+    # whose ts DECREASES along arrival order so every arrival after the
+    # first is late (watermark = first arrival's ts).
+    ids = np.arange(1, 41, dtype=np.int64)
+    ak = (ids * _ARRIVAL_MULT) % _ARRIVAL_MOD
+    arrival_rank = np.argsort(np.argsort(ak))
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = [base - np.timedelta64(int(r), "h") for r in arrival_rank]
+    df = pd.DataFrame(
+        {"event_type": ["x"] * 40, "ts": ts, "event_id": ids}
+    )
+    out = watermark_late(
+        rd.from_pandas(df), key="event_type", lateness_us=0, num_ranges=4
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_total"] == 40
+    assert r["n_late"] == 39  # everyone but the first arrival
+    assert r["max_late_us"] == 39 * 3_600_000_000  # last arrival, 39h behind
+
+    # and with lateness above the max skew, nothing is late
+    out2 = watermark_late(
+        rd.from_pandas(df),
+        key="event_type",
+        lateness_us=40 * 3_600_000_000,
+        num_ranges=4,
+    ).to_pandas()
+    assert out2.iloc[0]["n_late"] == 0 and out2.iloc[0]["max_late_us"] == 0
