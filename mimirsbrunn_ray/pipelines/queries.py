@@ -5151,6 +5151,7 @@ from mimirsbrunn_ray.pipelines.queries_r4d import register_r4d  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4e import register_r4e  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4f import register_r4f  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4g import register_r4g  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4h import register_r4h  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5160,6 +5161,7 @@ register_r4d(QUERIES, ORACLES)
 register_r4e(QUERIES, ORACLES)
 register_r4f(QUERIES, ORACLES)
 register_r4g(QUERIES, ORACLES)
+register_r4h(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
