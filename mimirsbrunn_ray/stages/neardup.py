@@ -316,10 +316,13 @@ def minlabel_propagation(
     64-round cap covers any component a physical corpus can hold.
     Shortcut edges never cross components (a node's label is always some
     member of its own component), so the fixpoint is unchanged.
-    Convergence is detected EXACTLY by counting changed labels via a join
-    — no probabilistic fingerprint — and a non-converged exit RAISES
-    rather than returning split clusters. All state lives in Datasets;
-    the driver sees only per-round change counts.
+    Convergence is detected EXACTLY and join-free: per node the new label
+    is min(old, neighbors) <= old, so the int64 label SUM is strictly
+    decreasing until the fixpoint and sum-equality <=> zero changed
+    labels (exact while node_count * max_label < 2^63 — any corpus up to
+    ~2^31 nodes). A non-converged exit RAISES rather than returning
+    split clusters. All state lives in Datasets; the driver sees only
+    per-round label sums.
 
     Returns (node, cluster) for every node appearing in a pair.
     """
@@ -357,6 +360,13 @@ def minlabel_propagation(
         .materialize()
     )
 
+    prev_sum = labels.sum("label")
+    if prev_sum is None:  # empty pair set -> no labels to propagate
+        return labels.map_batches(
+            lambda b: pa.table({"doc_id": b["node"], "cluster": b["label"]}),
+            batch_format="pyarrow", batch_size=None,
+        )
+
     def shortcut_edges(b: pa.Table) -> pa.Table:
         n = b["node"].combine_chunks() if isinstance(
             b["node"], pa.ChunkedArray) else b["node"]
@@ -386,24 +396,13 @@ def minlabel_propagation(
             .repartition(n_part)
             .materialize()
         )
-        changed = (
-            labels.join(
-                new_labels, join_type="inner", num_partitions=n_part,
-                on=("node",), left_suffix="_old", right_suffix="_new",
-            )
-            .map_batches(
-                lambda b: pa.table(
-                    {"c": pc.cast(
-                        pc.not_equal(b["label_old"], b["label_new"]),
-                        pa.int64(),
-                    )}
-                ),
-                batch_format="pyarrow", batch_size=None,
-            )
-            .sum("c")
-        )
+        # join-free exact convergence: labels decrease monotonically per
+        # node, so equal sums <=> no label changed this round
+        new_sum = new_labels.sum("label")
+        converged = new_sum == prev_sum
+        prev_sum = new_sum
         labels = new_labels
-        if not changed:
+        if converged:
             break
     else:
         raise RuntimeError(
