@@ -1209,11 +1209,9 @@ def watermark_late(
     ).to_pandas()
     rng = rng.sort_values("r", ignore_index=True)
     sentinel = np.iinfo(np.int64).min
-    carry = {}
-    run = sentinel
-    for _, row in rng.iterrows():
-        carry[int(row["r"])] = run
-        run = max(run, int(row["mx"]))
+    run = np.maximum.accumulate(rng["mx"].to_numpy(dtype=np.int64))
+    excl = np.concatenate(([sentinel], run[:-1]))  # exclusive prefix-max
+    carry = dict(zip(rng["r"].astype(int), excl.tolist()))
 
     def per_range(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
