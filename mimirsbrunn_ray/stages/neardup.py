@@ -360,8 +360,16 @@ def minlabel_propagation(
         .materialize()
     )
 
-    prev_sum = labels.sum("label")
-    if prev_sum is None:  # empty pair set -> no labels to propagate
+    # The join-free sum convergence test needs a summable label type;
+    # string node ids (doc_id corpora) keep the exact join-based count.
+    schema = labels.schema()
+    label_type = getattr(schema, "field", lambda _n: None)("label")
+    sum_mode = label_type is not None and (
+        pa.types.is_integer(label_type.type)
+        or pa.types.is_floating(label_type.type)
+    )
+    prev_sum = labels.sum("label") if sum_mode else None
+    if sum_mode and prev_sum is None:  # empty pair set -> nothing to do
         return labels.map_batches(
             lambda b: pa.table({"doc_id": b["node"], "cluster": b["label"]}),
             batch_format="pyarrow", batch_size=None,
@@ -396,11 +404,29 @@ def minlabel_propagation(
             .repartition(n_part)
             .materialize()
         )
-        # join-free exact convergence: labels decrease monotonically per
-        # node, so equal sums <=> no label changed this round
-        new_sum = new_labels.sum("label")
-        converged = new_sum == prev_sum
-        prev_sum = new_sum
+        if sum_mode:
+            # join-free exact convergence: labels decrease monotonically
+            # per node, so equal sums <=> no label changed this round
+            new_sum = new_labels.sum("label")
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = not (
+                labels.join(
+                    new_labels, join_type="inner", num_partitions=n_part,
+                    on=("node",), left_suffix="_old", right_suffix="_new",
+                )
+                .map_batches(
+                    lambda b: pa.table(
+                        {"c": pc.cast(
+                            pc.not_equal(b["label_old"], b["label_new"]),
+                            pa.int64(),
+                        )}
+                    ),
+                    batch_format="pyarrow", batch_size=None,
+                )
+                .sum("c")
+            )
         labels = new_labels
         if converged:
             break

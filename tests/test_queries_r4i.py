@@ -105,3 +105,31 @@ def test_dominant_period_planted_cycle(ray_session, tmp_path):
     df2["value"] = 5.0
     out2 = q_dominant_period(_write_events(tmp_path, df2)).to_pandas()
     assert len(out2) == 0
+
+
+def test_kmeans_1d_planted_clusters(ray_session, tmp_path):
+    from mimirsbrunn_ray.pipelines.queries_r4j import q_kmeans_1d_value
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # two tight value clouds around 10.00 and 500.00 (and two sparse
+    # seeds in between that empty out) -> the two big clusters' final
+    # centroids must sit inside their clouds with zero cross-assignment
+    vals = [10.0 + i * 0.01 for i in range(50)] + [
+        500.0 + i * 0.01 for i in range(50)
+    ]
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 100,
+            "ts": [base + np.timedelta64(m, "m") for m in range(100)],
+            "event_id": list(range(100)),
+            "value": vals,
+            "user_id": [1] * 100,
+        }
+    )
+    out = q_kmeans_1d_value(_write_events(tmp_path, df)).to_pandas()
+    assert len(out) == 4
+    assert out["n"].sum() == 100
+    big = out[out["n"] >= 25].sort_values("centroid_x100")
+    assert len(big) >= 2
+    assert 900 <= big.iloc[0]["centroid_x100"] <= 1100
+    assert 49_000 <= big.iloc[-1]["centroid_x100"] <= 51_000
