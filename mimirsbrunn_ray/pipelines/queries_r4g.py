@@ -169,6 +169,17 @@ def q_psi_value_drift(sf_dir):
     from ray.data.aggregate import Max, Min
 
     mm = proj.aggregate(Min("tu"), Max("tu"))
+    if mm is None or mm.get("min(tu)") is None:  # empty corpus
+        # typed table, not an empty Dataset (which drops its schema)
+        return pa.table(
+            {
+                "event_type": pa.array([], type=pa.string()),
+                "n_first": pa.array([], type=pa.int64()),
+                "n_second": pa.array([], type=pa.int64()),
+                "n_buckets_common": pa.array([], type=pa.int64()),
+                "psi_x1e6": pa.array([], type=pa.int64()),
+            }
+        )
     mid = (mm["min(tu)"] + mm["max(tu)"]) // 2
 
     def partial(b: pa.Table) -> pa.Table:

@@ -1207,8 +1207,19 @@ def watermark_late(
         lambda b: b.group_by(["r"]).aggregate([("mx", "max")])
         .rename_columns(["r", "mx"]),
     ).to_pandas()
-    rng = rng.sort_values("r", ignore_index=True)
     sentinel = np.iinfo(np.int64).min
+    if len(rng) == 0 or "r" not in rng.columns:  # empty corpus
+        # return the TYPED table itself: a bare empty Dataset loses its
+        # schema (round-2 learning), a pa.Table keeps it
+        return pa.table(
+            {
+                key: pa.array([], type=pa.string()),
+                "n_total": pa.array([], type=pa.int64()),
+                "n_late": pa.array([], type=pa.int64()),
+                "max_late_us": pa.array([], type=pa.int64()),
+            }
+        )
+    rng = rng.sort_values("r", ignore_index=True)
     run = np.maximum.accumulate(rng["mx"].to_numpy(dtype=np.int64))
     excl = np.concatenate(([sentinel], run[:-1]))  # exclusive prefix-max
     carry = dict(zip(rng["r"].astype(int), excl.tolist()))
