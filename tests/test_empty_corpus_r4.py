@@ -52,9 +52,17 @@ _EVENT_QUERIES = [
     "dominant_period",
     "benford_first_digit",
     "kmeans_1d_value",
+    "irate_last_two",
+    "trimmed_value_sums",
+    "xcorr_click_error",
 ]
 
-_DOC_QUERIES = ["lexical_stats_per_source", "lang_id_docs"]
+_DOC_QUERIES = [
+    "lexical_stats_per_source",
+    "lang_id_docs",
+    "oov_counts_docs",
+    "shared_trigram_coverage",
+]
 
 
 # Platform note: a FULLY-empty input file short-circuits Ray's read, so
@@ -67,6 +75,10 @@ _DOC_QUERIES = ["lexical_stats_per_source", "lang_id_docs"]
 _TYPED_ON_EMPTY = {"late_events_watermark", "psi_value_drift",
                    "kmeans_1d_value"}
 
+# Queries whose SQL-correct answer on an empty corpus is a fixed number of
+# constant rows (e.g. one row per lag with score 0), not zero rows.
+_CONST_ROWS_ON_EMPTY = {"xcorr_click_error": 7}
+
 
 @pytest.mark.parametrize("name", _EVENT_QUERIES + _DOC_QUERIES)
 def test_empty_corpus_returns_typed_empty(ray_session, empty_sf, name):
@@ -76,6 +88,6 @@ def test_empty_corpus_returns_typed_empty(ray_session, empty_sf, name):
     df = res if isinstance(res, pd.DataFrame) else (
         res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
     )
-    assert len(df) == 0
-    if name in _TYPED_ON_EMPTY:
+    assert len(df) == _CONST_ROWS_ON_EMPTY.get(name, 0)
+    if name in _TYPED_ON_EMPTY or name in _CONST_ROWS_ON_EMPTY:
         assert len(df.columns) > 0, f"{name}: schema lost on empty input"
