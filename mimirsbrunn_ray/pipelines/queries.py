@@ -5155,6 +5155,7 @@ from mimirsbrunn_ray.pipelines.queries_r4h import register_r4h  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4i import register_r4i  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4j import register_r4j  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4k import register_r4k  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4l import register_r4l  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5168,6 +5169,7 @@ register_r4h(QUERIES, ORACLES)
 register_r4i(QUERIES, ORACLES)
 register_r4j(QUERIES, ORACLES)
 register_r4k(QUERIES, ORACLES)
+register_r4l(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

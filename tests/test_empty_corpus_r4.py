@@ -55,6 +55,11 @@ _EVENT_QUERIES = [
     "irate_last_two",
     "trimmed_value_sums",
     "xcorr_click_error",
+    "tier_parity_1h",
+    "max_drawdown_per_type",
+    "mean_crossings_per_type",
+    "type_cooccurrence_daily",
+    "ordinal_patterns_per_type",
 ]
 
 _DOC_QUERIES = [
@@ -62,6 +67,7 @@ _DOC_QUERIES = [
     "lang_id_docs",
     "oov_counts_docs",
     "shared_trigram_coverage",
+    "dedup_cluster_sizes",
 ]
 
 
