@@ -60,6 +60,11 @@ _EVENT_QUERIES = [
     "mean_crossings_per_type",
     "type_cooccurrence_daily",
     "ordinal_patterns_per_type",
+    "downsample_error_1m",
+    "fano_factor_1m",
+    "weekday_weekend_contrast",
+    "active_day_streaks",
+    "value_ranks_events",
 ]
 
 _DOC_QUERIES = [
@@ -79,7 +84,7 @@ _DOC_QUERIES = [
 # enforces is: NO crash, zero rows. Queries with driver-side result
 # assembly must additionally keep their schema.
 _TYPED_ON_EMPTY = {"late_events_watermark", "psi_value_drift",
-                   "kmeans_1d_value"}
+                   "kmeans_1d_value", "weekday_weekend_contrast"}
 
 # Queries whose SQL-correct answer on an empty corpus is a fixed number of
 # constant rows (e.g. one row per lag with score 0), not zero rows.
