@@ -5157,6 +5157,7 @@ from mimirsbrunn_ray.pipelines.queries_r4j import register_r4j  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4k import register_r4k  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4l import register_r4l  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4m import register_r4m  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4n import register_r4n  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5172,6 +5173,7 @@ register_r4j(QUERIES, ORACLES)
 register_r4k(QUERIES, ORACLES)
 register_r4l(QUERIES, ORACLES)
 register_r4m(QUERIES, ORACLES)
+register_r4n(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

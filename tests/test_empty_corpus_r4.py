@@ -65,6 +65,9 @@ _EVENT_QUERIES = [
     "weekday_weekend_contrast",
     "active_day_streaks",
     "value_ranks_events",
+    "new_users_hourly",
+    "peak_minutes_per_type",
+    "type_user_jaccard",
 ]
 
 _DOC_QUERIES = [
@@ -73,6 +76,7 @@ _DOC_QUERIES = [
     "oov_counts_docs",
     "shared_trigram_coverage",
     "dedup_cluster_sizes",
+    "char_class_profile",
 ]
 
 
@@ -84,7 +88,8 @@ _DOC_QUERIES = [
 # enforces is: NO crash, zero rows. Queries with driver-side result
 # assembly must additionally keep their schema.
 _TYPED_ON_EMPTY = {"late_events_watermark", "psi_value_drift",
-                   "kmeans_1d_value", "weekday_weekend_contrast"}
+                   "kmeans_1d_value", "weekday_weekend_contrast",
+                   "type_user_jaccard"}
 
 # Queries whose SQL-correct answer on an empty corpus is a fixed number of
 # constant rows (e.g. one row per lag with score 0), not zero rows.
