@@ -68,6 +68,10 @@ _EVENT_QUERIES = [
     "new_users_hourly",
     "peak_minutes_per_type",
     "type_user_jaccard",
+    "value_entropy_per_type",
+    "mad_interarrival_per_type",
+    "burst_hours_per_type",
+    "time_to_first_error",
 ]
 
 _DOC_QUERIES = [
@@ -89,7 +93,7 @@ _DOC_QUERIES = [
 # assembly must additionally keep their schema.
 _TYPED_ON_EMPTY = {"late_events_watermark", "psi_value_drift",
                    "kmeans_1d_value", "weekday_weekend_contrast",
-                   "type_user_jaccard"}
+                   "type_user_jaccard", "burst_hours_per_type"}
 
 # Queries whose SQL-correct answer on an empty corpus is a fixed number of
 # constant rows (e.g. one row per lag with score 0), not zero rows.
