@@ -5159,6 +5159,7 @@ from mimirsbrunn_ray.pipelines.queries_r4l import register_r4l  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4m import register_r4m  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4n import register_r4n  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4o import register_r4o  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4p import register_r4p  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5176,6 +5177,7 @@ register_r4l(QUERIES, ORACLES)
 register_r4m(QUERIES, ORACLES)
 register_r4n(QUERIES, ORACLES)
 register_r4o(QUERIES, ORACLES)
+register_r4p(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

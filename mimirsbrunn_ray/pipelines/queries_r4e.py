@@ -242,7 +242,7 @@ def q_part_components(sf_dir):
         ),
         batch_format="pyarrow",
         batch_size=None,
-    ).sort("node")
+    )  # no output sort: the driver's compare canonicalizes row order
 
 
 COMPONENTS_SQL = """

@@ -72,6 +72,7 @@ _EVENT_QUERIES = [
     "mad_interarrival_per_type",
     "burst_hours_per_type",
     "time_to_first_error",
+    "new_prop_values_daily",
 ]
 
 _DOC_QUERIES = [
@@ -81,6 +82,7 @@ _DOC_QUERIES = [
     "shared_trigram_coverage",
     "dedup_cluster_sizes",
     "char_class_profile",
+    "dup_share_per_source",
 ]
 
 
