@@ -5160,6 +5160,7 @@ from mimirsbrunn_ray.pipelines.queries_r4m import register_r4m  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4n import register_r4n  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4o import register_r4o  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4p import register_r4p  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4q import register_r4q  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5178,6 +5179,7 @@ register_r4m(QUERIES, ORACLES)
 register_r4n(QUERIES, ORACLES)
 register_r4o(QUERIES, ORACLES)
 register_r4p(QUERIES, ORACLES)
+register_r4q(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

@@ -73,6 +73,8 @@ _EVENT_QUERIES = [
     "burst_hours_per_type",
     "time_to_first_error",
     "new_prop_values_daily",
+    "user_cumulative_adoption",
+    "mase_stats_per_type",
 ]
 
 _DOC_QUERIES = [
@@ -83,6 +85,7 @@ _DOC_QUERIES = [
     "dedup_cluster_sizes",
     "char_class_profile",
     "dup_share_per_source",
+    "word_bigram_top_per_source",
 ]
 
 
