@@ -75,6 +75,9 @@ _EVENT_QUERIES = [
     "new_prop_values_daily",
     "user_cumulative_adoption",
     "mase_stats_per_type",
+    "user_concentration_top10",
+    "hourweek_error_rates",
+    "session_size_hist",
 ]
 
 _DOC_QUERIES = [
@@ -86,6 +89,7 @@ _DOC_QUERIES = [
     "char_class_profile",
     "dup_share_per_source",
     "word_bigram_top_per_source",
+    "doc_len_quantiles_per_lang",
 ]
 
 
@@ -102,7 +106,8 @@ _TYPED_ON_EMPTY = {"late_events_watermark", "psi_value_drift",
 
 # Queries whose SQL-correct answer on an empty corpus is a fixed number of
 # constant rows (e.g. one row per lag with score 0), not zero rows.
-_CONST_ROWS_ON_EMPTY = {"xcorr_click_error": 7}
+_CONST_ROWS_ON_EMPTY = {"xcorr_click_error": 7,
+                        "user_concentration_top10": 1}
 
 
 @pytest.mark.parametrize("name", _EVENT_QUERIES + _DOC_QUERIES)
