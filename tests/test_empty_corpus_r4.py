@@ -90,6 +90,7 @@ _DOC_QUERIES = [
     "dup_share_per_source",
     "word_bigram_top_per_source",
     "doc_len_quantiles_per_lang",
+    "langid_confusion",
 ]
 
 
