@@ -45,11 +45,14 @@ def _expand(paths) -> list[str]:
     for p in paths:
         p = os.fspath(p)
         if os.path.isdir(p):
+            # non-recursive: plain FILES only — subdirectories (e.g. the
+            # generator's late/ drop) and sidecars are not part of the drop
             out.extend(
                 sorted(
                     os.path.join(p, f)
                     for f in os.listdir(p)
                     if not f.startswith((".", "_"))
+                    and os.path.isfile(os.path.join(p, f))
                 )
             )
         elif any(ch in p for ch in "*?["):
