@@ -78,6 +78,9 @@ _EVENT_QUERIES = [
     "user_concentration_top10",
     "hourweek_error_rates",
     "session_size_hist",
+    "conversion_within_1h",
+    "id_ts_inversions",
+    "cohort_d1_d7_retention",
 ]
 
 _DOC_QUERIES = [
@@ -108,7 +111,8 @@ _TYPED_ON_EMPTY = {"late_events_watermark", "psi_value_drift",
 # Queries whose SQL-correct answer on an empty corpus is a fixed number of
 # constant rows (e.g. one row per lag with score 0), not zero rows.
 _CONST_ROWS_ON_EMPTY = {"xcorr_click_error": 7,
-                        "user_concentration_top10": 1}
+                        "user_concentration_top10": 1,
+                        "conversion_within_1h": 1}
 
 
 @pytest.mark.parametrize("name", _EVENT_QUERIES + _DOC_QUERIES)

@@ -20,14 +20,15 @@ def _write_events(tmp: str, seed: int) -> str:
     n = 700
     # coarse second-grain offsets -> many exact-duplicate timestamps.
     # seed 11 packs everything into ONE hour (burst islands all-empty:
-    # no hour is strictly above the mean), seed 47 spans 6 hours so
-    # islands are non-trivial.
-    span_s = 900 if seed == 11 else 21_600
+    # no hour is strictly above the mean; retention D1/D7 all zero),
+    # seed 47 spans 10 days so hour islands, 1h conversion windows and
+    # D1/D7 probes are all non-trivial.
+    span_s = 900 if seed == 11 else 864_000
     ts = np.datetime64("2024-03-01", "us") + (
         rng.integers(0, span_s, size=n) * 1_000_000
     ).astype("timedelta64[us]")
     etype = rng.choice(
-        ["click", "view", "buy", "err", None], size=n,
+        ["click", "view", "purchase", "err", None], size=n,
         p=[0.4, 0.3, 0.15, 0.1, 0.05],
     )
     user = rng.integers(1, 30, size=n).astype(object)
@@ -118,4 +119,30 @@ def test_random_burst_mad_queries(ray_session, tmp_path, seed):
     )
     _compare(
         "burst", q_burst_hours_per_type(sf), con.sql(BURST_SQL).df()
+    )
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_random_funnel_retention_queries(ray_session, tmp_path, seed):
+    from mimirsbrunn_ray.pipelines.queries_r4t import (
+        CONVERSION_SQL,
+        INVERSIONS_SQL,
+        RETENTION_D_SQL,
+        q_cohort_d1_d7_retention,
+        q_conversion_within_1h,
+        q_id_ts_inversions,
+    )
+
+    sf = _write_events(str(tmp_path), seed)
+    con = _con(sf, ["events"])
+    _compare(
+        "conversion", q_conversion_within_1h(sf),
+        con.sql(CONVERSION_SQL).df(),
+    )
+    _compare(
+        "inversions", q_id_ts_inversions(sf), con.sql(INVERSIONS_SQL).df()
+    )
+    _compare(
+        "retention", q_cohort_d1_d7_retention(sf),
+        con.sql(RETENTION_D_SQL).df(),
     )
