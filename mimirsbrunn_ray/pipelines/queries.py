@@ -5164,6 +5164,7 @@ from mimirsbrunn_ray.pipelines.queries_r4q import register_r4q  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4r import register_r4r  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4s import register_r4s  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4t import register_r4t  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4u import register_r4u  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5186,6 +5187,7 @@ register_r4q(QUERIES, ORACLES)
 register_r4r(QUERIES, ORACLES)
 register_r4s(QUERIES, ORACLES)
 register_r4t(QUERIES, ORACLES)
+register_r4u(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

@@ -81,6 +81,7 @@ _EVENT_QUERIES = [
     "conversion_within_1h",
     "id_ts_inversions",
     "cohort_d1_d7_retention",
+    "equidepth_boundaries_per_type",
 ]
 
 _DOC_QUERIES = [
@@ -94,6 +95,8 @@ _DOC_QUERIES = [
     "word_bigram_top_per_source",
     "doc_len_quantiles_per_lang",
     "langid_confusion",
+    "email_url_mentions",
+    "small_group_docs",
 ]
 
 
