@@ -97,6 +97,7 @@ _DOC_QUERIES = [
     "langid_confusion",
     "email_url_mentions",
     "small_group_docs",
+    "dominant_lang_per_source",
 ]
 
 
