@@ -82,6 +82,7 @@ _EVENT_QUERIES = [
     "id_ts_inversions",
     "cohort_d1_d7_retention",
     "equidepth_boundaries_per_type",
+    "session_entry_exit_matrix",
 ]
 
 _DOC_QUERIES = [
@@ -98,6 +99,7 @@ _DOC_QUERIES = [
     "email_url_mentions",
     "small_group_docs",
     "dominant_lang_per_source",
+    "blocking_key_stats",
 ]
 
 
@@ -116,7 +118,8 @@ _TYPED_ON_EMPTY = {"late_events_watermark", "psi_value_drift",
 # constant rows (e.g. one row per lag with score 0), not zero rows.
 _CONST_ROWS_ON_EMPTY = {"xcorr_click_error": 7,
                         "user_concentration_top10": 1,
-                        "conversion_within_1h": 1}
+                        "conversion_within_1h": 1,
+                        "blocking_key_stats": 1}
 
 
 @pytest.mark.parametrize("name", _EVENT_QUERIES + _DOC_QUERIES)
