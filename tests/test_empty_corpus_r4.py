@@ -83,6 +83,9 @@ _EVENT_QUERIES = [
     "cohort_d1_d7_retention",
     "equidepth_boundaries_per_type",
     "session_entry_exit_matrix",
+    "hod_variance_stats",
+    "top_user_type_pairs",
+    "type_switches_per_user",
 ]
 
 _DOC_QUERIES = [
