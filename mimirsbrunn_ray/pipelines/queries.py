@@ -5168,6 +5168,7 @@ from mimirsbrunn_ray.pipelines.queries_r4u import register_r4u  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4v import register_r4v  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4w import register_r4w  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4x import register_r4x  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4y import register_r4y  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5194,6 +5195,7 @@ register_r4u(QUERIES, ORACLES)
 register_r4v(QUERIES, ORACLES)
 register_r4w(QUERIES, ORACLES)
 register_r4x(QUERIES, ORACLES)
+register_r4y(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

@@ -86,6 +86,7 @@ _EVENT_QUERIES = [
     "hod_variance_stats",
     "top_user_type_pairs",
     "type_switches_per_user",
+    "single_mode_users",
 ]
 
 _DOC_QUERIES = [
@@ -103,6 +104,7 @@ _DOC_QUERIES = [
     "small_group_docs",
     "dominant_lang_per_source",
     "blocking_key_stats",
+    "doc_vocab_stats",
 ]
 
 
