@@ -5169,6 +5169,8 @@ from mimirsbrunn_ray.pipelines.queries_r4v import register_r4v  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4w import register_r4w  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4x import register_r4x  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4y import register_r4y  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4z import register_r4z  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4aa import register_r4aa  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5196,6 +5198,8 @@ register_r4v(QUERIES, ORACLES)
 register_r4w(QUERIES, ORACLES)
 register_r4x(QUERIES, ORACLES)
 register_r4y(QUERIES, ORACLES)
+register_r4z(QUERIES, ORACLES)
+register_r4aa(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
