@@ -5171,6 +5171,7 @@ from mimirsbrunn_ray.pipelines.queries_r4x import register_r4x  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4y import register_r4y  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4z import register_r4z  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4aa import register_r4aa  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ab import register_r4ab  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5200,6 +5201,7 @@ register_r4x(QUERIES, ORACLES)
 register_r4y(QUERIES, ORACLES)
 register_r4z(QUERIES, ORACLES)
 register_r4aa(QUERIES, ORACLES)
+register_r4ab(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
