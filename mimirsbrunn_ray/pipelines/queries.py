@@ -5176,6 +5176,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ac import register_r4ac  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ad import register_r4ad  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ae import register_r4ae  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4af import register_r4af  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ag import register_r4ag  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5210,6 +5211,7 @@ register_r4ac(QUERIES, ORACLES)
 register_r4ad(QUERIES, ORACLES)
 register_r4ae(QUERIES, ORACLES)
 register_r4af(QUERIES, ORACLES)
+register_r4ag(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

@@ -133,24 +133,30 @@ def q_sorted_neighborhood_pairs(sf_dir):
     edges = mixed[mixed["kind"] == "edge"].sort_values(
         "name_a", ignore_index=True
     )
+    e_name = edges["name_a"].to_numpy()
+    e_bkt = edges["bucket"].to_numpy(dtype=np.int64)
+    e_end = edges["pos_end"].to_numpy(dtype=np.int64)
+    e_start = edges["pos_start"].to_numpy(dtype=np.int64)
     xb = {"name_a": [], "name_b": [], "gap": []}
-    buckets_sorted = sorted(sizes)
+    buckets_sorted = np.array(sorted(sizes), dtype=np.int64)
+    size_arr = np.array([sizes[k] for k in buckets_sorted], dtype=np.int64)
+    cum_sizes = np.concatenate(([0], np.cumsum(size_arr)))
+    # a cross-bucket pair with global gap <= w is within w POSITIONS in
+    # the sorted edge list too (every intermediate edge row is itself a
+    # distinct global row between them), so the scan is O(edges x w)
     for i in range(len(edges)):
-        a = edges.iloc[i]
-        for j in range(i + 1, len(edges)):
-            b = edges.iloc[j]
-            if a["bucket"] == b["bucket"]:
+        for j in range(i + 1, min(i + 1 + w, len(edges))):
+            if e_bkt[i] == e_bkt[j]:
                 continue  # in-bucket pairs already emitted
-            if not (a["pos_end"] and b["pos_start"]):
+            if not (e_end[i] and e_start[j]):
                 continue  # only tail-of-earlier x head-of-later can be close
-            interior = sum(
-                sizes[k] for k in buckets_sorted
-                if a["bucket"] < k < b["bucket"]
-            )
-            gap = (a["pos_end"] - 1) + interior + (b["pos_start"] - 1) + 1
+            lo = int(np.searchsorted(buckets_sorted, e_bkt[i], "right"))
+            hi = int(np.searchsorted(buckets_sorted, e_bkt[j], "left"))
+            interior = int(cum_sizes[hi] - cum_sizes[lo])
+            gap = int(e_end[i] - 1) + interior + int(e_start[j] - 1) + 1
             if gap <= w:
-                xb["name_a"].append(a["name_a"])
-                xb["name_b"].append(b["name_a"])
+                xb["name_a"].append(e_name[i])
+                xb["name_b"].append(e_name[j])
                 xb["gap"].append(gap)
     out = pd.concat([pairs, pd.DataFrame(xb)], ignore_index=True)
     out["gap"] = out["gap"].astype(np.int64)
