@@ -28,7 +28,13 @@ TABLES = [
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object or np.issubdtype(df[c].dtype, np.datetime64):
+        if isinstance(df[c].dtype, pd.api.extensions.ExtensionDtype):
+            # nullable Int64/boolean etc: align with the float64/NaN form
+            # the DuckDB .df() side produces
+            df[c] = df[c].astype("float64")
+        elif df[c].dtype == object or np.issubdtype(
+            df[c].dtype, np.datetime64
+        ):
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), ignore_index=True)
 
