@@ -5180,6 +5180,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ag import register_r4ag  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ah import register_r4ah  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ai import register_r4ai  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4aj import register_r4aj  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ak import register_r4ak  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5218,6 +5219,7 @@ register_r4ag(QUERIES, ORACLES)
 register_r4ah(QUERIES, ORACLES)
 register_r4ai(QUERIES, ORACLES)
 register_r4aj(QUERIES, ORACLES)
+register_r4ak(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
