@@ -5182,6 +5182,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ai import register_r4ai  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4aj import register_r4aj  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ak import register_r4ak  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4al import register_r4al  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4am import register_r4am  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5222,6 +5223,7 @@ register_r4ai(QUERIES, ORACLES)
 register_r4aj(QUERIES, ORACLES)
 register_r4ak(QUERIES, ORACLES)
 register_r4al(QUERIES, ORACLES)
+register_r4am(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
