@@ -78,16 +78,16 @@ def q_survivorship_user_profile(sf_dir):
         gg = g.groupby("user_id", sort=True)
         last_type = gg["event_type"].last()
         n = gg.size()
-        # null-skipping per column: the latest NON-NULL k
+        # null-skipping per column: the latest NON-NULL k; users with no
+        # k at all carry the -1 sentinel (keeps the column plain int64 —
+        # nullable extension dtypes trip pandas-level compares downstream)
         last_k = gg["k"].last()  # pandas last() skips NaN
         out = pd.DataFrame(
             {
                 "user_id": n.index.to_numpy(dtype=np.int64),
                 "n_events": n.to_numpy(dtype=np.int64),
-                "last_type": last_type.to_numpy(),
-                "last_k": pd.array(
-                    last_k.to_numpy(), dtype="Int64"
-                ),
+                "last_type": last_type.fillna("").to_numpy(),
+                "last_k": last_k.fillna(-1).to_numpy(dtype=np.int64),
             }
         )
         return out
@@ -124,7 +124,9 @@ WITH e AS MATERIALIZED (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
   FROM e GROUP BY 1
 )
-SELECT n.user_id, n.n_events, lt.last_type, lk.last_k
+SELECT n.user_id, n.n_events,
+       COALESCE(lt.last_type, '') AS last_type,
+       CAST(COALESCE(lk.last_k, -1) AS BIGINT) AS last_k
 FROM n
 LEFT JOIN lt USING (user_id)
 LEFT JOIN lk USING (user_id)

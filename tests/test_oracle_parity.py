@@ -34,7 +34,11 @@ def con():
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        if isinstance(df[c].dtype, pd.api.extensions.ExtensionDtype):
+            # nullable Int64 etc: align with the float64/NaN form the
+            # DuckDB side produces
+            df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.datetime64):
             # the driver compares str(timestamp); NaT != NaT would fail
