@@ -5186,6 +5186,7 @@ from mimirsbrunn_ray.pipelines.queries_r4am import register_r4am  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4an import register_r4an  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ao import register_r4ao  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ap import register_r4ap  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4aq import register_r4aq  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5230,6 +5231,7 @@ register_r4am(QUERIES, ORACLES)
 register_r4an(QUERIES, ORACLES)
 register_r4ao(QUERIES, ORACLES)
 register_r4ap(QUERIES, ORACLES)
+register_r4aq(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
