@@ -5188,6 +5188,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ao import register_r4ao  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ap import register_r4ap  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4aq import register_r4aq  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ar import register_r4ar  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4as import register_r4as  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5234,6 +5235,7 @@ register_r4ao(QUERIES, ORACLES)
 register_r4ap(QUERIES, ORACLES)
 register_r4aq(QUERIES, ORACLES)
 register_r4ar(QUERIES, ORACLES)
+register_r4as(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
