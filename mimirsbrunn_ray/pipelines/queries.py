@@ -5191,6 +5191,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ar import register_r4ar  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4as import register_r4as  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4at import register_r4at  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4au import register_r4au  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4av import register_r4av  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5240,6 +5241,7 @@ register_r4ar(QUERIES, ORACLES)
 register_r4as(QUERIES, ORACLES)
 register_r4at(QUERIES, ORACLES)
 register_r4au(QUERIES, ORACLES)
+register_r4av(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
