@@ -5194,6 +5194,9 @@ from mimirsbrunn_ray.pipelines.queries_r4au import register_r4au  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4av import register_r4av  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4aw import register_r4aw  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ax import register_r4ax  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ay import (  # noqa: E402
+    register_r4ay as register_r4ay_batch2,
+)
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5246,6 +5249,7 @@ register_r4au(QUERIES, ORACLES)
 register_r4av(QUERIES, ORACLES)
 register_r4aw(QUERIES, ORACLES)
 register_r4ax(QUERIES, ORACLES)
+register_r4ay_batch2(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
