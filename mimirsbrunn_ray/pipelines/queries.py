@@ -5197,6 +5197,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ax import register_r4ax  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ay import (  # noqa: E402
     register_r4ay as register_r4ay_batch2,
 )
+from mimirsbrunn_ray.pipelines.queries_r4az import register_r4az  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5250,6 +5251,7 @@ register_r4av(QUERIES, ORACLES)
 register_r4aw(QUERIES, ORACLES)
 register_r4ax(QUERIES, ORACLES)
 register_r4ay_batch2(QUERIES, ORACLES)
+register_r4az(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
