@@ -5200,6 +5200,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ay import (  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4az import register_r4az  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ba import register_r4ba  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bb import register_r4bb  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4bc import register_r4bc  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5256,6 +5257,7 @@ register_r4ay_batch2(QUERIES, ORACLES)
 register_r4az(QUERIES, ORACLES)
 register_r4ba(QUERIES, ORACLES)
 register_r4bb(QUERIES, ORACLES)
+register_r4bc(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
