@@ -5204,6 +5204,7 @@ from mimirsbrunn_ray.pipelines.queries_r4bc import register_r4bc  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bd import register_r4bd  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4be import register_r4be  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bf import register_r4bf  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4bg import register_r4bg  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5264,6 +5265,7 @@ register_r4bc(QUERIES, ORACLES)
 register_r4bd(QUERIES, ORACLES)
 register_r4be(QUERIES, ORACLES)
 register_r4bf(QUERIES, ORACLES)
+register_r4bg(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
