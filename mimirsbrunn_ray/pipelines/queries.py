@@ -5205,6 +5205,7 @@ from mimirsbrunn_ray.pipelines.queries_r4bd import register_r4bd  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4be import register_r4be  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bf import register_r4bf  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bg import register_r4bg  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4bh import register_r4bh  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5266,6 +5267,7 @@ register_r4bd(QUERIES, ORACLES)
 register_r4be(QUERIES, ORACLES)
 register_r4bf(QUERIES, ORACLES)
 register_r4bg(QUERIES, ORACLES)
+register_r4bh(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
