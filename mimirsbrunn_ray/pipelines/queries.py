@@ -5207,6 +5207,7 @@ from mimirsbrunn_ray.pipelines.queries_r4bf import register_r4bf  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bg import register_r4bg  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bh import register_r4bh  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bi import register_r4bi  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4bj import register_r4bj  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5270,6 +5271,7 @@ register_r4bf(QUERIES, ORACLES)
 register_r4bg(QUERIES, ORACLES)
 register_r4bh(QUERIES, ORACLES)
 register_r4bi(QUERIES, ORACLES)
+register_r4bj(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
