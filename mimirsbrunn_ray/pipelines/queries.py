@@ -5211,6 +5211,7 @@ from mimirsbrunn_ray.pipelines.queries_r4bj import register_r4bj  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bk import register_r4bk  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bl import register_r4bl  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bm import register_r4bm  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4bn import register_r4bn  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5278,6 +5279,7 @@ register_r4bj(QUERIES, ORACLES)
 register_r4bk(QUERIES, ORACLES)
 register_r4bl(QUERIES, ORACLES)
 register_r4bm(QUERIES, ORACLES)
+register_r4bn(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
