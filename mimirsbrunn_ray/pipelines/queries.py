@@ -5215,6 +5215,7 @@ from mimirsbrunn_ray.pipelines.queries_r4bn import register_r4bn  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bo import register_r4bo  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bp import register_r4bp  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bq import register_r4bq  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4br import register_r4br  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5286,6 +5287,7 @@ register_r4bn(QUERIES, ORACLES)
 register_r4bo(QUERIES, ORACLES)
 register_r4bp(QUERIES, ORACLES)
 register_r4bq(QUERIES, ORACLES)
+register_r4br(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
