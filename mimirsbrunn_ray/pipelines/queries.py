@@ -5218,6 +5218,7 @@ from mimirsbrunn_ray.pipelines.queries_r4bq import register_r4bq  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4br import register_r4br  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bs import register_r4bs  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bt import register_r4bt  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4bu import register_r4bu  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5292,6 +5293,7 @@ register_r4bq(QUERIES, ORACLES)
 register_r4br(QUERIES, ORACLES)
 register_r4bs(QUERIES, ORACLES)
 register_r4bt(QUERIES, ORACLES)
+register_r4bu(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
