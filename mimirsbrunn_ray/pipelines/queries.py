@@ -5222,6 +5222,7 @@ from mimirsbrunn_ray.pipelines.queries_r4bu import register_r4bu  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bv import register_r4bv  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bw import register_r4bw  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bx import register_r4bx  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4by import register_r4by  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5300,6 +5301,7 @@ register_r4bu(QUERIES, ORACLES)
 register_r4bv(QUERIES, ORACLES)
 register_r4bw(QUERIES, ORACLES)
 register_r4bx(QUERIES, ORACLES)
+register_r4by(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
