@@ -5224,6 +5224,7 @@ from mimirsbrunn_ray.pipelines.queries_r4bw import register_r4bw  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bx import register_r4bx  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4by import register_r4by  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bz import register_r4bz  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ca import register_r4ca  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5304,6 +5305,7 @@ register_r4bw(QUERIES, ORACLES)
 register_r4bx(QUERIES, ORACLES)
 register_r4by(QUERIES, ORACLES)
 register_r4bz(QUERIES, ORACLES)
+register_r4ca(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
