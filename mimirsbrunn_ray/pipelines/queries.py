@@ -5225,6 +5225,7 @@ from mimirsbrunn_ray.pipelines.queries_r4bx import register_r4bx  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4by import register_r4by  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4bz import register_r4bz  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ca import register_r4ca  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4cb import register_r4cb  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5306,6 +5307,7 @@ register_r4bx(QUERIES, ORACLES)
 register_r4by(QUERIES, ORACLES)
 register_r4bz(QUERIES, ORACLES)
 register_r4ca(QUERIES, ORACLES)
+register_r4cb(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
