@@ -5227,6 +5227,7 @@ from mimirsbrunn_ray.pipelines.queries_r4bz import register_r4bz  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ca import register_r4ca  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cb import register_r4cb  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cc import register_r4cc  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4cd import register_r4cd  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5310,6 +5311,7 @@ register_r4bz(QUERIES, ORACLES)
 register_r4ca(QUERIES, ORACLES)
 register_r4cb(QUERIES, ORACLES)
 register_r4cc(QUERIES, ORACLES)
+register_r4cd(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
