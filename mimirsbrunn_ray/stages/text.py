@@ -1020,3 +1020,78 @@ def weighted_sample(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def jaro_winkler_vector(sa: list[str], sb: list[str]) -> np.ndarray:
+    """Vectorized Jaro-Winkler similarity for N string PAIRS, matching
+    DuckDB's jaro_winkler_similarity semantics exactly (verified by a
+    randomized differential pytest): greedy window matching, integer
+    floor of half-transpositions, unconditional-order float formula
+    ((m/l1 + m/l2 + (m-t)/m) / 3), Winkler prefix boost (p=0.1, prefix
+    cap 4) only when jaro > 0.7. The double loop is over CHARACTER
+    POSITIONS (LA x LB vector steps, each O(n) across pairs) — no
+    per-pair Python loop, the levenshtein_matrix discipline."""
+    n = len(sa)
+    if n == 0:
+        return np.zeros(0, np.float64)
+    ca = [np.array([ord(c) for c in s], dtype=np.int64) for s in sa]
+    cb = [np.array([ord(c) for c in s], dtype=np.int64) for s in sb]
+    la = np.array([len(c) for c in ca], dtype=np.int64)
+    lb = np.array([len(c) for c in cb], dtype=np.int64)
+    LA = int(la.max()) if n else 0
+    LB = int(lb.max()) if n else 0
+    A = np.full((n, max(LA, 1)), -1, np.int64)
+    B = np.full((n, max(LB, 1)), -2, np.int64)
+    for i, c in enumerate(ca):
+        A[i, : len(c)] = c
+    for i, c in enumerate(cb):
+        B[i, : len(c)] = c
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    matchedA = np.zeros((n, max(LA, 1)), bool)
+    matchedB = np.zeros((n, max(LB, 1)), bool)
+    for i in range(LA):
+        found = np.zeros(n, bool)
+        lo = i - w
+        hi = i + w
+        for j in range(LB):
+            cond = (
+                (~found)
+                & (i < la)
+                & (j < lb)
+                & (j >= lo)
+                & (j <= hi)
+                & (~matchedB[:, j])
+                & (A[:, i] == B[:, j])
+            )
+            matchedB[:, j] |= cond
+            found |= cond
+        matchedA[:, i] = found
+    m = matchedA.sum(1).astype(np.int64)
+    maxm = int(m.max()) if n else 0
+    if maxm == 0:
+        return np.zeros(n, np.float64)
+    aseq = np.full((n, maxm), -1, np.int64)
+    bseq = np.full((n, maxm), -1, np.int64)
+    idxA = np.cumsum(matchedA, axis=1) - 1
+    r, c = np.nonzero(matchedA)
+    aseq[r, idxA[r, c]] = A[r, c]
+    idxB = np.cumsum(matchedB, axis=1) - 1
+    r, c = np.nonzero(matchedB)
+    bseq[r, idxB[r, c]] = B[r, c]
+    half = ((aseq != bseq) & (aseq != -1)).sum(1).astype(np.int64)
+    t = half // 2
+    safe_m = np.where(m > 0, m, 1).astype(np.float64)
+    safe_la = np.where(la > 0, la, 1).astype(np.float64)
+    safe_lb = np.where(lb > 0, lb, 1).astype(np.float64)
+    jaro = np.where(
+        m > 0,
+        (m / safe_la + m / safe_lb + (m - t) / safe_m) / 3.0,
+        0.0,
+    )
+    # common prefix length, capped at 4
+    pl = np.zeros(n, np.int64)
+    alive = np.ones(n, bool)
+    for k in range(min(4, LA, LB)):
+        alive &= (k < la) & (k < lb) & (A[:, k] == B[:, k])
+        pl += alive
+    return np.where(jaro > 0.7, jaro + pl * 0.1 * (1.0 - jaro), jaro)
