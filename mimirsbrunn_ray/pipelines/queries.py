@@ -5231,6 +5231,7 @@ from mimirsbrunn_ray.pipelines.queries_r4cd import register_r4cd  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ce import register_r4ce  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cf import register_r4cf  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cg import register_r4cg  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ch import register_r4ch  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5318,6 +5319,7 @@ register_r4cd(QUERIES, ORACLES)
 register_r4ce(QUERIES, ORACLES)
 register_r4cf(QUERIES, ORACLES)
 register_r4cg(QUERIES, ORACLES)
+register_r4ch(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
