@@ -5233,6 +5233,7 @@ from mimirsbrunn_ray.pipelines.queries_r4cf import register_r4cf  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cg import register_r4cg  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ch import register_r4ch  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ci import register_r4ci  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4cj import register_r4cj  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5322,6 +5323,7 @@ register_r4cf(QUERIES, ORACLES)
 register_r4cg(QUERIES, ORACLES)
 register_r4ch(QUERIES, ORACLES)
 register_r4ci(QUERIES, ORACLES)
+register_r4cj(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
