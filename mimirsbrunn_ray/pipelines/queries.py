@@ -5240,6 +5240,7 @@ from mimirsbrunn_ray.pipelines.queries_r4cm import register_r4cm  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cn import register_r4cn  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4co import register_r4co  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cp import register_r4cp  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4cq import register_r4cq  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5336,6 +5337,7 @@ register_r4cm(QUERIES, ORACLES)
 register_r4cn(QUERIES, ORACLES)
 register_r4co(QUERIES, ORACLES)
 register_r4cp(QUERIES, ORACLES)
+register_r4cq(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
