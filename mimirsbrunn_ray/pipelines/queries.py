@@ -5246,6 +5246,7 @@ from mimirsbrunn_ray.pipelines.queries_r4cs import register_r4cs  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ct import register_r4ct  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cu import register_r4cu  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cv import register_r4cv  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4cw import register_r4cw  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5348,6 +5349,7 @@ register_r4cs(QUERIES, ORACLES)
 register_r4ct(QUERIES, ORACLES)
 register_r4cu(QUERIES, ORACLES)
 register_r4cv(QUERIES, ORACLES)
+register_r4cw(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
