@@ -5247,6 +5247,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ct import register_r4ct  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cu import register_r4cu  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cv import register_r4cv  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cw import register_r4cw  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4cx import register_r4cx  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5350,6 +5351,7 @@ register_r4ct(QUERIES, ORACLES)
 register_r4cu(QUERIES, ORACLES)
 register_r4cv(QUERIES, ORACLES)
 register_r4cw(QUERIES, ORACLES)
+register_r4cx(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
