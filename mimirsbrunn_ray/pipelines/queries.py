@@ -5248,6 +5248,7 @@ from mimirsbrunn_ray.pipelines.queries_r4cu import register_r4cu  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cv import register_r4cv  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cw import register_r4cw  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4cx import register_r4cx  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4cy import register_r4cy  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5352,6 +5353,7 @@ register_r4cu(QUERIES, ORACLES)
 register_r4cv(QUERIES, ORACLES)
 register_r4cw(QUERIES, ORACLES)
 register_r4cx(QUERIES, ORACLES)
+register_r4cy(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
