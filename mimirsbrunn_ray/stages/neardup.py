@@ -339,8 +339,36 @@ def minlabel_propagation(
             {"u": pa.concat_arrays([u, v]), "v": pa.concat_arrays([v, u])}
         )
 
+    def contract_block(b: pa.Table) -> pa.Table:
+        """Batch-local contraction: union-find the block's edges in
+        memory and replace them with star edges (node -> local min-root).
+        Components are exactly preserved (every intra-block path factors
+        through its local root) while the residual graph's diameter drops
+        to the CROSS-block diameter, cutting global pointer-jumping
+        rounds — each of which costs a full distributed join. np.unique
+        returns sorted nodes, so min index == min value, matching the
+        global min-label semantics for ints and strings alike."""
+        if b.num_rows == 0:
+            return pa.table({a_col: b[a_col], b_col: b[b_col]})
+        u = b[a_col].to_numpy(zero_copy_only=False)
+        v = b[b_col].to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        iu, iv = inv[: len(u)], inv[len(u):]
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            m = np.minimum(lab[iu], lab[iv])
+            before = lab.copy()
+            np.minimum.at(lab, iu, m)
+            np.minimum.at(lab, iv, m)
+            lab = lab[lab]  # pointer jump
+            if np.array_equal(lab, before):
+                break
+        return pa.table({a_col: pa.array(nodes), b_col: pa.array(nodes[lab])})
+
     edges = (
-        pairs.map_batches(sym, batch_format="pyarrow", batch_size=None)
+        pairs.map_batches(contract_block, batch_format="pyarrow",
+                          batch_size=None)
+        .map_batches(sym, batch_format="pyarrow", batch_size=None)
         .repartition(n_part)  # squash schema-less empties before joins
         .materialize()
     )
