@@ -5253,6 +5253,7 @@ from mimirsbrunn_ray.pipelines.queries_r4cz import register_r4cz  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4da import register_r4da  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4db import register_r4db  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4dc import register_r4dc  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4dd import register_r4dd  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5362,6 +5363,7 @@ register_r4cz(QUERIES, ORACLES)
 register_r4da(QUERIES, ORACLES)
 register_r4db(QUERIES, ORACLES)
 register_r4dc(QUERIES, ORACLES)
+register_r4dd(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
