@@ -5257,6 +5257,7 @@ from mimirsbrunn_ray.pipelines.queries_r4dd import register_r4dd  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4de import register_r4de  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4df import register_r4df  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4dg import register_r4dg  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4dh import register_r4dh  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5370,6 +5371,7 @@ register_r4dd(QUERIES, ORACLES)
 register_r4de(QUERIES, ORACLES)
 register_r4df(QUERIES, ORACLES)
 register_r4dg(QUERIES, ORACLES)
+register_r4dh(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
