@@ -1,9 +1,10 @@
 """Round-4 batch DH: nearest (bidirectional) as-of join, the TSDB chunk
 compaction planner, and sessionization timeout sensitivity.
 
-Engine-shape operators: NEAREST-asof composes the bucketed backward
-as-of with itself on NEGATED timestamps (forward pass) and picks the
-closer candidate — the join flavor PromQL's lookback cannot express;
+Engine-shape operators: NEAREST-asof resolves each probe's backward AND
+forward candidate in one user-bucket pass (two searchsorted probes over
+one sorted run) and picks the closer — the join flavor PromQL's
+lookback cannot express;
 the chunk planner turns per-day counts into exact chunk/fill
 arithmetic; the timeout sweep computes session counts for three gap
 thresholds from ONE ordered pass. Exactness: pure int64 timestamps,
@@ -22,7 +23,6 @@ import ray.data as rd
 from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
 from mimirsbrunn_ray.stages.rollup import tree_merge
 from mimirsbrunn_ray.stages.timeseries import _series_segments
-from mimirsbrunn_ray.stages.window import asof_join_bucketed
 
 _DAY_US = 86_400_000_000
 _CHUNK_POINTS = 8192
@@ -58,101 +58,99 @@ def q_asof_nearest_error_user(sf_dir):
     """For every click: the SIGNED microsecond offset to the user's
     NEAREST error event in either time direction (ties prefer the
     earlier/backward candidate) — the bidirectional as-of flavor that a
-    lookback-only join cannot express, composed scalably as TWO bucketed
-    as-of passes: the backward pass as-is, the forward pass by negating
-    timestamps (greatest -t_err <= -t_click == smallest t_err >=
-    t_click). All comparisons are exact int64 microseconds; clicks with
-    no error either side drop (inner semantics)."""
+    lookback-only join cannot express. ONE user-key hash shuffle: each
+    bucket sorts its errors once and resolves every click's backward AND
+    forward candidate with two vectorized searchsorted probes (the
+    point-in-window bucket shape, amortizing what two chained as-of
+    joins would each pay). All comparisons are exact int64 microseconds;
+    clicks with no error either side drop (inner semantics)."""
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "event_type", "ts"],
-    ).map_batches(
-        lambda b: _clean(b, ("event_id", "user_id", "event_type", "ts")),
-        batch_format="pyarrow",
-        batch_size=None,
     )
 
-    def pick(b: pa.Table, typ: str, neg: bool) -> pa.Table:
-        b = b.filter(pc.equal(b["event_type"], typ))
+    def prep(b: pa.Table) -> pa.Table:
+        b = _clean(b, ("event_id", "user_id", "event_type", "ts"))
+        b = b.filter(
+            pc.is_in(b["event_type"], value_set=pa.array(["click", "error"]))
+        )
         us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
         t = pa.table(
             {
                 "event_id": b["event_id"].cast(pa.int64()),
                 "user_id": b["user_id"].cast(pa.int64()),
-                "t_us": pa.array(-us if neg else us),
+                "t_us": pa.array(us),
+                "is_click": pa.array(
+                    pc.equal(b["event_type"], "click")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int8)
+                ),
             }
         )
-        return t
+        return add_bucket(t, "user_id", 64)
 
-    clicks_f = ev.map_batches(
-        lambda b: pick(b, "click", False), batch_format="pyarrow",
-        batch_size=None,
-    )
-    errors_f = ev.map_batches(
-        lambda b: pick(b, "error", False).select(["user_id", "t_us"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    clicks_b = ev.map_batches(
-        lambda b: pick(b, "click", True), batch_format="pyarrow",
-        batch_size=None,
-    )
-    errors_b = ev.map_batches(
-        lambda b: pick(b, "error", True).select(["user_id", "t_us"]),
-        batch_format="pyarrow", batch_size=None,
-    )
+    bucketed = ev.map_batches(prep, batch_format="pyarrow", batch_size=None)
 
-    prev = asof_join_bucketed(
-        clicks_f, errors_f, "user_id", "t_us", "t_us", "prev_err",
-        inner=False,
-    ).select_columns(["event_id", "t_us", "prev_err"])
-    nxt = asof_join_bucketed(
-        clicks_b, errors_b, "user_id", "t_us", "t_us", "next_err_neg",
-        inner=False,
-    ).select_columns(["event_id", "next_err_neg"])
-
-    from mimirsbrunn_ray.context import pool_size
-
-    n_part = max(8, pool_size())
-    both = prev.repartition(n_part).join(
-        nxt.repartition(n_part), join_type="inner", num_partitions=n_part,
-        on=("event_id",),
-    )
-
-    def _as_i64(col: "pa.ChunkedArray") -> np.ndarray:
-        # the asof stage types its out_col as timestamp[us]; normalize
-        if pa.types.is_timestamp(col.type):
-            col = col.cast(pa.int64())
-        return col.to_numpy(zero_copy_only=False)
-
-    def choose(b: pa.Table) -> pa.Table:
-        t = _as_i64(b["t_us"]).astype(np.int64)
-        pv = _as_i64(b["prev_err"])
-        nxn = _as_i64(b["next_err_neg"])
-        has_p = ~pd.isna(pv)
-        has_n = ~pd.isna(nxn)
-        keep = has_p | has_n
-        t = t[keep]
-        pv = pv[keep]
-        nxn = nxn[keep]
-        has_p = has_p[keep]
-        has_n = has_n[keep]
-        eid = b["event_id"].to_numpy()[keep]
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype=np.int64),
+                "dt_us": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        is_click = g["is_click"].to_numpy() == 1
+        err = g[~is_click].sort_values(
+            ["user_id", "t_us"], kind="mergesort", ignore_index=True
+        )
+        clk = g[is_click]
+        if not len(err) or not len(clk):
+            return empty
+        # composite (user, rebased-ts) keys keep the probe inside one
+        # user run; rebasing bounds the multiplier by the bucket's span
+        c_user = clk["user_id"].to_numpy(dtype=np.int64)
+        c_ts = clk["t_us"].to_numpy(dtype=np.int64)
+        all_ts = g["t_us"].to_numpy(dtype=np.int64)
+        base = int(all_ts.min())
+        span = int(all_ts.max()) - base + 1
+        u_max = int(g["user_id"].max())
+        if u_max * span >= (1 << 62):  # chunk-by-user fallback bound
+            raise RuntimeError(
+                "asof_nearest: composite key overflow; shard the bucket"
+            )
+        mult = np.int64(span)
+        e_key = err["user_id"].to_numpy(dtype=np.int64) * mult + (
+            err["t_us"].to_numpy(dtype=np.int64) - base
+        )
+        c_key = c_user * mult + (c_ts - base)
+        pos = np.searchsorted(e_key, c_key, side="right")
+        e_user = err["user_id"].to_numpy(dtype=np.int64)
+        e_ts = err["t_us"].to_numpy(dtype=np.int64)
         big = np.int64(1) << 62
+        prev_ok = (pos > 0) & (e_user[np.maximum(pos - 1, 0)] == c_user)
         d_prev = np.where(
-            has_p, t - np.where(has_p, pv, 0).astype(np.int64), big
-        )  # >= 0
-        nx = -np.where(has_n, nxn, 0).astype(np.int64)  # next error ts
-        d_next = np.where(has_n, nx - t, big)  # >= 0
+            prev_ok, c_ts - e_ts[np.maximum(pos - 1, 0)], big
+        )
+        next_ok = (pos < len(err)) & (
+            e_user[np.minimum(pos, len(err) - 1)] == c_user
+        )
+        d_next = np.where(
+            next_ok, e_ts[np.minimum(pos, len(err) - 1)] - c_ts, big
+        )
+        keep = prev_ok | next_ok
         use_prev = d_prev <= d_next  # tie -> backward
         dt = np.where(use_prev, -d_prev, d_next)
-        return pa.table(
+        return pd.DataFrame(
             {
-                "event_id": pa.array(eid.astype(np.int64)),
-                "dt_us": pa.array(dt.astype(np.int64)),
+                "event_id": clk["event_id"].to_numpy(dtype=np.int64)[keep],
+                "dt_us": dt[keep],
             }
         )
 
-    return both.map_batches(choose, batch_format="pyarrow", batch_size=None)
+    return bucketed.groupby(_BUCKET).map_groups(
+        per_bucket, batch_format="pandas"
+    )
 
 
 ASOF_NEAREST_SQL = """
