@@ -5258,6 +5258,7 @@ from mimirsbrunn_ray.pipelines.queries_r4de import register_r4de  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4df import register_r4df  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4dg import register_r4dg  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4dh import register_r4dh  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4di import register_r4di  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5372,6 +5373,7 @@ register_r4de(QUERIES, ORACLES)
 register_r4df(QUERIES, ORACLES)
 register_r4dg(QUERIES, ORACLES)
 register_r4dh(QUERIES, ORACLES)
+register_r4di(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
