@@ -5264,6 +5264,7 @@ from mimirsbrunn_ray.pipelines.queries_r4dk import register_r4dk  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4dl import register_r4dl  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4dm import register_r4dm  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4dn import register_r4dn  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4do import register_r4do  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5384,6 +5385,7 @@ register_r4dk(QUERIES, ORACLES)
 register_r4dl(QUERIES, ORACLES)
 register_r4dm(QUERIES, ORACLES)
 register_r4dn(QUERIES, ORACLES)
+register_r4do(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
