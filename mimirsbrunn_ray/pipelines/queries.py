@@ -5266,6 +5266,7 @@ from mimirsbrunn_ray.pipelines.queries_r4dm import register_r4dm  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4dn import register_r4dn  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4do import register_r4do  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4dp import register_r4dp  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4dq import register_r4dq  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5388,6 +5389,7 @@ register_r4dm(QUERIES, ORACLES)
 register_r4dn(QUERIES, ORACLES)
 register_r4do(QUERIES, ORACLES)
 register_r4dp(QUERIES, ORACLES)
+register_r4dq(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
