@@ -5271,6 +5271,7 @@ from mimirsbrunn_ray.pipelines.queries_r4dr import register_r4dr  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ds import register_r4ds  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4dt import register_r4dt  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4du import register_r4du  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4dv import register_r4dv  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5398,6 +5399,7 @@ register_r4dr(QUERIES, ORACLES)
 register_r4ds(QUERIES, ORACLES)
 register_r4dt(QUERIES, ORACLES)
 register_r4du(QUERIES, ORACLES)
+register_r4dv(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
