@@ -5278,6 +5278,7 @@ from mimirsbrunn_ray.pipelines.queries_r4dy import register_r4dy  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4dz import register_r4dz  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ea import register_r4ea  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4eb import register_r4eb  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ec import register_r4ec  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5412,6 +5413,7 @@ register_r4dy(QUERIES, ORACLES)
 register_r4dz(QUERIES, ORACLES)
 register_r4ea(QUERIES, ORACLES)
 register_r4eb(QUERIES, ORACLES)
+register_r4ec(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
