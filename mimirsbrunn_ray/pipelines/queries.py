@@ -5280,6 +5280,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ea import register_r4ea  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4eb import register_r4eb  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ec import register_r4ec  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ed import register_r4ed  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ee import register_r4ee  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5416,6 +5417,7 @@ register_r4ea(QUERIES, ORACLES)
 register_r4eb(QUERIES, ORACLES)
 register_r4ec(QUERIES, ORACLES)
 register_r4ed(QUERIES, ORACLES)
+register_r4ee(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
