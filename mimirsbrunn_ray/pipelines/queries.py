@@ -5282,6 +5282,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ec import register_r4ec  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ed import register_r4ed  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ee import register_r4ee  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ef import register_r4ef  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4eg import register_r4eg  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5420,6 +5421,7 @@ register_r4ec(QUERIES, ORACLES)
 register_r4ed(QUERIES, ORACLES)
 register_r4ee(QUERIES, ORACLES)
 register_r4ef(QUERIES, ORACLES)
+register_r4eg(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
