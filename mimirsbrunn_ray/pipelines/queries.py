@@ -5283,6 +5283,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ed import register_r4ed  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ee import register_r4ee  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ef import register_r4ef  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4eg import register_r4eg  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4eh import register_r4eh  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5422,6 +5423,7 @@ register_r4ed(QUERIES, ORACLES)
 register_r4ee(QUERIES, ORACLES)
 register_r4ef(QUERIES, ORACLES)
 register_r4eg(QUERIES, ORACLES)
+register_r4eh(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
