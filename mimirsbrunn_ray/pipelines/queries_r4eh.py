@@ -65,7 +65,7 @@ def _dense_hourly_matrix(sf_dir):
         .rename_columns(["event_type", "h", "c"]),
     ).to_pandas()
     if not len(hourly) or "event_type" not in hourly.columns:
-        return [], None
+        return [], None, 0
     types = sorted(hourly["event_type"].unique())
     hmin = int(hourly["h"].min())
     n = int(hourly["h"].max()) - hmin + 1
@@ -75,7 +75,7 @@ def _dense_hourly_matrix(sf_dir):
         hourly["event_type"].map(tix).to_numpy(),
         hourly["h"].to_numpy(dtype=np.int64) - hmin,
     ] = hourly["c"].to_numpy(dtype=np.int64)
-    return types, mat
+    return types, mat, hmin
 
 
 _DENSE_GRID_SQL = """
@@ -114,7 +114,7 @@ def q_dickey_fuller_hourly(sf_dir):
     algebra (Sxx, Sxd, SSR, se) runs in mirrored doubles, so both
     sides agree bit-for-bit before the snap. Output beta x1e9 and t
     x1e6; NULL when the regressor variance or SSR degenerates."""
-    types, mat = _dense_hourly_matrix(sf_dir)
+    types, mat, _hmin = _dense_hourly_matrix(sf_dir)
     cols = ["event_type", "t_len", "beta_x1e9", "df_t_x1e6"]
     out = {c: [] for c in cols}
     if mat is not None:
@@ -222,7 +222,7 @@ def q_kpss_hourly(sf_dir):
     double division of two (possibly 128-bit) integers, so both sides
     agree bit-for-bit before the x1e9 snap. Bandwidth chosen by the
     integer rule 100*L^4 <= 256*n (no pow() ulp risk)."""
-    types, mat = _dense_hourly_matrix(sf_dir)
+    types, mat, _hmin = _dense_hourly_matrix(sf_dir)
     cols = ["event_type", "t_len", "l_bw", "kpss_x1e9"]
     out = {c: [] for c in cols}
     if mat is not None:
@@ -329,7 +329,7 @@ def q_variance_ratio_hourly(sf_dir):
     B = sum(T*(y_t - y_{t-q}) - q*D)^2 (both exact integers, D the
     total change), VR = B*T / (q*M*A) exactly — one double division
     of two 128-bit-safe integers, snapped x1e6."""
-    types, mat = _dense_hourly_matrix(sf_dir)
+    types, mat, _hmin = _dense_hourly_matrix(sf_dir)
     cols = ["event_type", "t_len", "n_q_terms", "vr_x1e6"]
     out = {c: [] for c in cols}
     if mat is not None:
