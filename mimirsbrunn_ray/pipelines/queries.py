@@ -5287,6 +5287,7 @@ from mimirsbrunn_ray.pipelines.queries_r4eh import register_r4eh  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ei import register_r4ei  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ej import register_r4ej  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ek import register_r4ek  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4el import register_r4el  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5430,6 +5431,7 @@ register_r4eh(QUERIES, ORACLES)
 register_r4ei(QUERIES, ORACLES)
 register_r4ej(QUERIES, ORACLES)
 register_r4ek(QUERIES, ORACLES)
+register_r4el(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
