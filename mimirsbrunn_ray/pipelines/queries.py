@@ -5289,6 +5289,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ej import register_r4ej  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ek import register_r4ek  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4el import register_r4el  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4em import register_r4em  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4en import register_r4en  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5434,6 +5435,7 @@ register_r4ej(QUERIES, ORACLES)
 register_r4ek(QUERIES, ORACLES)
 register_r4el(QUERIES, ORACLES)
 register_r4em(QUERIES, ORACLES)
+register_r4en(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
