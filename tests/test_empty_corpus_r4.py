@@ -87,6 +87,9 @@ _EVENT_QUERIES = [
     "top_user_type_pairs",
     "type_switches_per_user",
     "single_mode_users",
+    "markov_removal_attribution",
+    "first_session_conversion_lift",
+    "channel_position_bias",
 ]
 
 _DOC_QUERIES = [
