@@ -127,7 +127,9 @@ _TYPED_ON_EMPTY = {"late_events_watermark", "psi_value_drift",
 _CONST_ROWS_ON_EMPTY = {"xcorr_click_error": 7,
                         "user_concentration_top10": 1,
                         "conversion_within_1h": 1,
-                        "blocking_key_stats": 1}
+                        "blocking_key_stats": 1,
+                        # global SUM with no GROUP BY -> one (NULL-ish) row
+                        "first_session_conversion_lift": 1}
 
 
 @pytest.mark.parametrize("name", _EVENT_QUERIES + _DOC_QUERIES)
