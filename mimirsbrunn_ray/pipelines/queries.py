@@ -5298,6 +5298,7 @@ from mimirsbrunn_ray.pipelines.queries_r4es import register_r4es  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4et import register_r4et  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4eu import register_r4eu  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ev import register_r4ev  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ew import register_r4ew  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5452,6 +5453,7 @@ register_r4es(QUERIES, ORACLES)
 register_r4et(QUERIES, ORACLES)
 register_r4eu(QUERIES, ORACLES)
 register_r4ev(QUERIES, ORACLES)
+register_r4ew(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
