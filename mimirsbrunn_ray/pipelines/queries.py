@@ -5302,6 +5302,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ew import register_r4ew  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ex import register_r4ex  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ey import register_r4ey  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ez import register_r4ez  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4fa import register_r4fa  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5460,6 +5461,7 @@ register_r4ew(QUERIES, ORACLES)
 register_r4ex(QUERIES, ORACLES)
 register_r4ey(QUERIES, ORACLES)
 register_r4ez(QUERIES, ORACLES)
+register_r4fa(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
