@@ -5303,6 +5303,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ex import register_r4ex  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ey import register_r4ey  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ez import register_r4ez  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4fa import register_r4fa  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4fb import register_r4fb  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5462,6 +5463,7 @@ register_r4ex(QUERIES, ORACLES)
 register_r4ey(QUERIES, ORACLES)
 register_r4ez(QUERIES, ORACLES)
 register_r4fa(QUERIES, ORACLES)
+register_r4fb(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
