@@ -147,8 +147,11 @@ def _reuse_distance_table(sf_dir):
         qid = np.repeat(qi, reps)
         qpr = np.repeat(qp, reps)
         # bucket index per fragment: b0 + offset within each window
+        starts = np.zeros(len(reps), np.int64)
+        if len(reps):
+            starts[1:] = np.cumsum(reps)[:-1]
         off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+            starts, reps
         )
         bks = np.repeat(b0, reps) + off
         frs = pa.table(

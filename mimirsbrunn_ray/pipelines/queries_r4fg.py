@@ -237,8 +237,11 @@ def q_interval_overlap_sessions_errors(sf_dir):
         b0 = (e0 // _TIME_BUCKET_US).astype(np.int64)
         b1 = ((e1 - 1) // _TIME_BUCKET_US).astype(np.int64)
         reps = (b1 - b0 + 1).astype(np.int64)
+        starts = np.zeros(len(reps), np.int64)
+        if len(reps):
+            starts[1:] = np.cumsum(reps)[:-1]
         off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+            starts, reps
         )
         return pa.table(
             {
@@ -269,8 +272,11 @@ def q_interval_overlap_sessions_errors(sf_dir):
         b0 = (s0 // _TIME_BUCKET_US).astype(np.int64)
         b1 = (s1 // _TIME_BUCKET_US).astype(np.int64)
         reps = (b1 - b0 + 1).astype(np.int64)
+        starts = np.zeros(len(reps), np.int64)
+        if len(reps):
+            starts[1:] = np.cumsum(reps)[:-1]
         off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+            starts, reps
         )
         return pa.table(
             {
