@@ -5309,6 +5309,7 @@ from mimirsbrunn_ray.pipelines.queries_r4fd import register_r4fd  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4fe import register_r4fe  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ff import register_r4ff  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4fg import register_r4fg  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4fh import register_r4fh  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5474,6 +5475,7 @@ register_r4fd(QUERIES, ORACLES)
 register_r4fe(QUERIES, ORACLES)
 register_r4ff(QUERIES, ORACLES)
 register_r4fg(QUERIES, ORACLES)
+register_r4fh(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
