@@ -120,14 +120,15 @@ def q_session_path_prefixes(sf_dir):
         return pa.Table.from_pandas(df.head(_TOP_PATHS),
                                     preserve_index=False)
 
-    top = (
-        counts.map_batches(local_top, batch_format="pyarrow",
-                           batch_size=None)
-        .to_pandas()
-        .sort_values(["c", "path"], ascending=[False, True],
-                     ignore_index=True)
-        .head(_TOP_PATHS)
-    )
+    top = counts.map_batches(local_top, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    if "path" not in top.columns:
+        return pa.table(
+            {"path": pa.array([], pa.string()),
+             "n_sessions": pa.array([], pa.int64())}
+        )
+    top = top.sort_values(["c", "path"], ascending=[False, True],
+                          ignore_index=True).head(_TOP_PATHS)
     return pa.table(
         {
             "path": pa.array(top["path"], pa.string()),
@@ -349,9 +350,10 @@ def q_join_key_skew_profile(sf_dir):
             sizes.map_batches(hist, batch_format="pyarrow",
                               batch_size=None),
             hist_comb,
-        ).to_pandas().sort_values("sz", ignore_index=True)
-        if len(h) == 0:
+        ).to_pandas()
+        if len(h) == 0 or "sz" not in h.columns:
             continue
+        h = h.sort_values("sz", ignore_index=True)
         sz = h["sz"].to_numpy(dtype=np.int64)
         n = h["n"].to_numpy(dtype=np.int64)
         n_keys = int(n.sum())
