@@ -5315,6 +5315,7 @@ from mimirsbrunn_ray.pipelines.queries_r4fj import register_r4fj  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4fk import register_r4fk  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4fl import register_r4fl  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4fm import register_r4fm  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4fn import register_r4fn  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5486,6 +5487,7 @@ register_r4fj(QUERIES, ORACLES)
 register_r4fk(QUERIES, ORACLES)
 register_r4fl(QUERIES, ORACLES)
 register_r4fm(QUERIES, ORACLES)
+register_r4fn(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
