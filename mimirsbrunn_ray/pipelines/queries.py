@@ -5317,6 +5317,7 @@ from mimirsbrunn_ray.pipelines.queries_r4fl import register_r4fl  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4fm import register_r4fm  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4fn import register_r4fn  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4fo import register_r4fo  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4fp import register_r4fp  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5490,6 +5491,7 @@ register_r4fl(QUERIES, ORACLES)
 register_r4fm(QUERIES, ORACLES)
 register_r4fn(QUERIES, ORACLES)
 register_r4fo(QUERIES, ORACLES)
+register_r4fp(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
