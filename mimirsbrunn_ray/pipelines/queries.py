@@ -5319,6 +5319,7 @@ from mimirsbrunn_ray.pipelines.queries_r4fn import register_r4fn  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4fo import register_r4fo  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4fp import register_r4fp  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4fq import register_r4fq  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4fr import register_r4fr  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5494,6 +5495,7 @@ register_r4fn(QUERIES, ORACLES)
 register_r4fo(QUERIES, ORACLES)
 register_r4fp(QUERIES, ORACLES)
 register_r4fq(QUERIES, ORACLES)
+register_r4fr(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
