@@ -386,7 +386,18 @@ def q_semijoin_reduction_audit(sf_dir):
         return g.rename_columns(["l_orderkey", "n_li"])
 
     li_counts = tree_merge(li, li_comb, final_shards=8,
-                           shard_cols=["l_orderkey"])
+                           shard_cols=["l_orderkey"]).materialize()
+    orders = orders.materialize()
+    _empty_out = pa.table({
+        "segment": pa.array([], pa.string()),
+        **{c: pa.array([], pa.int64()) for c in
+           ["n_orders", "n_lineitems", "total_lineitems",
+            "ship_ppm"]},
+    })
+    # a fully-empty input file short-circuits the read and produces
+    # schema-less blocks that crash the hash join — bail out first
+    if li_counts.count() == 0 or orders.count() == 0:
+        return _empty_out
 
     n_part = max(8, pool_size())
     joined = li_counts.repartition(n_part).join(
