@@ -5322,6 +5322,7 @@ from mimirsbrunn_ray.pipelines.queries_r4fq import register_r4fq  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4fr import register_r4fr  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4fs import register_r4fs  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ft import register_r4ft  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4fu import register_r4fu  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5500,6 +5501,7 @@ register_r4fq(QUERIES, ORACLES)
 register_r4fr(QUERIES, ORACLES)
 register_r4fs(QUERIES, ORACLES)
 register_r4ft(QUERIES, ORACLES)
+register_r4fu(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
