@@ -5333,6 +5333,7 @@ from mimirsbrunn_ray.pipelines.queries_r4gb import register_r4gb  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gc import register_r4gc  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gd import register_r4gd  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ge import register_r4ge  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4gf import register_r4gf  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5522,6 +5523,7 @@ register_r4gb(QUERIES, ORACLES)
 register_r4gc(QUERIES, ORACLES)
 register_r4gd(QUERIES, ORACLES)
 register_r4ge(QUERIES, ORACLES)
+register_r4gf(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
