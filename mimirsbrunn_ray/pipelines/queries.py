@@ -5337,6 +5337,7 @@ from mimirsbrunn_ray.pipelines.queries_r4gf import register_r4gf  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gg import register_r4gg  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gh import register_r4gh  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gi import register_r4gi  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4gj import register_r4gj  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5530,6 +5531,7 @@ register_r4gf(QUERIES, ORACLES)
 register_r4gg(QUERIES, ORACLES)
 register_r4gh(QUERIES, ORACLES)
 register_r4gi(QUERIES, ORACLES)
+register_r4gj(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
