@@ -5339,6 +5339,7 @@ from mimirsbrunn_ray.pipelines.queries_r4gh import register_r4gh  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gi import register_r4gi  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gj import register_r4gj  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gk import register_r4gk  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4gl import register_r4gl  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5534,6 +5535,7 @@ register_r4gh(QUERIES, ORACLES)
 register_r4gi(QUERIES, ORACLES)
 register_r4gj(QUERIES, ORACLES)
 register_r4gk(QUERIES, ORACLES)
+register_r4gl(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
