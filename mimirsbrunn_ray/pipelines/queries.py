@@ -5340,6 +5340,7 @@ from mimirsbrunn_ray.pipelines.queries_r4gi import register_r4gi  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gj import register_r4gj  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gk import register_r4gk  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gl import register_r4gl  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4gm import register_r4gm  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5536,6 +5537,7 @@ register_r4gi(QUERIES, ORACLES)
 register_r4gj(QUERIES, ORACLES)
 register_r4gk(QUERIES, ORACLES)
 register_r4gl(QUERIES, ORACLES)
+register_r4gm(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
