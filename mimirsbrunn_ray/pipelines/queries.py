@@ -5347,6 +5347,7 @@ from mimirsbrunn_ray.pipelines.queries_r4gp import register_r4gp  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gq import register_r4gq  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gr import register_r4gr  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gs import register_r4gs  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4gt import register_r4gt  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5550,6 +5551,7 @@ register_r4gp(QUERIES, ORACLES)
 register_r4gq(QUERIES, ORACLES)
 register_r4gr(QUERIES, ORACLES)
 register_r4gs(QUERIES, ORACLES)
+register_r4gt(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
