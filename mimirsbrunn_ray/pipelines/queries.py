@@ -5348,6 +5348,7 @@ from mimirsbrunn_ray.pipelines.queries_r4gq import register_r4gq  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gr import register_r4gr  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gs import register_r4gs  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gt import register_r4gt  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4gu import register_r4gu  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5552,6 +5553,7 @@ register_r4gq(QUERIES, ORACLES)
 register_r4gr(QUERIES, ORACLES)
 register_r4gs(QUERIES, ORACLES)
 register_r4gt(QUERIES, ORACLES)
+register_r4gu(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
