@@ -5349,6 +5349,7 @@ from mimirsbrunn_ray.pipelines.queries_r4gr import register_r4gr  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gs import register_r4gs  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gt import register_r4gt  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gu import register_r4gu  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4gv import register_r4gv  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5554,6 +5555,7 @@ register_r4gr(QUERIES, ORACLES)
 register_r4gs(QUERIES, ORACLES)
 register_r4gt(QUERIES, ORACLES)
 register_r4gu(QUERIES, ORACLES)
+register_r4gv(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
