@@ -5354,6 +5354,7 @@ from mimirsbrunn_ray.pipelines.queries_r4gw import register_r4gw  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gx import register_r4gx  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gy import register_r4gy  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gz import register_r4gz  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ha import register_r4ha  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5564,6 +5565,7 @@ register_r4gw(QUERIES, ORACLES)
 register_r4gx(QUERIES, ORACLES)
 register_r4gy(QUERIES, ORACLES)
 register_r4gz(QUERIES, ORACLES)
+register_r4ha(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
