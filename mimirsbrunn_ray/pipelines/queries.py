@@ -5356,6 +5356,7 @@ from mimirsbrunn_ray.pipelines.queries_r4gy import register_r4gy  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4gz import register_r4gz  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ha import register_r4ha  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hb import register_r4hb  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4hc import register_r4hc  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5568,6 +5569,7 @@ register_r4gy(QUERIES, ORACLES)
 register_r4gz(QUERIES, ORACLES)
 register_r4ha(QUERIES, ORACLES)
 register_r4hb(QUERIES, ORACLES)
+register_r4hc(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
