@@ -5357,6 +5357,7 @@ from mimirsbrunn_ray.pipelines.queries_r4gz import register_r4gz  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ha import register_r4ha  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hb import register_r4hb  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hc import register_r4hc  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4hd import register_r4hd  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5570,6 +5571,7 @@ register_r4gz(QUERIES, ORACLES)
 register_r4ha(QUERIES, ORACLES)
 register_r4hb(QUERIES, ORACLES)
 register_r4hc(QUERIES, ORACLES)
+register_r4hd(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
