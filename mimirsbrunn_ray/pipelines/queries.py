@@ -5358,6 +5358,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ha import register_r4ha  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hb import register_r4hb  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hc import register_r4hc  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hd import register_r4hd  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4he import register_r4he  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5572,6 +5573,7 @@ register_r4ha(QUERIES, ORACLES)
 register_r4hb(QUERIES, ORACLES)
 register_r4hc(QUERIES, ORACLES)
 register_r4hd(QUERIES, ORACLES)
+register_r4he(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
