@@ -5359,6 +5359,7 @@ from mimirsbrunn_ray.pipelines.queries_r4hb import register_r4hb  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hc import register_r4hc  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hd import register_r4hd  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4he import register_r4he  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4hf import register_r4hf  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5574,6 +5575,7 @@ register_r4hb(QUERIES, ORACLES)
 register_r4hc(QUERIES, ORACLES)
 register_r4hd(QUERIES, ORACLES)
 register_r4he(QUERIES, ORACLES)
+register_r4hf(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
