@@ -5365,6 +5365,7 @@ from mimirsbrunn_ray.pipelines.queries_r4hh import register_r4hh  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hi import register_r4hi  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hj import register_r4hj  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hk import register_r4hk  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4hl import register_r4hl  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5586,6 +5587,7 @@ register_r4hh(QUERIES, ORACLES)
 register_r4hi(QUERIES, ORACLES)
 register_r4hj(QUERIES, ORACLES)
 register_r4hk(QUERIES, ORACLES)
+register_r4hl(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
