@@ -5367,6 +5367,7 @@ from mimirsbrunn_ray.pipelines.queries_r4hj import register_r4hj  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hk import register_r4hk  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hl import register_r4hl  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hm import register_r4hm  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4hn import register_r4hn  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5590,6 +5591,7 @@ register_r4hj(QUERIES, ORACLES)
 register_r4hk(QUERIES, ORACLES)
 register_r4hl(QUERIES, ORACLES)
 register_r4hm(QUERIES, ORACLES)
+register_r4hn(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
