@@ -5377,6 +5377,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ht import register_r4ht  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hu import register_r4hu  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hv import register_r4hv  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hw import register_r4hw  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4hx import register_r4hx  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5610,6 +5611,7 @@ register_r4ht(QUERIES, ORACLES)
 register_r4hu(QUERIES, ORACLES)
 register_r4hv(QUERIES, ORACLES)
 register_r4hw(QUERIES, ORACLES)
+register_r4hx(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
