@@ -5380,6 +5380,7 @@ from mimirsbrunn_ray.pipelines.queries_r4hw import register_r4hw  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hx import register_r4hx  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hy import register_r4hy  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hz import register_r4hz  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ia import register_r4ia  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5616,6 +5617,7 @@ register_r4hw(QUERIES, ORACLES)
 register_r4hx(QUERIES, ORACLES)
 register_r4hy(QUERIES, ORACLES)
 register_r4hz(QUERIES, ORACLES)
+register_r4ia(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
