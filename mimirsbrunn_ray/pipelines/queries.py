@@ -5381,6 +5381,7 @@ from mimirsbrunn_ray.pipelines.queries_r4hx import register_r4hx  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hy import register_r4hy  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4hz import register_r4hz  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ia import register_r4ia  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ib import register_r4ib  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5618,6 +5619,7 @@ register_r4hx(QUERIES, ORACLES)
 register_r4hy(QUERIES, ORACLES)
 register_r4hz(QUERIES, ORACLES)
 register_r4ia(QUERIES, ORACLES)
+register_r4ib(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
