@@ -5383,6 +5383,7 @@ from mimirsbrunn_ray.pipelines.queries_r4hz import register_r4hz  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ia import register_r4ia  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ib import register_r4ib  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ic import register_r4ic  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4id import register_r4id  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5622,6 +5623,7 @@ register_r4hz(QUERIES, ORACLES)
 register_r4ia(QUERIES, ORACLES)
 register_r4ib(QUERIES, ORACLES)
 register_r4ic(QUERIES, ORACLES)
+register_r4id(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
