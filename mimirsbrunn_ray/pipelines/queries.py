@@ -5389,6 +5389,7 @@ from mimirsbrunn_ray.pipelines.queries_r4if import register_r4if  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ig import register_r4ig  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ih import register_r4ih  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ii import register_r4ii  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ij import register_r4ij  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5634,6 +5635,7 @@ register_r4if(QUERIES, ORACLES)
 register_r4ig(QUERIES, ORACLES)
 register_r4ih(QUERIES, ORACLES)
 register_r4ii(QUERIES, ORACLES)
+register_r4ij(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
