@@ -5393,6 +5393,7 @@ from mimirsbrunn_ray.pipelines.queries_r4ij import register_r4ij  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ik import register_r4ik  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4il import register_r4il  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4im import register_r4im  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4in import register_r4in  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5642,6 +5643,7 @@ register_r4ij(QUERIES, ORACLES)
 register_r4ik(QUERIES, ORACLES)
 register_r4il(QUERIES, ORACLES)
 register_r4im(QUERIES, ORACLES)
+register_r4in(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
