@@ -5397,6 +5397,7 @@ from mimirsbrunn_ray.pipelines.queries_r4in import register_r4in  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4io import register_r4io  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ip import register_r4ip  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4iq import register_r4iq  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ir import register_r4ir  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5650,6 +5651,7 @@ register_r4in(QUERIES, ORACLES)
 register_r4io(QUERIES, ORACLES)
 register_r4ip(QUERIES, ORACLES)
 register_r4iq(QUERIES, ORACLES)
+register_r4ir(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
