@@ -5398,6 +5398,7 @@ from mimirsbrunn_ray.pipelines.queries_r4io import register_r4io  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ip import register_r4ip  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4iq import register_r4iq  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ir import register_r4ir  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4is import register_r4is  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5652,6 +5653,7 @@ register_r4io(QUERIES, ORACLES)
 register_r4ip(QUERIES, ORACLES)
 register_r4iq(QUERIES, ORACLES)
 register_r4ir(QUERIES, ORACLES)
+register_r4is(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
