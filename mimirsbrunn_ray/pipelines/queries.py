@@ -5409,6 +5409,7 @@ from mimirsbrunn_ray.pipelines.queries_r4iz import register_r4iz  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ja import register_r4ja  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4jb import register_r4jb  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4jc import register_r4jc  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4jd import register_r4jd  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5674,6 +5675,7 @@ register_r4iz(QUERIES, ORACLES)
 register_r4ja(QUERIES, ORACLES)
 register_r4jb(QUERIES, ORACLES)
 register_r4jc(QUERIES, ORACLES)
+register_r4jd(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
