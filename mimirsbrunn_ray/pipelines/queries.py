@@ -5414,6 +5414,7 @@ from mimirsbrunn_ray.pipelines.queries_r4je import register_r4je  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4jf import register_r4jf  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4jg import register_r4jg  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4jh import register_r4jh  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4ji import register_r4ji  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5684,6 +5685,7 @@ register_r4je(QUERIES, ORACLES)
 register_r4jf(QUERIES, ORACLES)
 register_r4jg(QUERIES, ORACLES)
 register_r4jh(QUERIES, ORACLES)
+register_r4ji(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
