@@ -5415,6 +5415,7 @@ from mimirsbrunn_ray.pipelines.queries_r4jf import register_r4jf  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4jg import register_r4jg  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4jh import register_r4jh  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4ji import register_r4ji  # noqa: E402
+from mimirsbrunn_ray.pipelines.queries_r4jj import register_r4jj  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
 register_ext(QUERIES, ORACLES)
@@ -5686,6 +5687,7 @@ register_r4jf(QUERIES, ORACLES)
 register_r4jg(QUERIES, ORACLES)
 register_r4jh(QUERIES, ORACLES)
 register_r4ji(QUERIES, ORACLES)
+register_r4jj(QUERIES, ORACLES)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so
