@@ -5418,276 +5418,298 @@ from mimirsbrunn_ray.pipelines.queries_r4ji import register_r4ji  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_r4jj import register_r4jj  # noqa: E402
 from mimirsbrunn_ray.pipelines.queries_ts import register_ts  # noqa: E402
 
-register_ext(QUERIES, ORACLES)
-register_ts(QUERIES, ORACLES)
-register_r4c(QUERIES, ORACLES)
-register_r4d(QUERIES, ORACLES)
-register_r4e(QUERIES, ORACLES)
-register_r4f(QUERIES, ORACLES)
-register_r4g(QUERIES, ORACLES)
-register_r4h(QUERIES, ORACLES)
-register_r4i(QUERIES, ORACLES)
-register_r4j(QUERIES, ORACLES)
-register_r4k(QUERIES, ORACLES)
-register_r4l(QUERIES, ORACLES)
-register_r4m(QUERIES, ORACLES)
-register_r4n(QUERIES, ORACLES)
-register_r4o(QUERIES, ORACLES)
-register_r4p(QUERIES, ORACLES)
-register_r4q(QUERIES, ORACLES)
-register_r4r(QUERIES, ORACLES)
-register_r4s(QUERIES, ORACLES)
-register_r4t(QUERIES, ORACLES)
-register_r4u(QUERIES, ORACLES)
-register_r4v(QUERIES, ORACLES)
-register_r4w(QUERIES, ORACLES)
-register_r4x(QUERIES, ORACLES)
-register_r4y(QUERIES, ORACLES)
-register_r4z(QUERIES, ORACLES)
-register_r4aa(QUERIES, ORACLES)
-register_r4ab(QUERIES, ORACLES)
-register_r4ac(QUERIES, ORACLES)
-register_r4ad(QUERIES, ORACLES)
-register_r4ae(QUERIES, ORACLES)
-register_r4af(QUERIES, ORACLES)
-register_r4ag(QUERIES, ORACLES)
-register_r4ah(QUERIES, ORACLES)
-register_r4ai(QUERIES, ORACLES)
-register_r4aj(QUERIES, ORACLES)
-register_r4ak(QUERIES, ORACLES)
-register_r4al(QUERIES, ORACLES)
-register_r4am(QUERIES, ORACLES)
-register_r4an(QUERIES, ORACLES)
-register_r4ao(QUERIES, ORACLES)
-register_r4ap(QUERIES, ORACLES)
-register_r4aq(QUERIES, ORACLES)
-register_r4ar(QUERIES, ORACLES)
-register_r4as(QUERIES, ORACLES)
-register_r4at(QUERIES, ORACLES)
-register_r4au(QUERIES, ORACLES)
-register_r4av(QUERIES, ORACLES)
-register_r4aw(QUERIES, ORACLES)
-register_r4ax(QUERIES, ORACLES)
-register_r4ay_batch2(QUERIES, ORACLES)
-register_r4az(QUERIES, ORACLES)
-register_r4ba(QUERIES, ORACLES)
-register_r4bb(QUERIES, ORACLES)
-register_r4bc(QUERIES, ORACLES)
-register_r4bd(QUERIES, ORACLES)
-register_r4be(QUERIES, ORACLES)
-register_r4bf(QUERIES, ORACLES)
-register_r4bg(QUERIES, ORACLES)
-register_r4bh(QUERIES, ORACLES)
-register_r4bi(QUERIES, ORACLES)
-register_r4bj(QUERIES, ORACLES)
-register_r4bk(QUERIES, ORACLES)
-register_r4bl(QUERIES, ORACLES)
-register_r4bm(QUERIES, ORACLES)
-register_r4bn(QUERIES, ORACLES)
-register_r4bo(QUERIES, ORACLES)
-register_r4bp(QUERIES, ORACLES)
-register_r4bq(QUERIES, ORACLES)
-register_r4br(QUERIES, ORACLES)
-register_r4bs(QUERIES, ORACLES)
-register_r4bt(QUERIES, ORACLES)
-register_r4bu(QUERIES, ORACLES)
-register_r4bv(QUERIES, ORACLES)
-register_r4bw(QUERIES, ORACLES)
-register_r4bx(QUERIES, ORACLES)
-register_r4by(QUERIES, ORACLES)
-register_r4bz(QUERIES, ORACLES)
-register_r4ca(QUERIES, ORACLES)
-register_r4cb(QUERIES, ORACLES)
-register_r4cc(QUERIES, ORACLES)
-register_r4cd(QUERIES, ORACLES)
-register_r4ce(QUERIES, ORACLES)
-register_r4cf(QUERIES, ORACLES)
-register_r4cg(QUERIES, ORACLES)
-register_r4ch(QUERIES, ORACLES)
-register_r4ci(QUERIES, ORACLES)
-register_r4cj(QUERIES, ORACLES)
-register_r4ck(QUERIES, ORACLES)
-register_r4cl(QUERIES, ORACLES)
-register_r4cm(QUERIES, ORACLES)
-register_r4cn(QUERIES, ORACLES)
-register_r4co(QUERIES, ORACLES)
-register_r4cp(QUERIES, ORACLES)
-register_r4cq(QUERIES, ORACLES)
-register_r4cr(QUERIES, ORACLES)
-register_r4cs(QUERIES, ORACLES)
-register_r4ct(QUERIES, ORACLES)
-register_r4cu(QUERIES, ORACLES)
-register_r4cv(QUERIES, ORACLES)
-register_r4cw(QUERIES, ORACLES)
-register_r4cx(QUERIES, ORACLES)
-register_r4cy(QUERIES, ORACLES)
-register_r4cz(QUERIES, ORACLES)
-register_r4da(QUERIES, ORACLES)
-register_r4db(QUERIES, ORACLES)
-register_r4dc(QUERIES, ORACLES)
-register_r4dd(QUERIES, ORACLES)
-register_r4de(QUERIES, ORACLES)
-register_r4df(QUERIES, ORACLES)
-register_r4dg(QUERIES, ORACLES)
-register_r4dh(QUERIES, ORACLES)
-register_r4di(QUERIES, ORACLES)
-register_r4dj(QUERIES, ORACLES)
-register_r4dk(QUERIES, ORACLES)
-register_r4dl(QUERIES, ORACLES)
-register_r4dm(QUERIES, ORACLES)
-register_r4dn(QUERIES, ORACLES)
-register_r4do(QUERIES, ORACLES)
-register_r4dp(QUERIES, ORACLES)
-register_r4dq(QUERIES, ORACLES)
-register_r4dr(QUERIES, ORACLES)
-register_r4ds(QUERIES, ORACLES)
-register_r4dt(QUERIES, ORACLES)
-register_r4du(QUERIES, ORACLES)
-register_r4dv(QUERIES, ORACLES)
-register_r4dw(QUERIES, ORACLES)
-register_r4dx(QUERIES, ORACLES)
-register_r4dy(QUERIES, ORACLES)
-register_r4dz(QUERIES, ORACLES)
-register_r4ea(QUERIES, ORACLES)
-register_r4eb(QUERIES, ORACLES)
-register_r4ec(QUERIES, ORACLES)
-register_r4ed(QUERIES, ORACLES)
-register_r4ee(QUERIES, ORACLES)
-register_r4ef(QUERIES, ORACLES)
-register_r4eg(QUERIES, ORACLES)
-register_r4eh(QUERIES, ORACLES)
-register_r4ei(QUERIES, ORACLES)
-register_r4ej(QUERIES, ORACLES)
-register_r4ek(QUERIES, ORACLES)
-register_r4el(QUERIES, ORACLES)
-register_r4em(QUERIES, ORACLES)
-register_r4en(QUERIES, ORACLES)
-register_r4eo(QUERIES, ORACLES)
-register_r4ep(QUERIES, ORACLES)
-register_r4eq(QUERIES, ORACLES)
-register_r4er(QUERIES, ORACLES)
-register_r4es(QUERIES, ORACLES)
-register_r4et(QUERIES, ORACLES)
-register_r4eu(QUERIES, ORACLES)
-register_r4ev(QUERIES, ORACLES)
-register_r4ew(QUERIES, ORACLES)
-register_r4ex(QUERIES, ORACLES)
-register_r4ey(QUERIES, ORACLES)
-register_r4ez(QUERIES, ORACLES)
-register_r4fa(QUERIES, ORACLES)
-register_r4fb(QUERIES, ORACLES)
-register_r4fc(QUERIES, ORACLES)
-register_r4fd(QUERIES, ORACLES)
-register_r4fe(QUERIES, ORACLES)
-register_r4ff(QUERIES, ORACLES)
-register_r4fg(QUERIES, ORACLES)
-register_r4fh(QUERIES, ORACLES)
-register_r4fi(QUERIES, ORACLES)
-register_r4fj(QUERIES, ORACLES)
-register_r4fk(QUERIES, ORACLES)
-register_r4fl(QUERIES, ORACLES)
-register_r4fm(QUERIES, ORACLES)
-register_r4fn(QUERIES, ORACLES)
-register_r4fo(QUERIES, ORACLES)
-register_r4fp(QUERIES, ORACLES)
-register_r4fq(QUERIES, ORACLES)
-register_r4fr(QUERIES, ORACLES)
-register_r4fs(QUERIES, ORACLES)
-register_r4ft(QUERIES, ORACLES)
-register_r4fu(QUERIES, ORACLES)
-register_r4fv(QUERIES, ORACLES)
-register_r4fw(QUERIES, ORACLES)
-register_r4fx(QUERIES, ORACLES)
-register_r4fy(QUERIES, ORACLES)
-register_r4fz(QUERIES, ORACLES)
-register_r4ga(QUERIES, ORACLES)
-register_r4gb(QUERIES, ORACLES)
-register_r4gc(QUERIES, ORACLES)
-register_r4gd(QUERIES, ORACLES)
-register_r4ge(QUERIES, ORACLES)
-register_r4gf(QUERIES, ORACLES)
-register_r4gg(QUERIES, ORACLES)
-register_r4gh(QUERIES, ORACLES)
-register_r4gi(QUERIES, ORACLES)
-register_r4gj(QUERIES, ORACLES)
-register_r4gk(QUERIES, ORACLES)
-register_r4gl(QUERIES, ORACLES)
-register_r4gm(QUERIES, ORACLES)
-register_r4gn(QUERIES, ORACLES)
-register_r4go(QUERIES, ORACLES)
-register_r4gp(QUERIES, ORACLES)
-register_r4gq(QUERIES, ORACLES)
-register_r4gr(QUERIES, ORACLES)
-register_r4gs(QUERIES, ORACLES)
-register_r4gt(QUERIES, ORACLES)
-register_r4gu(QUERIES, ORACLES)
-register_r4gv(QUERIES, ORACLES)
-register_r4gw(QUERIES, ORACLES)
-register_r4gx(QUERIES, ORACLES)
-register_r4gy(QUERIES, ORACLES)
-register_r4gz(QUERIES, ORACLES)
-register_r4ha(QUERIES, ORACLES)
-register_r4hb(QUERIES, ORACLES)
-register_r4hc(QUERIES, ORACLES)
-register_r4hd(QUERIES, ORACLES)
-register_r4he(QUERIES, ORACLES)
-register_r4hf(QUERIES, ORACLES)
-register_r4hg(QUERIES, ORACLES)
-register_r4hh(QUERIES, ORACLES)
-register_r4hi(QUERIES, ORACLES)
-register_r4hj(QUERIES, ORACLES)
-register_r4hk(QUERIES, ORACLES)
-register_r4hl(QUERIES, ORACLES)
-register_r4hm(QUERIES, ORACLES)
-register_r4hn(QUERIES, ORACLES)
-register_r4ho(QUERIES, ORACLES)
-register_r4hp(QUERIES, ORACLES)
-register_r4hq(QUERIES, ORACLES)
-register_r4hr(QUERIES, ORACLES)
-register_r4hs(QUERIES, ORACLES)
-register_r4ht(QUERIES, ORACLES)
-register_r4hu(QUERIES, ORACLES)
-register_r4hv(QUERIES, ORACLES)
-register_r4hw(QUERIES, ORACLES)
-register_r4hx(QUERIES, ORACLES)
-register_r4hy(QUERIES, ORACLES)
-register_r4hz(QUERIES, ORACLES)
-register_r4ia(QUERIES, ORACLES)
-register_r4ib(QUERIES, ORACLES)
-register_r4ic(QUERIES, ORACLES)
-register_r4id(QUERIES, ORACLES)
-register_r4ie(QUERIES, ORACLES)
-register_r4if(QUERIES, ORACLES)
-register_r4ig(QUERIES, ORACLES)
-register_r4ih(QUERIES, ORACLES)
-register_r4ii(QUERIES, ORACLES)
-register_r4ij(QUERIES, ORACLES)
-register_r4ik(QUERIES, ORACLES)
-register_r4il(QUERIES, ORACLES)
-register_r4im(QUERIES, ORACLES)
-register_r4in(QUERIES, ORACLES)
-register_r4io(QUERIES, ORACLES)
-register_r4ip(QUERIES, ORACLES)
-register_r4iq(QUERIES, ORACLES)
-register_r4ir(QUERIES, ORACLES)
-register_r4is(QUERIES, ORACLES)
-register_r4it(QUERIES, ORACLES)
-register_r4iu(QUERIES, ORACLES)
-register_r4iv(QUERIES, ORACLES)
-register_r4iw(QUERIES, ORACLES)
-register_r4ix(QUERIES, ORACLES)
-register_r4iy(QUERIES, ORACLES)
-register_r4iz(QUERIES, ORACLES)
-register_r4ja(QUERIES, ORACLES)
-register_r4jb(QUERIES, ORACLES)
-register_r4jc(QUERIES, ORACLES)
-register_r4jd(QUERIES, ORACLES)
-register_r4je(QUERIES, ORACLES)
-register_r4jf(QUERIES, ORACLES)
-register_r4jg(QUERIES, ORACLES)
-register_r4jh(QUERIES, ORACLES)
-register_r4ji(QUERIES, ORACLES)
-register_r4jj(QUERIES, ORACLES)
+
+def _checked_register(reg_fn) -> None:
+    """Register a batch into the global registry, refusing silent shadowing:
+    dict.update would let a later batch overwrite an earlier oracled query
+    (round-4 ADVICE — 5 names were registered twice and the first
+    implementation became dead code). Every batch lands through this guard."""
+    q, o = {}, {}
+    reg_fn(q, o)
+    clash = set(q) & set(QUERIES)
+    if clash:
+        raise AssertionError(
+            f"duplicate registry names from {reg_fn.__name__}: {sorted(clash)}"
+        )
+    orphan = set(o) - set(q)
+    if orphan:
+        raise AssertionError(
+            f"oracle without query from {reg_fn.__name__}: {sorted(orphan)}"
+        )
+    QUERIES.update(q)
+    ORACLES.update(o)
+
+
+_checked_register(register_ext)
+_checked_register(register_ts)
+_checked_register(register_r4c)
+_checked_register(register_r4d)
+_checked_register(register_r4e)
+_checked_register(register_r4f)
+_checked_register(register_r4g)
+_checked_register(register_r4h)
+_checked_register(register_r4i)
+_checked_register(register_r4j)
+_checked_register(register_r4k)
+_checked_register(register_r4l)
+_checked_register(register_r4m)
+_checked_register(register_r4n)
+_checked_register(register_r4o)
+_checked_register(register_r4p)
+_checked_register(register_r4q)
+_checked_register(register_r4r)
+_checked_register(register_r4s)
+_checked_register(register_r4t)
+_checked_register(register_r4u)
+_checked_register(register_r4v)
+_checked_register(register_r4w)
+_checked_register(register_r4x)
+_checked_register(register_r4y)
+_checked_register(register_r4z)
+_checked_register(register_r4aa)
+_checked_register(register_r4ab)
+_checked_register(register_r4ac)
+_checked_register(register_r4ad)
+_checked_register(register_r4ae)
+_checked_register(register_r4af)
+_checked_register(register_r4ag)
+_checked_register(register_r4ah)
+_checked_register(register_r4ai)
+_checked_register(register_r4aj)
+_checked_register(register_r4ak)
+_checked_register(register_r4al)
+_checked_register(register_r4am)
+_checked_register(register_r4an)
+_checked_register(register_r4ao)
+_checked_register(register_r4ap)
+_checked_register(register_r4aq)
+_checked_register(register_r4ar)
+_checked_register(register_r4as)
+_checked_register(register_r4at)
+_checked_register(register_r4au)
+_checked_register(register_r4av)
+_checked_register(register_r4aw)
+_checked_register(register_r4ax)
+_checked_register(register_r4ay_batch2)
+_checked_register(register_r4az)
+_checked_register(register_r4ba)
+_checked_register(register_r4bb)
+_checked_register(register_r4bc)
+_checked_register(register_r4bd)
+_checked_register(register_r4be)
+_checked_register(register_r4bf)
+_checked_register(register_r4bg)
+_checked_register(register_r4bh)
+_checked_register(register_r4bi)
+_checked_register(register_r4bj)
+_checked_register(register_r4bk)
+_checked_register(register_r4bl)
+_checked_register(register_r4bm)
+_checked_register(register_r4bn)
+_checked_register(register_r4bo)
+_checked_register(register_r4bp)
+_checked_register(register_r4bq)
+_checked_register(register_r4br)
+_checked_register(register_r4bs)
+_checked_register(register_r4bt)
+_checked_register(register_r4bu)
+_checked_register(register_r4bv)
+_checked_register(register_r4bw)
+_checked_register(register_r4bx)
+_checked_register(register_r4by)
+_checked_register(register_r4bz)
+_checked_register(register_r4ca)
+_checked_register(register_r4cb)
+_checked_register(register_r4cc)
+_checked_register(register_r4cd)
+_checked_register(register_r4ce)
+_checked_register(register_r4cf)
+_checked_register(register_r4cg)
+_checked_register(register_r4ch)
+_checked_register(register_r4ci)
+_checked_register(register_r4cj)
+_checked_register(register_r4ck)
+_checked_register(register_r4cl)
+_checked_register(register_r4cm)
+_checked_register(register_r4cn)
+_checked_register(register_r4co)
+_checked_register(register_r4cp)
+_checked_register(register_r4cq)
+_checked_register(register_r4cr)
+_checked_register(register_r4cs)
+_checked_register(register_r4ct)
+_checked_register(register_r4cu)
+_checked_register(register_r4cv)
+_checked_register(register_r4cw)
+_checked_register(register_r4cx)
+_checked_register(register_r4cy)
+_checked_register(register_r4cz)
+_checked_register(register_r4da)
+_checked_register(register_r4db)
+_checked_register(register_r4dc)
+_checked_register(register_r4dd)
+_checked_register(register_r4de)
+_checked_register(register_r4df)
+_checked_register(register_r4dg)
+_checked_register(register_r4dh)
+_checked_register(register_r4di)
+_checked_register(register_r4dj)
+_checked_register(register_r4dk)
+_checked_register(register_r4dl)
+_checked_register(register_r4dm)
+_checked_register(register_r4dn)
+_checked_register(register_r4do)
+_checked_register(register_r4dp)
+_checked_register(register_r4dq)
+_checked_register(register_r4dr)
+_checked_register(register_r4ds)
+_checked_register(register_r4dt)
+_checked_register(register_r4du)
+_checked_register(register_r4dv)
+_checked_register(register_r4dw)
+_checked_register(register_r4dx)
+_checked_register(register_r4dy)
+_checked_register(register_r4dz)
+_checked_register(register_r4ea)
+_checked_register(register_r4eb)
+_checked_register(register_r4ec)
+_checked_register(register_r4ed)
+_checked_register(register_r4ee)
+_checked_register(register_r4ef)
+_checked_register(register_r4eg)
+_checked_register(register_r4eh)
+_checked_register(register_r4ei)
+_checked_register(register_r4ej)
+_checked_register(register_r4ek)
+_checked_register(register_r4el)
+_checked_register(register_r4em)
+_checked_register(register_r4en)
+_checked_register(register_r4eo)
+_checked_register(register_r4ep)
+_checked_register(register_r4eq)
+_checked_register(register_r4er)
+_checked_register(register_r4es)
+_checked_register(register_r4et)
+_checked_register(register_r4eu)
+_checked_register(register_r4ev)
+_checked_register(register_r4ew)
+_checked_register(register_r4ex)
+_checked_register(register_r4ey)
+_checked_register(register_r4ez)
+_checked_register(register_r4fa)
+_checked_register(register_r4fb)
+_checked_register(register_r4fc)
+_checked_register(register_r4fd)
+_checked_register(register_r4fe)
+_checked_register(register_r4ff)
+_checked_register(register_r4fg)
+_checked_register(register_r4fh)
+_checked_register(register_r4fi)
+_checked_register(register_r4fj)
+_checked_register(register_r4fk)
+_checked_register(register_r4fl)
+_checked_register(register_r4fm)
+_checked_register(register_r4fn)
+_checked_register(register_r4fo)
+_checked_register(register_r4fp)
+_checked_register(register_r4fq)
+_checked_register(register_r4fr)
+_checked_register(register_r4fs)
+_checked_register(register_r4ft)
+_checked_register(register_r4fu)
+_checked_register(register_r4fv)
+_checked_register(register_r4fw)
+_checked_register(register_r4fx)
+_checked_register(register_r4fy)
+_checked_register(register_r4fz)
+_checked_register(register_r4ga)
+_checked_register(register_r4gb)
+_checked_register(register_r4gc)
+_checked_register(register_r4gd)
+_checked_register(register_r4ge)
+_checked_register(register_r4gf)
+_checked_register(register_r4gg)
+_checked_register(register_r4gh)
+_checked_register(register_r4gi)
+_checked_register(register_r4gj)
+_checked_register(register_r4gk)
+_checked_register(register_r4gl)
+_checked_register(register_r4gm)
+_checked_register(register_r4gn)
+_checked_register(register_r4go)
+_checked_register(register_r4gp)
+_checked_register(register_r4gq)
+_checked_register(register_r4gr)
+_checked_register(register_r4gs)
+_checked_register(register_r4gt)
+_checked_register(register_r4gu)
+_checked_register(register_r4gv)
+_checked_register(register_r4gw)
+_checked_register(register_r4gx)
+_checked_register(register_r4gy)
+_checked_register(register_r4gz)
+_checked_register(register_r4ha)
+_checked_register(register_r4hb)
+_checked_register(register_r4hc)
+_checked_register(register_r4hd)
+_checked_register(register_r4he)
+_checked_register(register_r4hf)
+_checked_register(register_r4hg)
+_checked_register(register_r4hh)
+_checked_register(register_r4hi)
+_checked_register(register_r4hj)
+_checked_register(register_r4hk)
+_checked_register(register_r4hl)
+_checked_register(register_r4hm)
+_checked_register(register_r4hn)
+_checked_register(register_r4ho)
+_checked_register(register_r4hp)
+_checked_register(register_r4hq)
+_checked_register(register_r4hr)
+_checked_register(register_r4hs)
+_checked_register(register_r4ht)
+_checked_register(register_r4hu)
+_checked_register(register_r4hv)
+_checked_register(register_r4hw)
+_checked_register(register_r4hx)
+_checked_register(register_r4hy)
+_checked_register(register_r4hz)
+_checked_register(register_r4ia)
+_checked_register(register_r4ib)
+_checked_register(register_r4ic)
+_checked_register(register_r4id)
+_checked_register(register_r4ie)
+_checked_register(register_r4if)
+_checked_register(register_r4ig)
+_checked_register(register_r4ih)
+_checked_register(register_r4ii)
+_checked_register(register_r4ij)
+_checked_register(register_r4ik)
+_checked_register(register_r4il)
+_checked_register(register_r4im)
+_checked_register(register_r4in)
+_checked_register(register_r4io)
+_checked_register(register_r4ip)
+_checked_register(register_r4iq)
+_checked_register(register_r4ir)
+_checked_register(register_r4is)
+_checked_register(register_r4it)
+_checked_register(register_r4iu)
+_checked_register(register_r4iv)
+_checked_register(register_r4iw)
+_checked_register(register_r4ix)
+_checked_register(register_r4iy)
+_checked_register(register_r4iz)
+_checked_register(register_r4ja)
+_checked_register(register_r4jb)
+_checked_register(register_r4jc)
+_checked_register(register_r4jd)
+_checked_register(register_r4je)
+_checked_register(register_r4jf)
+_checked_register(register_r4jg)
+_checked_register(register_r4jh)
+_checked_register(register_r4ji)
+_checked_register(register_r4jj)
 
 # Driver visibility: the correctness harness value-checks only the FIRST 50
 # registry entries (dict insertion order).  Keep oracled queries first so

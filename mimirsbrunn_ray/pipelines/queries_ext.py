@@ -580,345 +580,6 @@ LIMIT 20
 """
 
 
-# ---------------------------------------------------------------------------
-# TPC-H Q18: large-volume orders (HAVING -> semi-join back)
-# ---------------------------------------------------------------------------
-
-
-def q_tpch_q18_large_orders(sf_dir):
-    """TPC-H Q18 shape — orders whose total lineitem quantity exceeds a
-    threshold, joined back to orders + customer: the HAVING-then-semi-
-    join-back pattern. Scale shape: per-batch (orderkey, qty) partials
-    -> ONE coarse-bucket shuffle -> segment sums -> threshold filter
-    (the survivor set is threshold-bounded, ~orders tail) -> survivors
-    broadcast into one orders scan; customer names attach by broadcast
-    with the byte-budget fallback to a distributed hash join. Quantities
-    are integral doubles, so sums are exact in int64."""
-    import os as _os
-
-    import pyarrow.parquet as _pq
-    import ray
-
-    from mimirsbrunn_ray.pipelines.queries import BROADCAST_BYTE_BUDGET
-    from mimirsbrunn_ray.stages.dedup import _hash64
-    from mimirsbrunn_ray.stages.join import broadcast_join
-
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
-    )
-    threshold = 250
-
-    def partial(b: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "l_orderkey": b["l_orderkey"].cast(pa.int64()),
-                "q": b["l_quantity"].cast(pa.int64()),
-            }
-        )
-        g = t.group_by(["l_orderkey"]).aggregate([("q", "sum")])
-        g = g.select(["l_orderkey", "q_sum"]).rename_columns(
-            ["l_orderkey", "q"]
-        )
-        h = _hash64(g["l_orderkey"])
-        return g.append_column(
-            "_gb", pa.array((h % np.uint64(64)).astype(np.int32))
-        )
-
-    def seg_sum(g: pa.Table) -> pa.Table:
-        s = g.group_by(["l_orderkey"]).aggregate([("q", "sum")])
-        s = s.select(["l_orderkey", "q_sum"]).rename_columns(
-            ["l_orderkey", "sum_qty"]
-        )
-        return s.filter(pc.greater(s["sum_qty"], threshold))
-
-    big = (
-        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("_gb")
-        .map_groups(
-            lambda g: seg_sum(g.drop_columns(["_gb"])),
-            batch_format="pyarrow",
-        )
-    )
-    # survivor set is threshold-bounded (the extreme tail of the order
-    # size distribution) — safe to hold as a broadcast map
-    qual: dict[int, int] = {}
-    for b in big.iter_batches(batch_format="pyarrow"):
-        qual.update(
-            zip(b["l_orderkey"].to_pylist(), b["sum_qty"].to_pylist())
-        )
-    qual_ref = ray.put(qual)
-
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
-    )
-
-    class PickQualified:
-        def __init__(self, ref):
-            self.qual = ray.get(ref)
-            self.keys = pa.array(list(self.qual), pa.int64())
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ok = b["o_orderkey"].cast(pa.int64())
-            b = b.filter(pc.is_in(ok, value_set=self.keys))
-            ok = b["o_orderkey"].cast(pa.int64())
-            qty = pa.array(
-                [float(self.qual[k]) for k in ok.to_pylist()], pa.float64()
-            )
-            return b.append_column("sum_qty", qty)
-
-    picked = orders.map_batches(
-        PickQualified,
-        fn_constructor_kwargs={"ref": qual_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-
-    cust_path = f"{sf_dir}/customer.parquet"
-    if _os.path.getsize(cust_path) <= BROADCAST_BYTE_BUDGET:
-        cust = _pq.read_table(cust_path, columns=["c_custkey", "c_name"])
-        lookup = dict(
-            zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())
-        )
-        named = broadcast_join(
-            picked, ray.put(lookup), key_col="o_custkey",
-            out_col="c_name", out_type=pa.string(),
-        )
-    else:
-        from mimirsbrunn_ray.context import pool_size
-
-        n_part = max(8, pool_size())
-        cust_ds = rd.read_parquet(
-            cust_path, columns=["c_custkey", "c_name"]
-        )
-        named = picked.repartition(n_part).join(
-            cust_ds.repartition(n_part), join_type="inner",
-            num_partitions=n_part, on=("o_custkey",),
-            right_on=("c_custkey",),
-        )
-
-    parts = list(named.iter_batches(batch_format="pyarrow"))
-    t = (
-        pa.concat_tables(parts).select(
-            ["c_name", "o_orderkey", "o_orderdate", "o_totalprice",
-             "sum_qty"]
-        )
-        if parts
-        else pa.table(
-            {
-                "c_name": pa.array([], pa.string()),
-                "o_orderkey": pa.array([], pa.int64()),
-                "o_orderdate": pa.array([], pa.timestamp("us")),
-                "o_totalprice": pa.array([], pa.float64()),
-                "sum_qty": pa.array([], pa.float64()),
-            }
-        )
-    )
-    t = t.set_column(
-        1, "o_orderkey", t["o_orderkey"].cast(pa.int64())
-    )
-    order = pc.sort_indices(
-        t,
-        sort_keys=[("o_totalprice", "descending"),
-                   ("o_orderkey", "ascending")],
-    )
-    return t.take(order[:100])
-
-
-Q18_SQL = """
-WITH q AS (
-  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
-  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250
-)
-SELECT c.c_name, CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
-       o.o_orderdate, o.o_totalprice, q.sum_qty
-FROM q
-JOIN orders o ON o.o_orderkey = q.l_orderkey
-JOIN customer c ON c.c_custkey = o.o_custkey
-ORDER BY o.o_totalprice DESC, o_orderkey
-LIMIT 100
-"""
-
-
-# ---------------------------------------------------------------------------
-# TPC-H Q14: promotion revenue share for one ship month
-# ---------------------------------------------------------------------------
-
-
-def q_tpch_q14_promo_share(sf_dir):
-    """TPC-H Q14 shape — conditional revenue RATIO over a dimension
-    attribute for one ship-date month: revenue snapped to exact x1e4
-    fixed point (cents x (100 - discount cents)), the PROMO flag
-    attached from a broadcast part map (byte-budget fallback to a
-    distributed join), both sums decomposable int64 — only the final
-    100*promo/total division is float, mirrored in the SQL twin."""
-    import os as _os
-
-    import pyarrow.parquet as _pq
-    import ray
-
-    from mimirsbrunn_ray.pipelines.queries import BROADCAST_BYTE_BUDGET
-    from mimirsbrunn_ray.stages.join import broadcast_join
-    from mimirsbrunn_ray.stages.rollup import tree_merge
-
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
-    )
-    lo = np.datetime64("1998-03-01", "us").astype("int64")
-    hi = np.datetime64("1998-04-01", "us").astype("int64")
-
-    def month_rev(b: pa.Table) -> pa.Table:
-        ts = b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
-        b = b.filter(
-            pc.and_(pc.greater_equal(ts, lo), pc.less(ts, hi))
-        )
-        price_c = pc.cast(
-            pc.round(
-                pc.multiply(b["l_extendedprice"].cast(pa.float64()), 100.0),
-                ndigits=0, round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
-        )
-        disc_c = pc.cast(
-            pc.round(
-                pc.multiply(b["l_discount"].cast(pa.float64()), 100.0),
-                ndigits=0, round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
-        )
-        rev = pc.multiply(
-            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
-        )
-        return pa.table(
-            {"l_partkey": b["l_partkey"].cast(pa.int64()), "rev_e4": rev}
-        )
-
-    month = li.map_batches(
-        month_rev, batch_format="pyarrow", batch_size=None
-    )
-
-    part_path = f"{sf_dir}/part.parquet"
-    if _os.path.getsize(part_path) <= BROADCAST_BYTE_BUDGET:
-        part = _pq.read_table(part_path, columns=["p_partkey", "p_type"])
-        promo = dict(
-            zip(
-                part["p_partkey"].to_pylist(),
-                pc.equal(part["p_type"], "PROMO").to_pylist(),
-            )
-        )
-        flagged = broadcast_join(
-            month, ray.put(promo), key_col="l_partkey",
-            out_col="is_promo", out_type=pa.bool_(),
-        )
-    else:
-        from mimirsbrunn_ray.context import pool_size
-
-        n_part = max(8, pool_size())
-        part_ds = rd.read_parquet(
-            part_path, columns=["p_partkey", "p_type"]
-        ).map_batches(
-            lambda b: pa.table(
-                {
-                    "p_partkey": b["p_partkey"].cast(pa.int64()),
-                    "is_promo": pc.equal(b["p_type"], "PROMO"),
-                }
-            ),
-            batch_format="pyarrow", batch_size=None,
-        )
-        flagged = month.repartition(n_part).join(
-            part_ds.repartition(n_part), join_type="inner",
-            num_partitions=n_part, on=("l_partkey",),
-            right_on=("p_partkey",),
-        )
-
-    def partial(b: pa.Table) -> pa.Table:
-        rev = b["rev_e4"]
-        promo_rev = pc.if_else(
-            pc.fill_null(b["is_promo"], False), rev,
-            pa.scalar(0, pa.int64()),
-        )
-        return pa.table(
-            {
-                "promo_rev_e4": pa.array(
-                    [pc.sum(promo_rev).as_py() or 0], pa.int64()
-                ),
-                "total_rev_e4": pa.array(
-                    [pc.sum(rev).as_py() or 0], pa.int64()
-                ),
-                "n_rows": pa.array([b.num_rows], pa.int64()),
-            }
-        )
-
-    def combine(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "promo_rev_e4": pa.array(
-                    [pc.sum(b["promo_rev_e4"]).as_py() or 0], pa.int64()
-                ),
-                "total_rev_e4": pa.array(
-                    [pc.sum(b["total_rev_e4"]).as_py() or 0], pa.int64()
-                ),
-                "n_rows": pa.array(
-                    [pc.sum(b["n_rows"]).as_py() or 0], pa.int64()
-                ),
-            }
-        )
-
-    merged = tree_merge(
-        flagged.map_batches(partial, batch_format="pyarrow",
-                            batch_size=None),
-        combine,
-    )
-    parts = list(merged.iter_batches(batch_format="pyarrow"))
-    t = combine(pa.concat_tables(parts)) if parts else pa.table(
-        {"promo_rev_e4": pa.array([0], pa.int64()),
-         "total_rev_e4": pa.array([0], pa.int64()),
-         "n_rows": pa.array([0], pa.int64())}
-    )
-    if int(t["n_rows"][0].as_py()) == 0:
-        # SQL aggregate over zero rows: one row, all sums NULL
-        return pa.table(
-            {
-                "promo_share": pa.array([None], pa.float64()),
-                "promo_rev_e4": pa.array([None], pa.int64()),
-                "total_rev_e4": pa.array([None], pa.int64()),
-            }
-        )
-    p = int(t["promo_rev_e4"][0].as_py())
-    tot = int(t["total_rev_e4"][0].as_py())
-    share = (100.0 * float(p)) / float(tot)
-    return pa.table(
-        {
-            "promo_share": pa.array([share], pa.float64()),
-            "promo_rev_e4": pa.array([p], pa.int64()),
-            "total_rev_e4": pa.array([tot], pa.int64()),
-        }
-    )
-
-
-Q14_SQL = """
-WITH l AS (
-  SELECT l_partkey,
-         CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
-           * (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT)) AS rev_e4
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1998-03-01'
-    AND l_shipdate < TIMESTAMP '1998-04-01'
-),
-j AS (
-  SELECT rev_e4,
-         CASE WHEN p.p_type = 'PROMO' THEN rev_e4 ELSE 0 END AS promo_e4
-  FROM l JOIN part p ON p.p_partkey = l.l_partkey
-)
-SELECT (100.0*CAST(SUM(promo_e4) AS DOUBLE))/CAST(SUM(rev_e4) AS DOUBLE)
-         AS promo_share,
-       CAST(SUM(promo_e4) AS BIGINT) AS promo_rev_e4,
-       CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4
-FROM j
-"""
-
-
 def register_ext(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -928,8 +589,6 @@ def register_ext(queries: dict, oracles: dict) -> None:
             "js_divergence_sources": q_js_divergence_sources,
             "numeric_mentions": q_numeric_mentions,
             "user_event_paths": q_user_event_paths,
-            "tpch_q18_large_orders": q_tpch_q18_large_orders,
-            "tpch_q14_promo_share": q_tpch_q14_promo_share,
         }
     )
     oracles.update(
@@ -940,7 +599,5 @@ def register_ext(queries: dict, oracles: dict) -> None:
             "js_divergence_sources": JS_SQL,
             "numeric_mentions": NUMERIC_SQL,
             "user_event_paths": PATHS_SQL,
-            "tpch_q18_large_orders": Q18_SQL,
-            "tpch_q14_promo_share": Q14_SQL,
         }
     )

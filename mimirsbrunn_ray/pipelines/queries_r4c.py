@@ -21,13 +21,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-# ---------------------------------------------------------------------------
-# TPC-H Q8: national market share
-# ---------------------------------------------------------------------------
 
-_Q8_REGION = "ASIA"
-_Q8_NATION = "NATION_7"
-_Q8_TYPE = "PROMO"
+# Shared fixed-point / broadcast-membership helpers (used by queries_r4d too).
 
 
 def _rev_e4(b: pa.Table) -> pa.ChunkedArray:
@@ -56,290 +51,6 @@ def _member_mask(keys: np.ndarray, sorted_ref) -> np.ndarray:
         return np.zeros(len(keys), dtype=bool)
     idx = np.clip(np.searchsorted(lk, keys), 0, len(lk) - 1)
     return lk[idx] == keys
-
-
-def q_tpch_q8_market_share(sf_dir):
-    """TPC-H Q8 shape: per order-year share of PROMO-part revenue delivered
-    to ASIA-region customers that came from one supplier nation.
-
-    Scale shape: region/nation resolve on the driver (5 + 25 rows); the
-    PROMO partkey set and target-nation suppkey set ship once as sorted
-    membership arrays (both are filtered dims — the same broadcast class
-    as Q19's part attributes); lineitem pre-aggregates revenue per
-    (orderkey, is-target-nation) — at most 2 rows per order — BEFORE the
-    one big-big orderkey exchange with date-filtered orders; the
-    ASIA-customer restriction is the bloom-pruned EXACT semi-join (no
-    |customer| broadcast assumption at 100 TB); the per-year totals
-    tree-merge, and the single float division happens once per year row
-    from identical int64 operands on both sides."""
-    import pyarrow.parquet as _pq
-
-    from mimirsbrunn_ray.context import pool_size
-    from mimirsbrunn_ray.stages.join import bloom_semi_join
-    from mimirsbrunn_ray.stages.rollup import tree_merge
-
-    lo = np.datetime64("1996-01-01", "us")
-    hi = np.datetime64("1998-01-01", "us")
-
-    region = _pq.read_table(f"{sf_dir}/region.parquet")
-    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
-    rkey = region.filter(pc.equal(region["r_name"], _Q8_REGION))["r_regionkey"][0]
-    asia_keys = nation.filter(pc.equal(nation["n_regionkey"], rkey))[
-        "n_nationkey"
-    ].to_numpy()
-    target_nk = nation.filter(pc.equal(nation["n_name"], _Q8_NATION))[
-        "n_nationkey"
-    ][0].as_py()
-
-    part = _pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
-    )
-    promo_ref = _sorted_key_ref(
-        part.filter(pc.equal(part["p_type"], _Q8_TYPE))["p_partkey"].to_numpy()
-    )
-    supp = _pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    )
-    target_supp_ref = _sorted_key_ref(
-        supp.filter(
-            pc.equal(supp["s_nationkey"], pa.scalar(target_nk, supp["s_nationkey"].type))
-        )["s_suppkey"].to_numpy()
-    )
-
-    def li_partial(b: pa.Table) -> pa.Table:
-        pk = b["l_partkey"].to_numpy()
-        keep = _member_mask(pk, promo_ref)
-        b = b.filter(pa.array(keep))
-        is_t = _member_mask(b["l_suppkey"].to_numpy(), target_supp_ref)
-        t = pa.table(
-            {
-                "l_orderkey": b["l_orderkey"],
-                "is_t": pa.array(is_t.astype(np.int64)),
-                "rev_e4": _rev_e4(b),
-            }
-        )
-        g = t.group_by(["l_orderkey", "is_t"]).aggregate([("rev_e4", "sum")])
-        return g.rename_columns(["l_orderkey", "is_t", "rev_e4"])
-
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(li_partial, batch_format="pyarrow", batch_size=None)
-
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(
-        lambda b: (
-            lambda f: pa.table(
-                {
-                    "o_orderkey": f["o_orderkey"],
-                    "o_custkey": f["o_custkey"],
-                    "o_year": pc.year(f["o_orderdate"]).cast(pa.int64()),
-                }
-            )
-        )(
-            b.filter(
-                pc.and_(
-                    pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
-                    pc.less(b["o_orderdate"], pa.scalar(hi)),
-                )
-            )
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-
-    asia_set = pa.array(asia_keys)
-    asia_cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).map_batches(
-        lambda b: b.filter(
-            pc.is_in(b["c_nationkey"], value_set=asia_set)
-        ).select(["c_custkey"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    # semi-join the SMALL side (date-filtered orders) BEFORE the big-big
-    # exchange: shrinks the join's probe side ~5x (one region of five) and
-    # keeps the corpus-sized lineitem partials out of the bloom stage
-    orders_in_region = bloom_semi_join(orders, asia_cust, "o_custkey", "c_custkey")
-
-    n_part = max(8, pool_size())
-    in_region = li.repartition(n_part).join(
-        orders_in_region.repartition(n_part), join_type="inner",
-        num_partitions=n_part,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
-
-    def year_partial(b: pa.Table) -> pa.Table:
-        nat = pc.multiply(b["rev_e4"], b["is_t"])
-        t = pa.table(
-            {"o_year": b["o_year"], "total_e4": b["rev_e4"], "nation_e4": nat}
-        )
-        g = t.group_by(["o_year"]).aggregate(
-            [("total_e4", "sum"), ("nation_e4", "sum")]
-        )
-        return g.rename_columns(["o_year", "total_e4", "nation_e4"])
-
-    merged = tree_merge(
-        in_region.map_batches(year_partial, batch_format="pyarrow", batch_size=None),
-        lambda b: b.group_by(["o_year"])
-        .aggregate([("total_e4", "sum"), ("nation_e4", "sum")])
-        .rename_columns(["o_year", "total_e4", "nation_e4"]),
-    )
-
-    def finish(b: pa.Table) -> pa.Table:
-        tot = b["total_e4"].to_numpy().astype(np.float64)
-        nat = b["nation_e4"].to_numpy().astype(np.float64)
-        share = np.divide(nat, tot, out=np.zeros_like(nat), where=tot != 0)
-        return b.append_column("mkt_share", pa.array(share, pa.float64()))
-
-    return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
-
-
-TPCH_Q8_SQL = f"""
-WITH promo AS (SELECT p_partkey FROM part WHERE p_type = '{_Q8_TYPE}'),
-tnat AS (SELECT n_nationkey FROM nation WHERE n_name = '{_Q8_NATION}'),
-anat AS (
-  SELECT n_nationkey FROM nation n JOIN region r
-    ON n.n_regionkey = r.r_regionkey WHERE r.r_name = '{_Q8_REGION}'
-),
-l AS (
-  SELECT li.l_orderkey,
-         CAST(ROUND(li.l_extendedprice * 100, 0) AS BIGINT)
-           * (100 - CAST(ROUND(li.l_discount * 100, 0) AS BIGINT)) AS rev_e4,
-         CASE WHEN s.s_nationkey IN (SELECT n_nationkey FROM tnat)
-              THEN 1 ELSE 0 END AS is_t
-  FROM lineitem li
-  JOIN promo p ON li.l_partkey = p.p_partkey
-  JOIN supplier s ON li.l_suppkey = s.s_suppkey
-),
-o AS (
-  SELECT o_orderkey, o_custkey,
-         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year
-  FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-    AND o_orderdate < TIMESTAMP '1998-01-01'
-)
-SELECT o.o_year,
-       CAST(SUM(l.rev_e4) AS BIGINT) AS total_e4,
-       CAST(SUM(l.rev_e4 * l.is_t) AS BIGINT) AS nation_e4,
-       CASE WHEN SUM(l.rev_e4) = 0 THEN 0.0
-            ELSE CAST(SUM(l.rev_e4 * l.is_t) AS DOUBLE)
-                 / CAST(SUM(l.rev_e4) AS DOUBLE) END AS mkt_share
-FROM l JOIN o ON l.l_orderkey = o.o_orderkey
-WHERE o.o_custkey IN (
-  SELECT c_custkey FROM customer
-  WHERE c_nationkey IN (SELECT n_nationkey FROM anat)
-)
-GROUP BY 1
-"""
-
-
-# ---------------------------------------------------------------------------
-# TPC-H Q15: top supplier(s) by quarterly revenue (ties kept)
-# ---------------------------------------------------------------------------
-
-
-def q_tpch_q15_top_supplier(sf_dir):
-    """TPC-H Q15 shape: supplier(s) with MAX revenue over one quarter of
-    shipments, ties kept (the reference SQL's correlated `= (SELECT MAX)`).
-
-    Scale shape: combiner-first per-suppkey int64 revenue partials (the
-    shuffle moves <= |suppliers seen| rows per block, never lineitem) ->
-    tree merge -> the global max is ONE scalar reduced by a second partial
-    pass over the merged per-supplier table (driver state = 8 bytes) ->
-    streaming filter for the tie set -> broadcast s_name attach."""
-    import ray as _ray
-
-    import pyarrow.parquet as _pq
-
-    from mimirsbrunn_ray.stages.rollup import tree_merge
-
-    lo = np.datetime64("1997-01-01", "us")
-    hi = np.datetime64("1997-04-01", "us")
-
-    def li_partial(b: pa.Table) -> pa.Table:
-        b = b.filter(
-            pc.and_(
-                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
-                pc.less(b["l_shipdate"], pa.scalar(hi)),
-            )
-        )
-        t = pa.table({"s_suppkey": b["l_suppkey"], "rev_e4": _rev_e4(b)})
-        g = t.group_by(["s_suppkey"]).aggregate([("rev_e4", "sum")])
-        return g.rename_columns(["s_suppkey", "total_revenue_e4"])
-
-    per_supp = tree_merge(
-        rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
-        ).map_batches(li_partial, batch_format="pyarrow", batch_size=None),
-        lambda b: b.group_by(["s_suppkey"])
-        .aggregate([("total_revenue_e4", "sum")])
-        .rename_columns(["s_suppkey", "total_revenue_e4"]),
-    ).materialize()
-
-    empty = pa.table(
-        {
-            "s_suppkey": pa.array([], pa.int64()),
-            "s_name": pa.array([], pa.string()),
-            "total_revenue_e4": pa.array([], pa.int64()),
-        }
-    )
-    if per_supp.count() == 0:
-        # rd.from_arrow LOSES the schema of a 0-row table; the driver's
-        # schema compare needs the typed empty — return the Table itself
-        return empty
-    rev_max = per_supp.max("total_revenue_e4")
-
-    supp = _pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
-    )
-    sk = supp["s_suppkey"].to_numpy()
-    order = np.argsort(sk, kind="stable")
-    name_ref = _ray.put(
-        (sk[order], supp["s_name"].to_numpy(zero_copy_only=False)[order])
-    )
-
-    def winners(b: pa.Table) -> pa.Table:
-        b = b.filter(
-            pc.equal(b["total_revenue_e4"], pa.scalar(int(rev_max), pa.int64()))
-        )
-        keys_sorted, names = _ray.get(name_ref)
-        k = b["s_suppkey"].to_numpy()
-        if len(keys_sorted) == 0:
-            nm = np.full(len(k), None, dtype=object)
-        else:
-            pos = np.clip(np.searchsorted(keys_sorted, k), 0, len(keys_sorted) - 1)
-            nm = np.where(keys_sorted[pos] == k, names[pos], None)
-        return pa.table(
-            {
-                "s_suppkey": b["s_suppkey"].cast(pa.int64()),
-                "s_name": pa.array(nm, pa.string()),
-                "total_revenue_e4": b["total_revenue_e4"],
-            }
-        )
-
-    return per_supp.map_batches(winners, batch_format="pyarrow", batch_size=None)
-
-
-TPCH_Q15_SQL = """
-WITH r AS (
-  SELECT l_suppkey AS s_suppkey,
-         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-           * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
-           AS total_revenue_e4
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-    AND l_shipdate < TIMESTAMP '1997-04-01'
-  GROUP BY 1
-)
-SELECT CAST(r.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, r.total_revenue_e4
-FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
-WHERE r.total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM r)
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -1817,8 +1528,6 @@ FROM a JOIN b ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
 def register_r4c(queries: dict, oracles: dict) -> None:
     queries.update(
         {
-            "tpch_q8_market_share": q_tpch_q8_market_share,
-            "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
             "tpch_q17_small_qty": q_tpch_q17_small_qty,
             "m4_downsample": q_m4_downsample,
             "inverted_postings": q_inverted_postings,
@@ -1836,8 +1545,6 @@ def register_r4c(queries: dict, oracles: dict) -> None:
     )
     oracles.update(
         {
-            "tpch_q8_market_share": TPCH_Q8_SQL,
-            "tpch_q15_top_supplier": TPCH_Q15_SQL,
             "tpch_q17_small_qty": TPCH_Q17_SQL,
             "m4_downsample": M4_SQL,
             "inverted_postings": POSTINGS_SQL,

@@ -266,121 +266,6 @@ FROM reach GROUP BY node ORDER BY node
 """
 
 
-# ---------------------------------------------------------------------------
-# Zipf slope per source
-# ---------------------------------------------------------------------------
-
-_ZIPF_TOP = 100
-
-
-def q_zipf_slope_per_source(sf_dir):
-    """Per-source Zipf exponent: least-squares slope of ln(count) on
-    ln(rank) over the top-100 words (rank by count desc, word asc —
-    deterministic). Word counts are exact via combiner-first (source,
-    word) partials + one vocabulary-grain merge (the TF-IDF shape); the
-    per-source fit is one vectorized pass over <= 100 rows."""
-    from mimirsbrunn_ray.stages.ordered import _round_half_away
-    from mimirsbrunn_ray.stages.rollup import tree_merge
-
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["source", "text"]
-    )
-
-    def partial(b: pa.Table) -> pa.Table:
-        b = b.filter(
-            pc.and_(pc.is_valid(b["source"]), pc.is_valid(b["text"]))
-        )
-        words = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
-        n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
-        src = np.repeat(
-            b["source"].to_numpy(zero_copy_only=False), n_per
-        )
-        flat = pc.list_flatten(words)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        t = pa.table(
-            {
-                "source": pa.array(src[keep]),
-                "word": flat.filter(pa.array(keep)),
-            }
-        )
-        g = t.group_by(["source", "word"]).aggregate([([], "count_all")])
-        return g.rename_columns(["source", "word", "cnt"])
-
-    counts = tree_merge(
-        docs.map_batches(partial, batch_format="pyarrow", batch_size=None),
-        lambda b: b.group_by(["source", "word"])
-        .aggregate([("cnt", "sum")])
-        .rename_columns(["source", "word", "cnt"]),
-        final_shards=4,
-        shard_cols=["source"],
-    )
-
-    def per_source(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "source": pd.Series([], dtype=object),
-                "n_terms": pd.Series([], dtype=np.int64),
-                "slope_x1e6": pd.Series([], dtype=np.int64),
-            }
-        )
-        if len(g) == 0:
-            return empty
-        g = g.sort_values(
-            ["cnt", "word"], ascending=[False, True], kind="mergesort"
-        ).head(_ZIPF_TOP)
-        n = len(g)
-        if n < 2:
-            return empty
-        x = np.log(np.arange(1, n + 1, dtype=np.float64))
-        y = np.log(g["cnt"].to_numpy(dtype=np.float64))
-        denom = n * (x * x).sum() - x.sum() ** 2
-        if denom == 0.0:
-            return empty
-        slope = (n * (x * y).sum() - x.sum() * y.sum()) / denom
-        return pd.DataFrame(
-            {
-                "source": [g["source"].iloc[0]],
-                "n_terms": np.array([n], dtype=np.int64),
-                "slope_x1e6": _round_half_away(np.array([slope * 1e6])),
-            }
-        )
-
-    return counts.groupby("source").map_groups(
-        per_source, batch_format="pandas"
-    )
-
-
-ZIPF_SQL = f"""
-WITH w AS (
-  SELECT source, unnest(string_split(lower(text), ' ')) AS word
-  FROM documents
-  WHERE source IS NOT NULL AND text IS NOT NULL
-), c AS (
-  SELECT source, word, COUNT(*) AS cnt
-  FROM w WHERE word <> ''
-  GROUP BY 1, 2
-), r AS (
-  SELECT source, cnt,
-         ROW_NUMBER() OVER (
-           PARTITION BY source ORDER BY cnt DESC, word ASC
-         ) AS rank
-  FROM c
-), t AS (
-  SELECT * FROM r WHERE rank <= {_ZIPF_TOP}
-)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_terms,
-       CAST(ROUND(
-         (COUNT(*) * SUM(ln(rank) * ln(cnt)) - SUM(ln(rank)) * SUM(ln(cnt)))
-         / (COUNT(*) * SUM(ln(rank) * ln(rank)) - SUM(ln(rank)) ** 2)
-         * 1000000, 0) AS BIGINT) AS slope_x1e6
-FROM t
-GROUP BY source
-HAVING COUNT(*) >= 2
-   AND COUNT(*) * SUM(ln(rank) * ln(rank)) - SUM(ln(rank)) ** 2 <> 0
-"""
-
-
 def register_r4e(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -389,7 +274,6 @@ def register_r4e(queries: dict, oracles: dict) -> None:
             "cumdev_anomalies": q_cumdev_anomalies,
             "coverage_sla_user": q_coverage_sla,
             "part_components": q_part_components,
-            "zipf_slope_per_source": q_zipf_slope_per_source,
         }
     )
     oracles.update(
@@ -399,6 +283,5 @@ def register_r4e(queries: dict, oracles: dict) -> None:
             "cumdev_anomalies": CUMDEV_SQL,
             "coverage_sla_user": SLA_SQL,
             "part_components": COMPONENTS_SQL,
-            "zipf_slope_per_source": ZIPF_SQL,
         }
     )
