@@ -132,7 +132,7 @@ def main(argv=None) -> int:
                    "run_id": args.run_id,
                    "gap_policy": args.gap_policy or "locf",
                    "max_dropped": args.max_dropped, "verify_resume": False,
-                   "single_partition": not args.multi_partition,
+                   "single_partition": False if args.multi_partition else None,
                    "dedup_scan_shards": args.dedup_scan_shards,
                    "rollup_shards": args.rollup_shards,
                    "quarantine_dir": args.quarantine}
@@ -145,7 +145,7 @@ def main(argv=None) -> int:
             gap_policy=job["gap_policy"],
             max_dropped=job["max_dropped"],
             verify_resume=job["verify_resume"],
-            single_partition=job.get("single_partition", True),
+            single_partition=job.get("single_partition"),
             dedup_scan_shards=job.get("dedup_scan_shards"),
             rollup_shards=job.get("rollup_shards"),
             quarantine_dir=job.get("quarantine_dir"),

@@ -31,11 +31,13 @@ DEFAULTS = {
     "gap_policy": "locf",
     "max_dropped": None,
     "verify_resume": False,
-    # unbounded-path knobs (VERDICT r2 item 8): single_partition=False
-    # switches the final per-tier combines from the bounded repartition(1)
-    # to the sharded path; dedup_scan_shards overrides the byte-sized
-    # auto-sharding of the duplicate scan combine
-    "single_partition": True,
+    # unbounded-path knobs (VERDICT r2 item 8): single_partition=None
+    # (default) auto-switches the final per-tier combines on the tier's
+    # materialized row count (context.SINGLE_PARTITION_ROW_BUDGET) —
+    # small tiers coalesce to one task, large ones take the per-key
+    # shuffle path; true/false forces a path. dedup_scan_shards overrides
+    # the byte-sized auto-sharding of the duplicate scan combine
+    "single_partition": None,
     "dedup_scan_shards": None,
     # rollup_shards shards the raw->1m partial combine (None = auto by raw
     # tier row count, 1 = never)
@@ -57,8 +59,10 @@ def load_job_config(path: str, **overrides) -> dict:
             raise ValueError(f"job config missing required key: {required}")
     if job["gap_policy"] not in ("locf", "linear"):
         raise ValueError(f"unknown gap_policy {job['gap_policy']!r}")
-    if not isinstance(job["single_partition"], bool):
-        raise ValueError("single_partition must be a boolean")
+    if job["single_partition"] is not None and not isinstance(
+        job["single_partition"], bool
+    ):
+        raise ValueError("single_partition must be a boolean (or absent = auto)")
     if job["dedup_scan_shards"] is not None and (
         not isinstance(job["dedup_scan_shards"], int)
         or job["dedup_scan_shards"] < 1

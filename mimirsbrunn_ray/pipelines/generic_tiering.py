@@ -13,13 +13,12 @@ streams have no unique-id contract — callers can pre-apply stages.dedup).
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
 from mimirsbrunn_ray.functions.timeutil import BUCKET_US, trunc_us, ts_array
-from mimirsbrunn_ray.stages.compress import _compress_group
+from mimirsbrunn_ray.stages.compress import compress_tier
 from mimirsbrunn_ray.stages.gapfill import GENERIC_SPEC, gapfill
 from mimirsbrunn_ray.stages.rollup import generic_rollup, tree_merge
 from mimirsbrunn_ray.state.metrics import new_counters
@@ -172,9 +171,10 @@ def run_generic_tiering_job(
                 store.latest_data_paths(prev)
             )
             t = generic_rollup_from_rollup(fine, key_col, gran)
+        t = t.materialize()
         t = gapfill(
             t, gran, policy=gap_policy, counters=counters,
-            key_col=key_col, spec=GENERIC_SPEC,
+            key_col=key_col, spec=GENERIC_SPEC, n_rows=t.count(),
         ).materialize()
         run_dir = store.publish(t, gran, run_id,
                                 input_paths=[store.latest_run_dir(prev)],
@@ -191,28 +191,17 @@ def run_generic_tiering_job(
         except (NameError, UnboundLocalError):
             t1m = rd.read_parquet(store.latest_data_paths("1m"))
 
-        def compress_all(df: pd.DataFrame) -> pd.DataFrame:
-            import numpy as np
+        def to_seq_layout(b: pa.Table) -> pa.Table:
+            # compress_tier speaks the sequences-tier layout; rename the
+            # generic columns once in Arrow (zero-copy) and reuse its
+            # auto-switching single-task / (source, day)-shuffle paths
+            b = b.select([key_col, "bucket", "sum_val"])
+            return b.rename_columns(["source", "bucket", "sum_tok"])
 
-            from mimirsbrunn_ray.functions.timeutil import US_PER_DAY
-
-            if len(df) == 0:
-                return pd.DataFrame(
-                    columns=["source", "bucket", "ts_dod", "val_gorilla", "n_points"]
-                )
-            df = df.rename(columns={key_col: "source", "sum_val": "sum_tok"})
-            df["_day"] = (
-                df["bucket"].astype("datetime64[us]").astype(np.int64)
-                // US_PER_DAY * US_PER_DAY
-            )
-            parts = [
-                _compress_group(g) for _, g in df.groupby(["source", "_day"],
-                                                          sort=True)
-            ]
-            return pd.concat(parts, ignore_index=True)
-
-        blocks = t1m.repartition(1).map_batches(
-            compress_all, batch_format="pandas", batch_size=None
+        blocks = compress_tier(
+            t1m.map_batches(to_seq_layout, batch_format="pyarrow",
+                            batch_size=None),
+            n_rows=t1m.count(),
         )
         run_dir = store.publish(blocks, "compressed", run_id,
                                 input_paths=[store.latest_run_dir("1m")])

@@ -42,33 +42,45 @@ def _record_boundaries(tier_ds, run_dir: str) -> None:
     """Append each source's last (bucket, sum_tok) to the tier manifest —
     the LOCF boundary carry of FIXTURES.md §5 (``boundary_last_value``): a
     follow-up run whose window starts after this one seeds its gap-fill
-    from these rows instead of re-reading the tier."""
+    from these rows instead of re-reading the tier.
+
+    Distributed (VERDICT r4 item 2): per-block argmax-by-source partials
+    are tree-merged in the cluster — (source, max bucket, value) is an
+    associative combine — and the driver receives only #sources rows,
+    never a whole-tier ``iter_batches`` stream."""
     import json
     import os
 
     import pyarrow as pa
 
-    last: dict = {}
-    for b in tier_ds.iter_batches(batch_format="pyarrow", batch_size=None):
-        if b.num_rows == 0:
-            continue
-        # vectorized per-batch argmax-by-source (tier rows are bounded:
-        # one per (source, bucket), but no per-row Python either way)
-        t = b.select(["source", "bucket", "sum_tok"])
-        g = t.group_by(["source"]).aggregate([("bucket", "max")])
-        top = g.join(
-            t.set_column(1, "bucket_max", t["bucket"]).select(
-                ["source", "bucket_max", "sum_tok"]
-            ),
-            keys=["source", "bucket_max"],
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    def per_source_last(b: pa.Table) -> pa.Table:
+        # argmax-by-source inside one block: group max bucket, then an
+        # inner join back picks that bucket's value (tier rows are unique
+        # per (source, bucket), so the join is 1:1)
+        bucket = b["bucket"] if "bucket" in b.column_names else b["bucket_us"]
+        t = pa.table(
+            {
+                "source": b["source"],
+                "bucket_us": bucket.cast(pa.int64()),
+                "sum_tok": b["sum_tok"],
+            }
         )
-        for s, bk, sm in zip(
-            top["source"].to_pylist(),
-            top["bucket_max"].cast(pa.int64()).to_pylist(),
-            top["sum_tok"].to_pylist(),
-        ):
-            if s not in last or bk > last[s][0]:
-                last[s] = (bk, sm)
+        g = (
+            t.group_by(["source"])
+            .aggregate([("bucket_us", "max")])
+            .rename_columns(["source", "bucket_us"])
+        )
+        return g.join(t, keys=["source", "bucket_us"]).select(
+            ["source", "bucket_us", "sum_tok"]
+        )
+
+    partials = tier_ds.map_batches(
+        per_source_last, batch_format="pyarrow", batch_size=None
+    )
+    top = tree_merge(partials, per_source_last).take_all()  # #sources rows
+    last = {r["source"]: (r["bucket_us"], r["sum_tok"]) for r in top}
     mpath = os.path.join(run_dir, "_manifest.json")
     with open(mpath) as f:
         manifest = json.load(f)
@@ -93,7 +105,7 @@ def run_tiering_job(
     max_dropped: int | None = None,
     verify_resume: bool = False,
     assume_identical_dups: bool = True,
-    single_partition: bool = True,
+    single_partition: bool | None = None,
     dedup_scan_shards: int | None = None,
     rollup_shards: int | None = None,
     quarantine_dir: str | None = None,
@@ -116,12 +128,13 @@ def run_tiering_job(
     winner (the deterministic-winner rule of
     /root/reference/src/osm_reader/street.rs:202-234).
 
-    ``single_partition``: True (default) runs gap-fill / compression in one
-    coalesced task — correct and fastest while a run's rollup tier is
-    bounded (one row per (source, bucket) in the ingest window). False
-    routes them through per-key ``groupby().map_groups`` shuffles for
-    unbounded tiers (multi-year windows, unbounded source cardinality);
-    output is identical (pytest-asserted). ``dedup_scan_shards`` > 1
+    ``single_partition``: None (default) auto-switches per tier on the
+    materialized tier's row count (``SINGLE_PARTITION_ROW_BUDGET``): a
+    small tier runs gap-fill / compression in one coalesced task, a large
+    one routes through per-key ``groupby().map_groups`` shuffles — so
+    unbounded tiers (multi-year windows, unbounded source cardinality)
+    distribute without opting in. Output is identical either way
+    (pytest-asserted); pass an explicit bool to force a path. ``dedup_scan_shards`` > 1
     shards the duplicate-key scan's final combine by hash range for key
     spaces beyond one worker. ``rollup_shards`` does the same for the
     raw->1m rollup's final partial combine (None = auto: shard once the
@@ -277,9 +290,10 @@ def run_tiering_job(
             continue
         counters = new_counters()
         t = rollup(_fine(prev), gran, from_tier=prev,
-                   final_shards=_shards_for(prev))
+                   final_shards=_shards_for(prev)).materialize()
         t = gapfill(t, gran, policy=gap_policy, counters=counters,
-                    single_partition=single_partition).materialize()
+                    single_partition=single_partition,
+                    n_rows=t.count()).materialize()
         run_dir = store.publish(
             t, gran, run_id,
             input_paths=[store.latest_run_dir(prev)],
@@ -301,7 +315,8 @@ def run_tiering_job(
         except (NameError, UnboundLocalError):
             t1m = rd.read_parquet(store.latest_data_paths("1m"),
                                   columns=["source", "bucket", "sum_tok"])
-        blocks = compress_tier(t1m, single_partition=single_partition)
+        blocks = compress_tier(t1m, single_partition=single_partition,
+                               n_rows=t1m.count())
         run_dir = store.publish(
             blocks, "compressed", run_id,
             input_paths=[store.latest_run_dir("1m")],

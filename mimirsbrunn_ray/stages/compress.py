@@ -38,15 +38,27 @@ def _compress_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def compress_tier(ds: "rd.Dataset", single_partition: bool = True) -> "rd.Dataset":
+def compress_tier(
+    ds: "rd.Dataset",
+    single_partition: bool | None = None,
+    n_rows: int | None = None,
+) -> "rd.Dataset":
     """1m rollup Dataset -> compressed blocks Dataset (COMPRESSED_BLOCK_SCHEMA).
 
-    ``single_partition=True`` (default): the rollup tier is bounded (one row
-    per (source, bucket) in the run window), so blocks are built by a pandas
-    groupby-apply inside one coalesced task — Ray's sort-based map_groups
-    costs seconds of fixed overhead for the same result. Set False to
-    shuffle by (source, day) for an unbounded tier.
+    ``single_partition=None`` (default) auto-switches on the caller's
+    ``n_rows`` hint: a small tier (at most ``SINGLE_PARTITION_ROW_BUDGET``
+    rows) is built by a pandas groupby-apply inside one coalesced task —
+    Ray's sort-based map_groups costs seconds of fixed overhead for the
+    same result — while a large or unknown-size tier shuffles by
+    (source, day), the scale-safe default. Pass an explicit bool to force
+    either path.
     """
+    if single_partition is None:
+        from mimirsbrunn_ray.context import SINGLE_PARTITION_ROW_BUDGET
+
+        single_partition = (
+            n_rows is not None and n_rows <= SINGLE_PARTITION_ROW_BUDGET
+        )
 
     def add_day(batch: pa.Table) -> pa.Table:
         b = batch["bucket"].cast(pa.int64()).to_numpy(zero_copy_only=False)

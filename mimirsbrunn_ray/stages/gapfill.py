@@ -92,22 +92,32 @@ def gapfill(
     granularity: str,
     policy: str = "locf",
     counters=None,
-    single_partition: bool = True,
+    single_partition: bool | None = None,
     key_col: str = "source",
     spec=None,
+    n_rows: int | None = None,
 ) -> "rd.Dataset":
     """Fill missing buckets per source between its first and last bucket.
 
-    ``single_partition=True`` (default): the rollup tier is one row per
-    (source, bucket) — bounded by the run's ingest window — so it coalesces
-    into one block and fills every source with a pandas groupby-apply in a
-    single task, skipping Ray's sort-based map_groups machinery entirely.
-    Set False for an unbounded tier: ``groupby("source").map_groups`` then
-    shuffles by source (with the per-(source, year) chaining + manifest
-    boundary carry described above).
+    ``single_partition=None`` (default) auto-switches: when the tier is
+    known to be small (``n_rows`` hint from the caller, at most
+    ``SINGLE_PARTITION_ROW_BUDGET``), it coalesces into one block and
+    fills every source with a pandas groupby-apply in a single task,
+    skipping Ray's sort-based map_groups machinery; otherwise — including
+    when the size is unknown — it takes the scale-safe distributed path:
+    ``groupby(key).map_groups`` shuffles by source (with the
+    per-(source, year) chaining + manifest boundary carry described
+    above). Both paths produce identical output (pytest-pinned). Pass an
+    explicit bool to force either path.
     """
     spec = spec or SEQ_SPEC
     width = BUCKET_US[granularity]
+    if single_partition is None:
+        from mimirsbrunn_ray.context import SINGLE_PARTITION_ROW_BUDGET
+
+        single_partition = (
+            n_rows is not None and n_rows <= SINGLE_PARTITION_ROW_BUDGET
+        )
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         out = _fill_series(g, width, policy, key_col=key_col, spec=spec)

@@ -159,7 +159,7 @@ def test_config_unbounded_path_knobs(tmp_path):
     cfg2 = tmp_path / "job2.toml"
     cfg2.write_text('[job]\ninput = "/x"\nout_root = "/y"\nrun_id = "r"\n')
     job3 = load_job_config(str(cfg2))
-    assert job3["single_partition"] is True
+    assert job3["single_partition"] is None  # auto-switch by tier size
     assert job3["dedup_scan_shards"] is None
     # validation
     cfg3 = tmp_path / "job3.toml"
