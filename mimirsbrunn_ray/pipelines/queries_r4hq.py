@@ -23,9 +23,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from mimirsbrunn_ray.pipelines.queries_r4fk import _round_half_away
-from mimirsbrunn_ray.pipelines.queries_r4gz import _pearson
 from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
-from mimirsbrunn_ray.stages.rollup import tree_merge
 
 
 def _valid(b: pa.Table, cols) -> pa.Table:
@@ -48,78 +46,91 @@ def q_customer_supplier_loyalty(sf_dir):
     concentrates supply chains without anyone deciding it.
     (customer, supplier) counts fold exactly via the order
     bridge."""
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey"]).to_pandas()
-    if "o_orderkey" not in orders.columns:
-        orders = pd.DataFrame({"o_orderkey": [], "o_custkey": []})
-    orders = orders.dropna(subset=["o_orderkey", "o_custkey"])
-    cust_map = dict(zip(orders["o_orderkey"].astype(np.int64),
-                        orders["o_custkey"].astype(np.int64)))
-    ord_count = orders.groupby("o_custkey").size()
+    import ray
+
+    from mimirsbrunn_ray.stages.broadcast import (
+        attach_dim, keyed_counts, probe, sharded_reduce)
+
+    # orders never land on the driver: per-customer order counts reduce
+    # in the cluster (keyed_counts), and the orderkey->custkey bridge
+    # attaches to lineitem via budget-gated broadcast / join (attach_dim)
+    oc = keyed_counts(
+        sf_dir, "orders", "o_custkey", extra_cols=["o_orderkey"],
+        dim_filter=lambda b: _valid(b, ("o_orderkey", "o_custkey")))
+    if oc.num_rows == 0 or "o_custkey" not in oc.column_names:
+        return pa.table(
+            {c: pa.array([], pa.int64()) for c in _CSL_COLS})
+    multi = oc.filter(pc.greater_equal(oc["n"], pa.scalar(2)))
+    multi_ref = ray.put(np.sort(
+        multi["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        kind="stable"))
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_suppkey"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_orderkey", "l_suppkey")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_orderkey", sf_dir, "orders", "o_orderkey",
+                    ["o_custkey"], how="inner")
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_orderkey", "l_suppkey"))
         if b.num_rows == 0:
             return pa.table({
                 "cust": pa.array([], pa.int64()),
                 "sk": pa.array([], pa.int64()),
                 "n": pa.array([], pa.int64()),
             })
-        ok = pd.Series(
-            b["l_orderkey"].to_numpy(zero_copy_only=False))
-        cust = ok.map(cust_map)
-        keep = cust.notna().to_numpy()
         t = pa.table({
-            "cust": pa.array(
-                cust.to_numpy()[keep].astype(np.int64)),
-            "sk": pa.array(
-                b["l_suppkey"].to_numpy(
-                    zero_copy_only=False)[keep].astype(np.int64)),
-            "n": pa.array(np.ones(int(keep.sum()), np.int64)),
+            "cust": b["o_custkey"].cast(pa.int64()),
+            "sk": b["l_suppkey"].cast(pa.int64()),
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
         })
         g = t.group_by(["cust", "sk"]).aggregate([("n", "sum")])
         return g.rename_columns(["cust", "sk", "n"])
 
-    def comb(b: pa.Table) -> pa.Table:
-        g = b.group_by(["cust", "sk"]).aggregate([("n", "sum")])
-        return g.rename_columns(["cust", "sk", "n"])
+    def shard_stats(df: pd.DataFrame) -> pd.DataFrame:
+        # one shard = complete (cust, *) groups; the per-customer modal
+        # pick runs here, distributed — the driver sees 3 sums per shard
+        empty = pd.DataFrame({"n_cust": pd.Series([], dtype=np.int64),
+                              "sum_loyalty": pd.Series([], dtype=np.float64),
+                              "n_excl": pd.Series([], dtype=np.int64)})
+        if len(df) == 0 or "cust" not in df.columns:
+            return empty
+        cs = df.groupby(["cust", "sk"], as_index=False)["n"].sum()
+        mk = ray.get(multi_ref)
+        keep, _ = probe(cs["cust"].to_numpy(np.int64), mk, {})
+        cs = cs[keep]
+        if len(cs) == 0:
+            return empty
+        cs = cs.sort_values(["cust", "n", "sk"],
+                            ascending=[True, False, True],
+                            ignore_index=True)
+        first = ~cs["cust"].duplicated()
+        modal_n = cs[first].set_index("cust")["n"]
+        totals = cs.groupby("cust")["n"].sum()
+        loyalty = (modal_n / totals).to_numpy(np.float64)
+        return pd.DataFrame({
+            "n_cust": [np.int64(len(loyalty))],
+            "sum_loyalty": [float(loyalty.sum())],
+            "n_excl": [np.int64((loyalty >= 1.0).sum())],
+        })
 
-    cs = tree_merge(
-        li.map_batches(part, batch_format="pyarrow",
-                       batch_size=None),
-        comb,
-        final_shards=8,
-        shard_cols=["cust"],
-    ).to_pandas()
-    if "cust" not in cs.columns or len(cs) == 0:
+    parts = sharded_reduce(
+        li.map_batches(part, batch_format="pyarrow", batch_size=None),
+        ["cust"], shard_stats, num_shards=8).to_pandas()
+    if "n_cust" not in parts.columns or parts["n_cust"].sum() == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _CSL_COLS})
-    multi = set(ord_count[ord_count >= 2].index.astype(np.int64))
-    cs = cs[cs["cust"].astype(np.int64).isin(multi)]
-    if len(cs) == 0:
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in _CSL_COLS})
-    cs = cs.sort_values(["cust", "n", "sk"],
-                        ascending=[True, False, True],
-                        ignore_index=True)
-    # modal row = first per cust in (n desc, sk asc) order
-    first = ~cs["cust"].duplicated()
-    modal_n = cs[first].set_index("cust")["n"]
-    totals = cs.groupby("cust")["n"].sum()
-    loyalty = (modal_n / totals).to_numpy(np.float64)
-    n = len(loyalty)
+    n = int(parts["n_cust"].sum())
     return pa.table({
         "n_customers": pa.array([n], pa.int64()),
         "mean_loyalty_ppm": pa.array(
-            [_round_half_away(float(loyalty.mean()) * 1e6)],
+            [_round_half_away(
+                float(parts["sum_loyalty"].sum()) / n * 1e6)],
             pa.int64()),
         "share_exclusive_ppm": pa.array(
             [_round_half_away(
-                float((loyalty >= 1.0).sum()) / n * 1e6)],
+                float(parts["n_excl"].sum()) / n * 1e6)],
             pa.int64()),
     })
 
@@ -292,80 +303,113 @@ def q_balance_breadth_corr(sf_dir):
     correlation; together they separate 'rich buy MORE' from
     'rich buy WIDER'.  Distinct (customer, part) pairs fold via
     the order bridge; the correlation mirrors."""
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_acctbal"]).to_pandas()
-    if "c_custkey" not in cust.columns or len(cust) == 0:
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in _BBC_COLS})
-    cust = cust.dropna(subset=["c_custkey", "c_acctbal"])
-    bal = cust["c_acctbal"].to_numpy(np.float64)
-    cents = np.where(
-        bal >= 0, np.floor(bal * 100.0 + 0.5),
-        np.ceil(bal * 100.0 - 0.5)).astype(np.int64)
-    bal_map = dict(zip(cust["c_custkey"].astype(np.int64),
-                       cents))
+    import ray
 
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey"]).to_pandas()
-    if "o_orderkey" not in orders.columns:
-        orders = pd.DataFrame({"o_orderkey": [], "o_custkey": []})
-    orders = orders.dropna(subset=["o_orderkey", "o_custkey"])
-    cust_map = dict(zip(orders["o_orderkey"].astype(np.int64),
-                        orders["o_custkey"].astype(np.int64)))
+    from mimirsbrunn_ray.stages.broadcast import (
+        attach_dim, attach_table, sharded_reduce)
 
+    # distinct (customer, part) pairs fold distributed: lineitem gets its
+    # custkey via the budget-gated order bridge, pairs dedup through a
+    # cust-disjoint sharded combine, breadth counts per customer reduce in
+    # the same shard pass; only the #customers-grain result reaches the
+    # driver. The Pearson moments then stream over the customer table in
+    # two passes (means, then centered sums) — no driver dict-builds.
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_orderkey", "l_partkey")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_orderkey", sf_dir, "orders", "o_orderkey",
+                    ["o_custkey"], how="inner")
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_orderkey", "l_partkey"))
         if b.num_rows == 0:
             return pa.table({
                 "cust": pa.array([], pa.int64()),
                 "pk": pa.array([], pa.int64()),
             })
-        ok = pd.Series(
-            b["l_orderkey"].to_numpy(zero_copy_only=False))
-        cc = ok.map(cust_map)
-        keep = cc.notna().to_numpy()
         t = pa.table({
-            "cust": pa.array(
-                cc.to_numpy()[keep].astype(np.int64)),
-            "pk": pa.array(
-                b["l_partkey"].to_numpy(
-                    zero_copy_only=False)[keep].astype(np.int64)),
+            "cust": b["o_custkey"].cast(pa.int64()),
+            "pk": b["l_partkey"].cast(pa.int64()),
         })
         return t.group_by(["cust", "pk"]).aggregate([])
 
-    def distinct(b: pa.Table) -> pa.Table:
-        return b.select(["cust", "pk"]).group_by(
-            ["cust", "pk"]).aggregate([])
+    def shard_breadth(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "cust" not in df.columns:
+            return pd.DataFrame({"cust": pd.Series([], dtype=np.int64),
+                                 "k": pd.Series([], dtype=np.int64)})
+        cp = df.drop_duplicates(["cust", "pk"])
+        g = cp.groupby("cust", as_index=False).size()
+        return pd.DataFrame({"cust": g["cust"].astype(np.int64),
+                             "k": g["size"].astype(np.int64)})
 
-    cp = tree_merge(
-        li.map_batches(part, batch_format="pyarrow",
-                       batch_size=None),
-        distinct,
-        final_shards=8,
-        shard_cols=["cust"],
-    ).to_pandas()
-    breadth = (cp.groupby("cust").size()
-               if "cust" in cp.columns else pd.Series(dtype=int))
-    keys = sorted(bal_map)
-    x = np.array([bal_map[k] for k in keys], dtype=np.float64)
-    y = np.array([int(breadth.get(k, 0)) for k in keys],
-                 dtype=np.float64)
-    r = _pearson(x, y)
-    if r is None:
+    breadth = sharded_reduce(
+        li.map_batches(part, batch_format="pyarrow", batch_size=None),
+        ["cust"], shard_breadth, num_shards=8).to_pandas()
+    if "cust" not in breadth.columns:
+        breadth = pd.DataFrame({"cust": pd.Series([], dtype=np.int64),
+                                "k": pd.Series([], dtype=np.int64)})
+    breadth_tbl = pa.Table.from_pandas(breadth, preserve_index=False)
+
+    def cust_valid(b: pa.Table) -> pa.Table:
+        b = _valid(b, ("c_custkey", "c_acctbal"))
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.where(
+            bal >= 0, np.floor(bal * 100.0 + 0.5),
+            np.ceil(bal * 100.0 - 0.5)).astype(np.int64)
+        return pa.table({
+            "c_custkey": b["c_custkey"].cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    cust_ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(cust_valid, batch_format="pyarrow", batch_size=None)
+    cust_ds = attach_table(cust_ds, "c_custkey", breadth_tbl, "cust",
+                           ["k"], how="left").materialize()
+
+    def sums1(b: pa.Table) -> pa.Table:
+        x = b["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = pc.fill_null(b["k"], 0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n": pa.array([np.int64(len(x))]),
+            "sx": pa.array([float(x.sum())]),
+            "sy": pa.array([float(y.sum())]),
+        })
+
+    p1 = cust_ds.map_batches(
+        sums1, batch_format="pyarrow", batch_size=None).to_pandas()
+    n = int(p1["n"].sum()) if "n" in p1.columns else 0
+    if n == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _BBC_COLS})
+    mb, mk = float(p1["sx"].sum()) / n, float(p1["sy"].sum()) / n
+
+    def sums2(b: pa.Table) -> pa.Table:
+        x = b["cents"].to_numpy(zero_copy_only=False).astype(np.float64) - mb
+        y = pc.fill_null(b["k"], 0).to_numpy(
+            zero_copy_only=False).astype(np.float64) - mk
+        return pa.table({
+            "sxy": pa.array([float((x * y).sum())]),
+            "sxx": pa.array([float((x * x).sum())]),
+            "syy": pa.array([float((y * y).sum())]),
+        })
+
+    p2 = cust_ds.map_batches(
+        sums2, batch_format="pyarrow", batch_size=None).to_pandas()
+    sxy, sxx, syy = (float(p2["sxy"].sum()), float(p2["sxx"].sum()),
+                     float(p2["syy"].sum()))
+    if sxx <= 0 or syy <= 0:
+        return pa.table(
+            {c: pa.array([], pa.int64()) for c in _BBC_COLS})
+    r = sxy / np.sqrt(sxx * syy)
     return pa.table({
-        "n_customers": pa.array([len(keys)], pa.int64()),
+        "n_customers": pa.array([n], pa.int64()),
         "r_x1e6": pa.array(
             [_round_half_away(r * 1e6)], pa.int64()),
         "mean_breadth_x1e3": pa.array(
-            [_round_half_away(float(y.mean()) * 1e3)],
-            pa.int64()),
+            [_round_half_away(mk * 1e3)], pa.int64()),
     })
 
 

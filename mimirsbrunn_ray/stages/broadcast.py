@@ -1,0 +1,286 @@
+"""Budget-gated dimension attach for the census/analytics queries.
+
+Round-4 verdict item 3: ~50 queries materialized a fact table
+(orders/customer/part/supplier/...) to the driver as a Python dict before
+probing it inside ``map_batches`` — unboundable driver memory at 100-TB
+scale, and the dict re-ships inside every task closure. This module is
+the shared fix, the ``q_tpch_q5_region_revenue`` discipline
+(pipelines/queries.py) factored out:
+
+- UNDER ``BROADCAST_BYTE_BUDGET`` (decided from the parquet file size
+  BEFORE any read): the dim's needed columns are read once on the driver,
+  sorted into numpy arrays keyed for ``searchsorted``, ``ray.put`` ONCE,
+  and probed per batch vectorized — no Python dict, no per-closure
+  reshipping (the ObjectRef travels in the task spec; workers share the
+  plasma copy);
+- OVER budget: a distributed hash join — both sides shuffle once on the
+  key, nothing lands on the driver.
+
+Inner semantics drop probe misses; left semantics null-fill them. The two
+paths produce identical rows up to order (pytest-pinned).
+
+Reference analog: the small-side denormalizing joins of the importers
+(/root/reference/src/bin/bano2mimir.rs:235-241 read the published admin
+set once, then stream), which never ship the big side anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+# small-side cap for broadcast attach (matches pipelines/queries.py)
+BROADCAST_BYTE_BUDGET = 256 << 20
+
+
+def dim_fits(sf_dir: str, table: str, budget: int | None = None) -> bool:
+    """File-size gate, checked BEFORE any driver read: the raw parquet
+    size bounds the decoded dim columns within a small constant."""
+    try:
+        return os.path.getsize(f"{sf_dir}/{table}.parquet") <= (
+            budget or BROADCAST_BYTE_BUDGET
+        )
+    except OSError:
+        return False
+
+
+def _as_key_np(arr: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    a = arr.to_numpy(zero_copy_only=False)
+    if np.issubdtype(a.dtype, np.integer):
+        return a.astype(np.int64)
+    return a  # string keys: object dtype, numpy sorts/searches lexically
+
+
+def lut_refs(
+    sf_dir: str,
+    table: str,
+    key_col: str,
+    val_cols: list[str],
+    dim_filter=None,
+):
+    """Driver-side (budget-gated by the caller) build of a sorted-array
+    lookup: ONE ``ray.put`` of (sorted keys, value arrays). Null keys and
+    null values in any requested column are dropped (probe misses)."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        f"{sf_dir}/{table}.parquet", columns=[key_col, *val_cols]
+    )
+    if dim_filter is not None:
+        t = dim_filter(t)
+    ok = pc.is_valid(t[key_col])
+    for c in val_cols:
+        ok = pc.and_(ok, pc.is_valid(t[c]))
+    t = t.filter(ok)
+    k = _as_key_np(t[key_col])
+    order = np.argsort(k, kind="stable")
+    vals = {
+        c: t[c].to_numpy(zero_copy_only=False)[order] for c in val_cols
+    }
+    return ray.put((k[order], vals))
+
+
+def probe(keys: np.ndarray, lk: np.ndarray, lvals: dict):
+    """Vectorized searchsorted probe: (hit mask, {col: values}); values at
+    miss positions are arbitrary — mask them with ``hit``."""
+    if len(lk) == 0:
+        return (
+            np.zeros(len(keys), dtype=bool),
+            {c: np.zeros(len(keys), dtype=v.dtype if v.dtype != object else object)
+             for c, v in lvals.items()},
+        )
+    idx = np.clip(np.searchsorted(lk, keys), 0, len(lk) - 1)
+    hit = lk[idx] == keys
+    return hit, {c: v[idx] for c, v in lvals.items()}
+
+
+def attach_table(
+    ds: "rd.Dataset",
+    on: str,
+    dim: "pa.Table",
+    dim_key: str,
+    val_cols: list[str],
+    *,
+    how: str = "inner",
+    out_names: list[str] | None = None,
+) -> "rd.Dataset":
+    """Attach columns from a DRIVER-RESIDENT reduced table (a tree-merge
+    output: per-key grain, the algorithm's own output size — never a raw
+    fact table) to a streaming Dataset: one ``ray.put`` of sorted arrays,
+    vectorized searchsorted probe per batch."""
+    out_names = list(out_names or val_cols)
+    k = _as_key_np(dim[dim_key])
+    order = np.argsort(k, kind="stable")
+    vals = {c: dim[c].to_numpy(zero_copy_only=False)[order] for c in val_cols}
+    ref = ray.put((k[order], vals))
+
+    def attach(b: pa.Table) -> pa.Table:
+        lk, lvals = ray.get(ref)
+        keys = _as_key_np(b[on])
+        hit, v = probe(keys, lk, lvals)
+        if how == "inner":
+            b = b.filter(pa.array(hit))
+            for c, name in zip(val_cols, out_names):
+                b = b.append_column(name, pa.array(v[c][hit]))
+            return b
+        for c, name in zip(val_cols, out_names):
+            b = b.append_column(name, pa.array(v[c], mask=~hit))
+        return b
+
+    return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+def keyed_counts(
+    sf_dir: str,
+    table: str,
+    key_col: str,
+    dim_filter=None,
+    final_shards: int = 1,
+    extra_cols: list[str] | None = None,
+) -> "pa.Table":
+    """Distributed per-key row count of a fact table: per-block partial
+    group-counts tree-merged in the cluster; the driver receives one row
+    per DISTINCT key (post-reduction — never the fact rows). Replaces the
+    driver-side ``read_parquet(...).to_pandas().groupby(key).size()``
+    pulls the round-4 verdict flagged. ``extra_cols`` are read (pruned)
+    solely for ``dim_filter``'s use."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=[key_col, *(extra_cols or [])]
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        if dim_filter is not None:
+            b = dim_filter(b)
+        b = b.filter(pc.is_valid(b[key_col]))
+        if b.num_rows == 0:
+            return pa.table(
+                {key_col: b[key_col], "n": pa.array([], pa.int64())}
+            )
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by([key_col]).aggregate([("n", "sum")])
+        return g.rename_columns([key_col, "n"])
+
+    def comb(b: pa.Table) -> pa.Table:
+        g = b.group_by([key_col]).aggregate([("n", "sum")])
+        return g.rename_columns([key_col, "n"])
+
+    merged = tree_merge(
+        ds.map_batches(part, batch_format="pyarrow", batch_size=None),
+        comb,
+        final_shards=final_shards,
+        shard_cols=[key_col] if final_shards > 1 else None,
+    )
+    return pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+
+
+def sharded_reduce(
+    ds: "rd.Dataset",
+    key_cols: list[str],
+    fn,
+    num_shards: int = 8,
+):
+    """Hash-shard rows so every key group lands WHOLE in one shard, then
+    apply ``fn`` (pandas DataFrame -> partial DataFrame) once per shard.
+    The per-key logic (modal rows, per-key ratios, top-1 picks) runs
+    distributed; the driver sees only ``num_shards`` partial rows instead
+    of the per-key grain — the fix for the census queries that pulled an
+    unbounded (key, ...) intermediate with ``to_pandas()``."""
+    from mimirsbrunn_ray.stages.rollup import _shard_hash
+
+    cols = list(key_cols)
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_s", pa.array(_shard_hash(b, cols, num_shards))
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow", batch_size=None)
+        .groupby("_s")
+        .map_groups(
+            lambda g: fn(g.drop(columns=["_s"])), batch_format="pandas"
+        )
+    )
+
+
+def attach_dim(
+    ds: "rd.Dataset",
+    on: str,
+    sf_dir: str,
+    table: str,
+    dim_key: str,
+    val_cols: list[str],
+    *,
+    dim_filter=None,
+    how: str = "inner",
+    out_names: list[str] | None = None,
+    budget: int | None = None,
+    n_part: int | None = None,
+) -> "rd.Dataset":
+    """Attach dim value columns to ``ds`` rows by key — broadcast probe
+    under the byte budget, distributed hash join past it.
+
+    ``dim_filter(table) -> table`` pre-filters the dim (applied on the
+    driver under budget, per batch in the join path). ``how="inner"``
+    drops probe misses; ``"left"`` keeps them with null values.
+    """
+    out_names = list(out_names or val_cols)
+    assert len(out_names) == len(val_cols)
+
+    if dim_fits(sf_dir, table, budget):
+        lut = lut_refs(sf_dir, table, dim_key, val_cols, dim_filter)
+
+        def attach(b: pa.Table) -> pa.Table:
+            lk, lvals = ray.get(lut)
+            keys = _as_key_np(b[on])
+            hit, vals = probe(keys, lk, lvals)
+            if how == "inner":
+                b = b.filter(pa.array(hit))
+                for c, name in zip(val_cols, out_names):
+                    b = b.append_column(name, pa.array(vals[c][hit]))
+                return b
+            for c, name in zip(val_cols, out_names):
+                b = b.append_column(
+                    name, pa.array(vals[c], mask=~hit)
+                )
+            return b
+
+        return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+    from mimirsbrunn_ray.context import pool_size
+
+    n_part = n_part or max(8, pool_size())
+
+    def project(b: pa.Table) -> pa.Table:
+        if dim_filter is not None:
+            b = dim_filter(b)
+        cols = {dim_key: b[dim_key]}
+        for c, name in zip(val_cols, out_names):
+            cols[name] = b[c]
+        return pa.table(cols)
+
+    dim = rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=[dim_key, *val_cols]
+    ).map_batches(project, batch_format="pyarrow", batch_size=None)
+    join_type = "inner" if how == "inner" else "left_outer"
+    # repartition both sides: groupby/map_groups outputs can carry
+    # schema-less empty blocks that crash Acero (round-2 learning)
+    return ds.repartition(n_part).join(
+        dim.repartition(n_part),
+        join_type=join_type,
+        num_partitions=n_part,
+        on=(on,),
+        right_on=(dim_key,),
+    ).materialize()
