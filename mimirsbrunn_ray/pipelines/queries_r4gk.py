@@ -54,25 +54,20 @@ def q_return_rate_by_latency_band(sf_dir):
     per band — the coupling that makes slow fulfillment a revenue
     problem, not just an ops one.  The order-date map broadcasts;
     band counts fold as pure integers in one lineitem pass."""
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderdate"]).to_pandas()
-    if "o_orderkey" not in orders.columns:
-        orders = pd.DataFrame(
-            {"o_orderkey": [], "o_orderdate": []})
-    orders = orders.dropna(subset=["o_orderkey", "o_orderdate"])
-    day_map = dict(zip(
-        orders["o_orderkey"].astype(np.int64),
-        orders["o_orderdate"].astype(
-            "datetime64[us]").astype(np.int64)))
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
+    # the order-date bridge attaches via budget-gated broadcast / join
+    # (stages/broadcast.py) — orders never land on the driver
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_shipdate", "l_returnflag"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_orderkey", "l_shipdate", "l_returnflag")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_orderkey", sf_dir, "orders", "o_orderkey",
+                    ["o_orderdate"], how="inner")
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_orderkey", "l_shipdate",
-                       "l_returnflag"))
         cols = ["band", "n", "r"]
         if b.num_rows == 0:
             return pa.table({
@@ -80,17 +75,14 @@ def q_return_rate_by_latency_band(sf_dir):
                 "n": pa.array([], pa.int64()),
                 "r": pa.array([], pa.int64()),
             })
-        ok = pd.Series(
-            b["l_orderkey"].to_numpy(zero_copy_only=False))
-        od = ok.map(day_map)
-        keep = od.notna().to_numpy()
         ship = b["l_shipdate"].cast(pa.timestamp("us")).cast(
-            pa.int64()).to_numpy(zero_copy_only=False)[keep]
-        lat = (ship - od.to_numpy()[keep].astype(
-            np.int64)) // _DAY_US
+            pa.int64()).to_numpy(zero_copy_only=False)
+        od = b["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        lat = (ship - od) // _DAY_US
         ret = (np.asarray(
             b["l_returnflag"].to_numpy(
-                zero_copy_only=False))[keep] == "R")
+                zero_copy_only=False)) == "R")
         band = np.select(
             [lat <= 7, lat <= 30],
             [_BAND_NAMES[0], _BAND_NAMES[1]],

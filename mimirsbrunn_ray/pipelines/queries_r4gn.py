@@ -53,41 +53,34 @@ def q_supplier_latency_iqr(sf_dir):
     at a good median.  The order-date map broadcasts; per-supplier
     latency lists group in supplier-disjoint shards with
     interpolated quantiles."""
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderdate"]).to_pandas()
-    if "o_orderkey" not in orders.columns:
-        orders = pd.DataFrame(
-            {"o_orderkey": [], "o_orderdate": []})
-    orders = orders.dropna(subset=["o_orderkey", "o_orderdate"])
-    day_map = dict(zip(
-        orders["o_orderkey"].astype(np.int64),
-        orders["o_orderdate"].astype(
-            "datetime64[us]").astype(np.int64)))
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
+    # the order-date bridge attaches via budget-gated broadcast / join
+    # (stages/broadcast.py) — orders never land on the driver
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_orderkey", "l_suppkey", "l_shipdate")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_orderkey", sf_dir, "orders", "o_orderkey",
+                    ["o_orderdate"], how="inner")
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_orderkey", "l_suppkey", "l_shipdate"))
         if b.num_rows == 0:
             return pa.table({
                 "suppkey": pa.array([], pa.int64()),
                 "lat": pa.array([], pa.int64()),
             })
-        ok = pd.Series(
-            b["l_orderkey"].to_numpy(zero_copy_only=False))
-        od = ok.map(day_map)
-        keep = od.notna().to_numpy()
         ship = b["l_shipdate"].cast(pa.timestamp("us")).cast(
-            pa.int64()).to_numpy(zero_copy_only=False)[keep]
-        lat = (ship - od.to_numpy()[keep].astype(
-            np.int64)) // _DAY_US
+            pa.int64()).to_numpy(zero_copy_only=False)
+        od = b["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        lat = (ship - od) // _DAY_US
         return pa.table({
             "suppkey": pa.array(
                 b["l_suppkey"].to_numpy(
-                    zero_copy_only=False)[keep].astype(np.int64)),
+                    zero_copy_only=False).astype(np.int64)),
             "lat": pa.array(lat.astype(np.int64)),
         })
 

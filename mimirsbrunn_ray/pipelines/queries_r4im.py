@@ -68,34 +68,54 @@ def q_value_lines_tail_dependence(sf_dir):
         comb,
         final_shards=8,
         shard_cols=["ok"],
-    ).to_pandas()
-    orders = rd.read_parquet(
+    )
+
+    # scale shape: line counts stay a Dataset and join orders on the
+    # orderkey (one exchange); the two exact top-quartile cuts resolve
+    # via distributed value histograms + a bounded tie-group pull
+    # (stages/exactrank.py); membership/intersection folds per batch.
+    from mimirsbrunn_ray.context import pool_size
+    from mimirsbrunn_ray.stages.exactrank import member_mask, topk_threshold
+
+    def oproj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["o_orderkey"]),
+                             pc.is_valid(b["o_totalprice"])))
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.where(tp >= 0, np.floor(tp * 100 + 0.5),
+                         np.ceil(tp * 100 - 0.5)).astype(np.int64)
+        return pa.table({
+            "ok": b["o_orderkey"].cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    n_part = max(8, pool_size())
+    orders_ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_totalprice"]).to_pandas()
-    if ("ok" not in lc.columns or len(lc) == 0
-            or len(orders) == 0):
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in _VLT_COLS})
-    orders = orders.dropna(
-        subset=["o_orderkey", "o_totalprice"])
-    lmap = dict(zip(lc["ok"].astype(np.int64),
-                    lc["n"].astype(np.int64)))
-    ok = orders["o_orderkey"].to_numpy(np.int64)
-    keep = np.array([k in lmap for k in ok])
-    ok = ok[keep]
-    tp = orders["o_totalprice"].to_numpy(np.float64)[keep]
-    cents = np.where(tp >= 0, np.floor(tp * 100 + 0.5),
-                     np.ceil(tp * 100 - 0.5)).astype(np.int64)
-    lines = np.array([lmap[k] for k in ok], np.int64)
-    n = len(ok)
+        columns=["o_orderkey", "o_totalprice"],
+    ).map_batches(oproj, batch_format="pyarrow", batch_size=None)
+    joined = orders_ds.repartition(n_part).join(
+        lc.repartition(n_part), join_type="inner",
+        num_partitions=n_part, on=("ok",),
+    ).materialize()
+    n = joined.count()
     k = n // 4
     if k == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _VLT_COLS})
-    # top-k by (cents desc, ok asc) and (lines desc, ok asc)
-    ord_v = np.lexsort((ok, -cents))[:k]
-    ord_l = np.lexsort((ok, -lines))[:k]
-    both = len(set(ok[ord_v]) & set(ok[ord_l]))
+    thr_v = topk_threshold(joined, "cents", "ok", k)
+    thr_l = topk_threshold(joined, "n", "ok", k)
+
+    def both_part(b: pa.Table) -> pa.Table:
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        lines = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = b["ok"].to_numpy(zero_copy_only=False)
+        both = (member_mask(cents, ok, thr_v)
+                & member_mask(lines, ok, thr_l))
+        return pa.table({"both": pa.array([np.int64(both.sum())])})
+
+    bp = joined.map_batches(
+        both_part, batch_format="pyarrow", batch_size=None).to_pandas()
+    both = int(bp["both"].sum()) if "both" in bp.columns else 0
     lam = both / k
     return pa.table({
         "n_orders": pa.array([n], pa.int64()),

@@ -43,35 +43,103 @@ def q_order_status_by_value_band(sf_dir):
     key), then the status mix within each band — if the top
     tercile skews toward open status, the expensive orders are
     the slow ones.  The tercile cut and cell counts are exact."""
-    orders = rd.read_parquet(
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    # scale shape: the tercile cut folds over a distributed
+    # (cents, status) histogram — value-grain, a reduction — and only
+    # the <=2 tie groups that STRADDLE a band boundary are re-read
+    # (filtered, bounded by the tie-group size) to split them exactly
+    # by the orderkey tie-break. Orders never land whole on the driver.
+    def hist_part(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(b["o_orderkey"]),
+                    pc.is_valid(b["o_totalprice"])),
+            pc.is_valid(b["o_orderstatus"]))
+        b = b.filter(m)
+        if b.num_rows == 0:
+            return pa.table({"cents": pa.array([], pa.int64()),
+                             "st": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.where(tp >= 0, np.floor(tp * 100 + 0.5),
+                         np.ceil(tp * 100 - 0.5)).astype(np.int64)
+        t = pa.table({"cents": pa.array(cents),
+                      "st": b["o_orderstatus"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["cents", "st"]).aggregate([("n", "sum")])
+        return g.rename_columns(["cents", "st", "n"])
+
+    def hist_comb(b: pa.Table) -> pa.Table:
+        g = b.group_by(["cents", "st"]).aggregate([("n", "sum")])
+        return g.rename_columns(["cents", "st", "n"])
+
+    orders_ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_totalprice",
-                 "o_orderstatus"]).to_pandas()
-    if len(orders) == 0:
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    hist = tree_merge(
+        orders_ds.map_batches(hist_part, batch_format="pyarrow",
+                              batch_size=None),
+        hist_comb).to_pandas()
+    if "cents" not in hist.columns or len(hist) == 0:
         return pa.table({
             "band": pa.array([], pa.int64()),
             "o_orderstatus": pa.array([], pa.string()),
             "n_orders": pa.array([], pa.int64()),
             "share_ppm": pa.array([], pa.int64()),
         })
-    orders = orders.dropna(
-        subset=["o_orderkey", "o_totalprice", "o_orderstatus"])
-    tp = orders["o_totalprice"].to_numpy(np.float64)
-    cents = np.where(tp >= 0, np.floor(tp * 100 + 0.5),
-                     np.ceil(tp * 100 - 0.5)).astype(np.int64)
-    ok = orders["o_orderkey"].to_numpy(np.int64)
-    n = len(orders)
-    order = np.lexsort((ok, cents))
-    band = np.empty(n, np.int64)
-    band[order] = (3 * np.arange(n, dtype=np.int64)) // n
-    df = pd.DataFrame({
-        "band": band,
-        "st": orders["o_orderstatus"].to_numpy(),
-    })
-    cell = df.groupby(["band", "st"]).size().reset_index(
-        name="n")
+    hist = hist.sort_values(["cents", "st"], ignore_index=True)
+    n = int(hist["n"].sum())
+    gtot = hist.groupby("cents", sort=True)["n"].sum()
+    gvals = gtot.index.to_numpy(np.int64)
+    gcnt = gtot.to_numpy(np.int64)
+    gend = np.cumsum(gcnt)          # 1-based end rank per cents group
+    gstart = gend - gcnt            # 0-based start rank
+    band_of = lambda rank0: (3 * rank0) // n
+    cells: dict = {}
+
+    def add_cell(band, st, cnt):
+        if cnt > 0:
+            cells[(band, st)] = cells.get((band, st), 0) + int(cnt)
+
+    straddle = []
+    for v, s0, e1 in zip(gvals, gstart, gend):
+        b_lo, b_hi = band_of(int(s0)), band_of(int(e1) - 1)
+        if b_lo == b_hi:
+            sub = hist[hist["cents"] == v]
+            for st, cnt in zip(sub["st"], sub["n"]):
+                add_cell(b_lo, st, cnt)
+        else:
+            straddle.append((int(v), int(s0)))
+    for v, s0 in straddle:
+        def pull_group(b: pa.Table, _v=v) -> pa.Table:
+            m = pc.and_(
+                pc.and_(pc.is_valid(b["o_orderkey"]),
+                        pc.is_valid(b["o_totalprice"])),
+                pc.is_valid(b["o_orderstatus"]))
+            b = b.filter(m)
+            tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+            cents = np.where(tp >= 0, np.floor(tp * 100 + 0.5),
+                             np.ceil(tp * 100 - 0.5)).astype(np.int64)
+            keep = cents == _v
+            return pa.table({
+                "ok": b["o_orderkey"].cast(pa.int64()).filter(pa.array(keep)),
+                "st": b["o_orderstatus"].filter(pa.array(keep)),
+            })
+
+        grp = orders_ds.map_batches(
+            pull_group, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        grp = grp.sort_values("ok", ignore_index=True)
+        ranks0 = s0 + np.arange(len(grp), dtype=np.int64)
+        bands = (3 * ranks0) // n
+        for bnd, st in zip(bands, grp["st"]):
+            add_cell(int(bnd), st, 1)
+
+    cell = pd.DataFrame(
+        [(b, st, c) for (b, st), c in cells.items()],
+        columns=["band", "st", "n"]).sort_values(
+            ["band", "st"], ignore_index=True)
     btot = cell.groupby("band")["n"].sum()
-    cell = cell.sort_values(["band", "st"])
     return pa.table({
         "band": pa.array(
             cell["band"].to_numpy(np.int64), pa.int64()),

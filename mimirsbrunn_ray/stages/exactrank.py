@@ -1,0 +1,105 @@
+"""Exact rank selections (top-k membership, ntile cuts) without a global
+sort shuffle OR a whole-table driver pull.
+
+Round-4 verdict item 3: several census queries pulled a fact table to the
+driver to take an exact top-quartile / tercile by (value, tie-key). The
+decomposable form: a distributed VALUE-GRAIN histogram (a reduction — one
+row per distinct value) locates the cut value, and only the single tie
+group that STRADDLES the cut is re-read (filtered, bounded by the tie
+multiplicity) to resolve the tie-key threshold exactly. Membership is
+then a pure per-row predicate, evaluable inside any map_batches.
+
+Same discipline as q_ntile_doc_lengths (pipelines/queries_ext.py): rank
+arithmetic over a decomposable histogram, never a sorted materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def value_counts(ds: "rd.Dataset", col: str) -> pd.Series:
+    """Distributed histogram of ``col``: index = distinct values (sorted
+    ascending), values = int64 counts. Value-grain reduction — the driver
+    holds one row per distinct value, not per input row."""
+    from mimirsbrunn_ray.stages.rollup import tree_merge
+
+    cnt = "_vc_n"  # distinct from any data column (col may be named "n")
+
+    def part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({col: b[col], cnt: pa.array([], pa.int64())})
+        t = pa.table(
+            {col: b[col], cnt: pa.array(np.ones(b.num_rows, np.int64))}
+        )
+        g = t.group_by([col]).aggregate([(cnt, "sum")])
+        return g.rename_columns([col, cnt])
+
+    def comb(b: pa.Table) -> pa.Table:
+        g = b.group_by([col]).aggregate([(cnt, "sum")])
+        return g.rename_columns([col, cnt])
+
+    h = tree_merge(
+        ds.map_batches(part, batch_format="pyarrow", batch_size=None), comb
+    ).to_pandas()
+    if col not in h.columns or len(h) == 0:
+        return pd.Series([], dtype=np.int64)
+    return h.set_index(col)[cnt].astype(np.int64).sort_index()
+
+
+def topk_threshold(
+    ds: "rd.Dataset", value_col: str, tie_col: str, k: int
+) -> tuple[int, int] | None:
+    """Exact top-k cut for ordering (value DESC, tie ASC) over int64
+    columns: returns ``(v_star, t_star)`` such that a row is a top-k
+    member iff ``value > v_star or (value == v_star and tie <= t_star)``.
+    ``t_star`` may be +inf's stand-in (np.iinfo.max) when the tie group
+    is taken whole. Returns None when the dataset has fewer than k rows
+    or k <= 0."""
+    if k <= 0:
+        return None
+    hist = value_counts(ds, value_col)
+    if len(hist) == 0:
+        return None
+    vals = hist.index.to_numpy()
+    cnts = hist.to_numpy(np.int64)
+    n = int(cnts.sum())
+    if n < k:
+        return None
+    # walk values descending until cumulative >= k
+    cum = np.cumsum(cnts[::-1])
+    j = int(np.searchsorted(cum, k, side="left"))  # index from the top
+    v_star = int(vals[len(vals) - 1 - j])
+    taken_above = int(cum[j - 1]) if j > 0 else 0
+    t = k - taken_above  # rows still needed from the v_star tie group
+    group_size = int(cnts[len(vals) - 1 - j])
+    if t >= group_size:
+        return v_star, int(np.iinfo(np.int64).max)
+    # resolve the straddling tie group: pull ONLY its tie keys (bounded
+    # by the value's multiplicity), take the t smallest
+    import pyarrow.compute as pc
+
+    def pull(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b[value_col], pa.scalar(v_star, pa.int64()))
+        return pa.table(
+            {tie_col: b[tie_col].filter(pc.fill_null(keep, False))}
+        )
+
+    ties = ds.map_batches(
+        pull, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    tv = np.sort(ties[tie_col].to_numpy(np.int64), kind="stable")
+    return v_star, int(tv[t - 1])
+
+
+def member_mask(
+    values: np.ndarray, ties: np.ndarray, thr: tuple[int, int] | None
+) -> np.ndarray:
+    """Vectorized top-k membership predicate for ``topk_threshold``."""
+    if thr is None:
+        return np.zeros(len(values), dtype=bool)
+    v_star, t_star = thr
+    return (values > v_star) | ((values == v_star) & (ties <= t_star))
