@@ -199,45 +199,119 @@ def q_zorder_locality_audit(sf_dir):
     is the case for Z-ordering this table.  Bucketing, codes and
     step sums are pure integers; ordering ties break by the code
     then custkey then day on both sides."""
-    orders = rd.read_parquet(
+    # scale shape: the two orderings are DISTRIBUTED sorts (the operator
+    # is inherently an all-to-all); per-block consecutive steps fold
+    # inside map_batches and only one boundary row per block reaches the
+    # driver for stitching. Orders never land whole on the driver.
+    def proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["o_custkey"]),
+                             pc.is_valid(b["o_orderdate"])))
+        return pa.table({
+            "cust": b["o_custkey"].cast(pa.int64()),
+            "day": pc.divide(
+                b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+                pa.scalar(_DAY_US, pa.int64())),
+        })
+
+    base = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
-        columns=["o_custkey", "o_orderdate"]).to_pandas()
-    if "o_custkey" not in orders.columns or len(orders) == 0:
+        columns=["o_custkey", "o_orderdate"],
+    ).map_batches(proj, batch_format="pyarrow", batch_size=None).materialize()
+
+    def mm_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("n", "cmin", "cmax", "dmin", "dmax")})
+        c = b["cust"].to_numpy(zero_copy_only=False)
+        d = b["day"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([np.int64(len(c))]),
+            "cmin": pa.array([np.int64(c.min())]),
+            "cmax": pa.array([np.int64(c.max())]),
+            "dmin": pa.array([np.int64(d.min())]),
+            "dmax": pa.array([np.int64(d.max())]),
+        })
+
+    mm = base.map_batches(
+        mm_part, batch_format="pyarrow", batch_size=None).to_pandas()
+    if "n" not in mm.columns or mm["n"].sum() < 2:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _ZORD_COLS})
-    orders = orders.dropna(subset=["o_custkey", "o_orderdate"])
-    if len(orders) < 2:
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in _ZORD_COLS})
-    cust = orders["o_custkey"].to_numpy(np.int64)
-    day = (orders["o_orderdate"].astype(
-        "datetime64[us]").astype(np.int64)
-        // _DAY_US).to_numpy(np.int64)
-    cmin, cmax = int(cust.min()), int(cust.max())
-    dmin, dmax = int(day.min()), int(day.max())
+    n = int(mm["n"].sum())
+    cmin, cmax = int(mm["cmin"].min()), int(mm["cmax"].max())
+    dmin, dmax = int(mm["dmin"].min()), int(mm["dmax"].max())
     maxb = (1 << _Z_BITS) - 1
     cspan = max(cmax - cmin, 1)
     dspan = max(dmax - dmin, 1)
-    cb = (cust - cmin) * maxb // cspan
-    db = (day - dmin) * maxb // dspan
-    morton = np.zeros(len(orders), dtype=np.int64)
-    for bit in range(_Z_BITS):
-        morton |= ((cb >> bit) & 1) << (2 * bit + 1)
-        morton |= ((db >> bit) & 1) << (2 * bit)
 
-    def mean_step(order_idx: np.ndarray) -> float:
-        c = cb[order_idx]
-        d = db[order_idx]
-        return float(
-            (np.abs(np.diff(c)) + np.abs(np.diff(d))).sum()
-        ) / (len(order_idx) - 1)
+    def add_codes(b: pa.Table) -> pa.Table:
+        cust = b["cust"].to_numpy(zero_copy_only=False)
+        day = b["day"].to_numpy(zero_copy_only=False)
+        cb = (cust - cmin) * maxb // cspan
+        db = (day - dmin) * maxb // dspan
+        morton = np.zeros(len(cust), dtype=np.int64)
+        for bit in range(_Z_BITS):
+            morton |= ((cb >> bit) & 1) << (2 * bit + 1)
+            morton |= ((db >> bit) & 1) << (2 * bit)
+        return pa.table({
+            "cust": b["cust"], "day": b["day"],
+            "cb": pa.array(cb), "db": pa.array(db),
+            "morton": pa.array(morton),
+        })
 
-    lin_idx = np.lexsort((cust, day))       # day, tie custkey
-    z_idx = np.lexsort((day, cust, morton))  # morton, ties
-    m_lin = mean_step(lin_idx)
-    m_z = mean_step(z_idx)
+    coded = base.map_batches(
+        add_codes, batch_format="pyarrow", batch_size=None).materialize()
+
+    def block_summary(b: pa.Table) -> pa.Table:
+        cols = ["steps", "nrows", "f_cb", "f_db", "l_cb", "l_db",
+                "f_k1", "f_k2", "f_k3"]
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        cb = b["cb"].to_numpy(zero_copy_only=False)
+        db = b["db"].to_numpy(zero_copy_only=False)
+        steps = (np.abs(np.diff(cb)) + np.abs(np.diff(db))).sum() \
+            if len(cb) > 1 else 0
+        # first-row sort key (3 ints) orders the block summaries
+        return pa.table({
+            "steps": pa.array([np.int64(steps)]),
+            "nrows": pa.array([np.int64(len(cb))]),
+            "f_cb": pa.array([np.int64(cb[0])]),
+            "f_db": pa.array([np.int64(db[0])]),
+            "l_cb": pa.array([np.int64(cb[-1])]),
+            "l_db": pa.array([np.int64(db[-1])]),
+            "f_k1": pa.array([np.int64(b["_k1"][0].as_py())]),
+            "f_k2": pa.array([np.int64(b["_k2"][0].as_py())]),
+            "f_k3": pa.array([np.int64(b["_k3"][0].as_py())]),
+        })
+
+    def mean_step(sort_keys) -> float:
+        k1, k2, k3 = sort_keys
+
+        def keyed(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "cb": b["cb"], "db": b["db"],
+                "_k1": b[k1], "_k2": b[k2], "_k3": b[k3],
+            })
+
+        s = (coded.map_batches(keyed, batch_format="pyarrow",
+                               batch_size=None)
+             .sort(key=["_k1", "_k2", "_k3"])
+             .map_batches(block_summary, batch_format="pyarrow",
+                          batch_size=None)
+             .to_pandas())
+        s = s[s["nrows"] > 0].sort_values(
+            ["f_k1", "f_k2", "f_k3"], ignore_index=True)
+        total = int(s["steps"].sum())
+        for i in range(1, len(s)):
+            total += abs(int(s["l_cb"][i - 1]) - int(s["f_cb"][i]))
+            total += abs(int(s["l_db"][i - 1]) - int(s["f_db"][i]))
+        return total / (int(s["nrows"].sum()) - 1)
+
+    # linear: day, tie custkey (third key inert); z-order: morton, ties
+    m_lin = mean_step(("day", "cust", "cust"))
+    m_z = mean_step(("morton", "cust", "day"))
     return pa.table({
-        "n_orders": pa.array([len(orders)], pa.int64()),
+        "n_orders": pa.array([n], pa.int64()),
         "mean_step_linear_x1e3": pa.array(
             [_round_half_away(m_lin * 1e3)], pa.int64()),
         "mean_step_zorder_x1e3": pa.array(

@@ -249,19 +249,12 @@ def q_ship_latency_trend(sf_dir):
     month index — positive slope in days/month means fulfillment
     is genuinely slowing, not just noisier.  Per-order latencies
     resolve in one distributed pass."""
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderdate"]).to_pandas()
-    if "o_orderkey" not in orders.columns or len(orders) == 0:
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in _SLT_COLS})
-    orders = orders.dropna(subset=["o_orderkey", "o_orderdate"])
-    od = orders["o_orderdate"].astype("datetime64[us]")
-    okey = orders["o_orderkey"].to_numpy(np.int64)
-    o_us = od.astype(np.int64).to_numpy()
-    mon = (od.dt.year * 12 + od.dt.month - 1).to_numpy(np.int64)
-    day_map = dict(zip(okey, o_us))
-    mon_map = dict(zip(okey, mon))
+    # scale shape: per-order first-ship stays a Dataset; the order-date
+    # attaches via budget-gated broadcast / join; the per-month median
+    # folds over a distributed (month, latency-days) histogram — months x
+    # small-int latencies, a bounded reduction. Orders never land whole
+    # on the driver.
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_shipdate"])
@@ -286,22 +279,56 @@ def q_ship_latency_trend(sf_dir):
         comb,
         final_shards=8,
         shard_cols=["okey"],
-    ).to_pandas()
-    if "okey" not in fs.columns or len(fs) == 0:
+    )
+    fs = attach_dim(fs, "okey", sf_dir, "orders", "o_orderkey",
+                    ["o_orderdate"], how="inner")
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"mon": pa.array([], pa.int64()),
+                             "lat": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        od = b["o_orderdate"].cast(pa.timestamp("us"))
+        mon = pc.add(
+            pc.multiply(pc.year(od).cast(pa.int64()), pa.scalar(12)),
+            pc.subtract(pc.month(od).cast(pa.int64()), pa.scalar(1)))
+        lat = (b["ship"].to_numpy(zero_copy_only=False)
+               - od.cast(pa.int64()).to_numpy(zero_copy_only=False)) \
+            // _DAY_US
+        t = pa.table({
+            "mon": mon,
+            "lat": pa.array(lat.astype(np.int64)),
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+        g = t.group_by(["mon", "lat"]).aggregate([("n", "sum")])
+        return g.rename_columns(["mon", "lat", "n"])
+
+    def hist_comb(b: pa.Table) -> pa.Table:
+        g = b.group_by(["mon", "lat"]).aggregate([("n", "sum")])
+        return g.rename_columns(["mon", "lat", "n"])
+
+    hist = tree_merge(
+        fs.map_batches(hist_part, batch_format="pyarrow",
+                       batch_size=None),
+        hist_comb).to_pandas()
+    if "mon" not in hist.columns or len(hist) == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _SLT_COLS})
-    ok = fs["okey"].to_numpy(np.int64)
-    ship = fs["ship"].to_numpy(np.int64)
-    keep = np.array([int(k) in day_map for k in ok])
-    ok, ship = ok[keep], ship[keep]
-    lat = np.array([
-        (int(s) - day_map[int(k)]) // _DAY_US
-        for k, s in zip(ok, ship)
-    ], dtype=np.float64)
-    mons = np.array([mon_map[int(k)] for k in ok],
-                    dtype=np.int64)
-    df = pd.DataFrame({"mon": mons, "lat": lat})
-    med = df.groupby("mon")["lat"].median().sort_index()
+    hist = hist.sort_values(["mon", "lat"], ignore_index=True)
+
+    def med_from_hist(sub: pd.DataFrame) -> float:
+        v = sub["lat"].to_numpy(np.int64)
+        c = sub["n"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        ntot = int(cum[-1])
+        pos = (ntot - 1) / 2.0
+        i0, i1 = int(np.floor(pos)), int(np.ceil(pos))
+        lo = float(v[np.searchsorted(cum, i0 + 1, side="left")])
+        hi = float(v[np.searchsorted(cum, i1 + 1, side="left")])
+        return (lo + hi) / 2.0
+
+    med = hist.groupby("mon", sort=True).apply(
+        med_from_hist, include_groups=False)
     if len(med) < 2:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _SLT_COLS})

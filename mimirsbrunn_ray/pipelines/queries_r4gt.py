@@ -320,24 +320,11 @@ def q_value_latency_correlation(sf_dir):
     queue behind their own complexity, ~0 means the warehouse is
     value-blind.  Per-order pairs fold exact integers through
     identical centered sums."""
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderdate",
-                 "o_totalprice"]).to_pandas()
-    if "o_orderkey" not in orders.columns or len(orders) == 0:
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in _VLC_COLS})
-    orders = orders.dropna(
-        subset=["o_orderkey", "o_orderdate", "o_totalprice"])
-    x = orders["o_totalprice"].to_numpy(np.float64)
-    cents = np.where(
-        x >= 0, np.floor(x * 100.0 + 0.5),
-        np.ceil(x * 100.0 - 0.5)).astype(np.int64)
-    okey = orders["o_orderkey"].to_numpy(np.int64)
-    o_us = orders["o_orderdate"].astype(
-        "datetime64[us]").astype(np.int64).to_numpy()
-    day_map = dict(zip(okey, o_us))
-    cents_map = dict(zip(okey, cents))
+    # scale shape: per-order first-ship stays a Dataset, order columns
+    # attach via budget-gated broadcast / join, and the Pearson moments
+    # stream in two passes (means, then centered sums). Orders never
+    # land whole on the driver.
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_shipdate"])
@@ -362,31 +349,54 @@ def q_value_latency_correlation(sf_dir):
         comb,
         final_shards=8,
         shard_cols=["okey"],
-    ).to_pandas()
-    if "okey" not in fs.columns or len(fs) == 0:
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in _VLC_COLS})
-    ok = fs["okey"].to_numpy(np.int64)
-    keep = np.array([int(k) in day_map for k in ok])
-    ok = ok[keep]
-    ship = fs["ship"].to_numpy(np.int64)[keep]
-    lat = np.array([
-        (int(s) - day_map[int(k)]) // _DAY_US
-        for k, s in zip(ok, ship)
-    ], dtype=np.float64)
-    val = np.array([cents_map[int(k)] for k in ok],
-                   dtype=np.float64)
-    n = len(ok)
+    )
+    fs = attach_dim(fs, "okey", sf_dir, "orders", "o_orderkey",
+                    ["o_orderdate", "o_totalprice"], how="inner")
+
+    def to_xy(b: pa.Table) -> pa.Table:
+        x = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.where(
+            x >= 0, np.floor(x * 100.0 + 0.5),
+            np.ceil(x * 100.0 - 0.5)).astype(np.int64)
+        od = b["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        lat = (b["ship"].to_numpy(zero_copy_only=False) - od) // _DAY_US
+        return pa.table({"val": pa.array(cents.astype(np.float64)),
+                         "lat": pa.array(lat.astype(np.float64))})
+
+    xy = fs.map_batches(
+        to_xy, batch_format="pyarrow", batch_size=None).materialize()
+
+    def sums1(b: pa.Table) -> pa.Table:
+        v = b["val"].to_numpy(zero_copy_only=False)
+        l = b["lat"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([np.int64(len(v))]),
+                         "sx": pa.array([float(v.sum())]),
+                         "sy": pa.array([float(l.sum())])})
+
+    p1 = xy.map_batches(
+        sums1, batch_format="pyarrow", batch_size=None).to_pandas()
+    n = int(p1["n"].sum()) if "n" in p1.columns else 0
     if n < 3:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _VLC_COLS})
-    mx, my = val.mean(), lat.mean()
-    dx, dy = val - mx, lat - my
-    den = np.sqrt((dx * dx).sum() * (dy * dy).sum())
+    mx, my = float(p1["sx"].sum()) / n, float(p1["sy"].sum()) / n
+
+    def sums2(b: pa.Table) -> pa.Table:
+        dx = b["val"].to_numpy(zero_copy_only=False) - mx
+        dy = b["lat"].to_numpy(zero_copy_only=False) - my
+        return pa.table({"sxy": pa.array([float((dx * dy).sum())]),
+                         "sxx": pa.array([float((dx * dx).sum())]),
+                         "syy": pa.array([float((dy * dy).sum())])})
+
+    p2 = xy.map_batches(
+        sums2, batch_format="pyarrow", batch_size=None).to_pandas()
+    sxx, syy = float(p2["sxx"].sum()), float(p2["syy"].sum())
+    den = np.sqrt(sxx * syy)
     if den == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _VLC_COLS})
-    r = float((dx * dy).sum()) / float(den)
+    r = float(p2["sxy"].sum()) / float(den)
     return pa.table({
         "n_orders": pa.array([n], pa.int64()),
         "r_x1e6": pa.array(
