@@ -145,17 +145,11 @@ def q_latency_by_order_dow(sf_dir):
     days a Friday order loses to the queue.  The order map
     broadcasts; latencies fold as exact integers with interpolated
     medians per weekday group."""
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderdate"]).to_pandas()
-    if "o_orderkey" not in orders.columns:
-        orders = pd.DataFrame(
-            {"o_orderkey": [], "o_orderdate": []})
-    orders = orders.dropna(subset=["o_orderkey", "o_orderdate"])
-    o_us = orders["o_orderdate"].astype(
-        "datetime64[us]").astype(np.int64).to_numpy()
-    day_map = dict(zip(
-        orders["o_orderkey"].astype(np.int64), o_us))
+    # scale shape: per-order first-ship stays a Dataset, the order date
+    # attaches via budget-gated broadcast / join, and weekday stats fold
+    # over a distributed (dow, latency-days) histogram — 7 x small-int
+    # cells. Orders never land whole on the driver.
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_shipdate"])
@@ -180,28 +174,56 @@ def q_latency_by_order_dow(sf_dir):
         comb,
         final_shards=8,
         shard_cols=["okey"],
-    ).to_pandas()
-    if "okey" not in fs.columns or len(fs) == 0:
+    )
+    fs = attach_dim(fs, "okey", sf_dir, "orders", "o_orderkey",
+                    ["o_orderdate"], how="inner")
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"dow": pa.array([], pa.int64()),
+                             "lat": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        o_arr = b["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        lat = (b["ship"].to_numpy(zero_copy_only=False)
+               - o_arr) // _DAY_US
+        dow = (o_arr // _DAY_US + 4) % 7
+        t = pa.table({
+            "dow": pa.array(dow.astype(np.int64)),
+            "lat": pa.array(lat.astype(np.int64)),
+            "n": pa.array(np.ones(len(lat), np.int64)),
+        })
+        g = t.group_by(["dow", "lat"]).aggregate([("n", "sum")])
+        return g.rename_columns(["dow", "lat", "n"])
+
+    def hist_comb(b: pa.Table) -> pa.Table:
+        g = b.group_by(["dow", "lat"]).aggregate([("n", "sum")])
+        return g.rename_columns(["dow", "lat", "n"])
+
+    hist = tree_merge(
+        fs.map_batches(hist_part, batch_format="pyarrow",
+                       batch_size=None),
+        hist_comb).to_pandas()
+    if "dow" not in hist.columns or len(hist) == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _LBD_COLS})
-    ok = fs["okey"].to_numpy(np.int64)
-    keep = np.array([int(k) in day_map for k in ok])
-    ok = ok[keep]
-    ship = fs["ship"].to_numpy(np.int64)[keep]
-    o_arr = np.array([day_map[int(k)] for k in ok],
-                     dtype=np.int64)
-    lat = (ship - o_arr) // _DAY_US
-    dow = (o_arr // _DAY_US + 4) % 7
-    df = pd.DataFrame({"dow": dow, "lat": lat})
+    hist = hist.sort_values(["dow", "lat"], ignore_index=True)
     out = {c: [] for c in _LBD_COLS}
-    for d, g in df.groupby("dow", sort=True):
+    for d, g in hist.groupby("dow", sort=True):
         v = g["lat"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        ntot = int(cum[-1])
+        pos = (ntot - 1) / 2.0
+        i0, i1 = int(np.floor(pos)), int(np.ceil(pos))
+        lo = float(v[np.searchsorted(cum, i0 + 1, side="left")])
+        hi = float(v[np.searchsorted(cum, i1 + 1, side="left")])
         out["order_dow"].append(int(d))
-        out["n_orders"].append(len(v))
+        out["n_orders"].append(ntot)
         out["mean_lat_x1e3"].append(
-            _round_half_away(float(v.mean()) * 1e3))
+            _round_half_away(float((v * c).sum()) / ntot * 1e3))
         out["median_lat_x1e3"].append(
-            _round_half_away(float(np.percentile(v, 50)) * 1e3))
+            _round_half_away((lo + hi) / 2.0 * 1e3))
     return pa.table(
         {c: pa.array(out[c], pa.int64()) for c in _LBD_COLS})
 

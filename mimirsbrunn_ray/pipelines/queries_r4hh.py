@@ -162,21 +162,11 @@ def q_latency_priority_anova(sf_dir):
     is the classic 'significant but irrelevant' outcome this pair
     of numbers disambiguates.  Latencies fold as exact integers
     through two-pass per-priority moments."""
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderdate",
-                 "o_orderpriority"]).to_pandas()
-    if "o_orderkey" not in orders.columns or len(orders) == 0:
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in _LPA_COLS})
-    orders = orders.dropna(
-        subset=["o_orderkey", "o_orderdate", "o_orderpriority"])
-    o_us = orders["o_orderdate"].astype(
-        "datetime64[us]").astype(np.int64).to_numpy()
-    day_map = dict(zip(
-        orders["o_orderkey"].astype(np.int64), o_us))
-    pr_map = dict(zip(orders["o_orderkey"].astype(np.int64),
-                      orders["o_orderpriority"]))
+    # scale shape: per-order first-ship stays a Dataset, order columns
+    # attach via budget-gated broadcast / join, and the ANOVA moments
+    # fold over a distributed (priority, latency-days) histogram —
+    # 5 x small-int cells. Orders never land whole on the driver.
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_shipdate"])
@@ -201,33 +191,52 @@ def q_latency_priority_anova(sf_dir):
         comb,
         final_shards=8,
         shard_cols=["okey"],
-    ).to_pandas()
-    if "okey" not in fs.columns or len(fs) == 0:
+    )
+    fs = attach_dim(fs, "okey", sf_dir, "orders", "o_orderkey",
+                    ["o_orderdate", "o_orderpriority"], how="inner")
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"prio": pa.array([], pa.string()),
+                             "lat": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        od = b["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        lat = (b["ship"].to_numpy(zero_copy_only=False) - od) // _DAY_US
+        t = pa.table({
+            "prio": b["o_orderpriority"],
+            "lat": pa.array(lat.astype(np.int64)),
+            "n": pa.array(np.ones(len(lat), np.int64)),
+        })
+        g = t.group_by(["prio", "lat"]).aggregate([("n", "sum")])
+        return g.rename_columns(["prio", "lat", "n"])
+
+    def hist_comb(b: pa.Table) -> pa.Table:
+        g = b.group_by(["prio", "lat"]).aggregate([("n", "sum")])
+        return g.rename_columns(["prio", "lat", "n"])
+
+    hist = tree_merge(
+        fs.map_batches(hist_part, batch_format="pyarrow",
+                       batch_size=None),
+        hist_comb).to_pandas()
+    if "prio" not in hist.columns or len(hist) == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _LPA_COLS})
-    ok = fs["okey"].to_numpy(np.int64)
-    keep = np.array([int(k) in day_map for k in ok])
-    ok = ok[keep]
-    ship = fs["ship"].to_numpy(np.int64)[keep]
-    lat = np.array([
-        (int(s) - day_map[int(k)]) // _DAY_US
-        for k, s in zip(ok, ship)
-    ], dtype=np.float64)
-    prio = np.array([pr_map[int(k)] for k in ok])
-    df = pd.DataFrame({"prio": prio, "lat": lat})
-    groups = df.groupby("prio")["lat"]
-    k = groups.ngroups
-    N = len(df)
+    hist = hist.sort_values(["prio", "lat"], ignore_index=True)
+    k = hist["prio"].nunique()
+    N = int(hist["n"].sum())
     if k < 2 or N <= k:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _LPA_COLS})
-    grand = float(lat.mean())
-    ssb = float(sum(
-        len(g) * (float(g.mean()) - grand) ** 2
-        for _, g in groups))
-    ssw = float(sum(
-        ((g.to_numpy(np.float64) - float(g.mean())) ** 2).sum()
-        for _, g in groups))
+    grand = float((hist["lat"] * hist["n"]).sum()) / N
+    ssb = ssw = 0.0
+    for _, g in hist.groupby("prio", sort=True):
+        v = g["lat"].to_numpy(np.int64).astype(np.float64)
+        c = g["n"].to_numpy(np.int64)
+        ng = int(c.sum())
+        mg = float((v * c).sum()) / ng
+        ssb += ng * (mg - grand) ** 2
+        ssw += float((c * (v - mg) ** 2).sum())
     if ssw == 0 or ssb + ssw == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _LPA_COLS})
@@ -295,41 +304,34 @@ def q_supplier_volume_latency_corr(sf_dir):
     rerouting volume won't help.  Per-supplier medians resolve in
     supplier-disjoint shards; the correlation folds the shared
     centered form."""
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderdate"]).to_pandas()
-    if "o_orderkey" not in orders.columns:
-        orders = pd.DataFrame(
-            {"o_orderkey": [], "o_orderdate": []})
-    orders = orders.dropna(subset=["o_orderkey", "o_orderdate"])
-    day_map = dict(zip(
-        orders["o_orderkey"].astype(np.int64),
-        orders["o_orderdate"].astype(
-            "datetime64[us]").astype(np.int64)))
+    # the order-date bridge attaches via budget-gated broadcast / join
+    # (stages/broadcast.py) — orders never land on the driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_orderkey", "l_suppkey", "l_shipdate")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_orderkey", sf_dir, "orders", "o_orderkey",
+                    ["o_orderdate"], how="inner")
 
     def project(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_orderkey", "l_suppkey", "l_shipdate"))
         if b.num_rows == 0:
             return pa.table({
                 "suppkey": pa.array([], pa.int64()),
                 "lat": pa.array([], pa.int64()),
             })
-        ok = pd.Series(
-            b["l_orderkey"].to_numpy(zero_copy_only=False))
-        od = ok.map(day_map)
-        keep = od.notna().to_numpy()
         ship = b["l_shipdate"].cast(pa.timestamp("us")).cast(
-            pa.int64()).to_numpy(zero_copy_only=False)[keep]
-        lat = (ship - od.to_numpy()[keep].astype(
-            np.int64)) // _DAY_US
+            pa.int64()).to_numpy(zero_copy_only=False)
+        od = b["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        lat = (ship - od) // _DAY_US
         return pa.table({
             "suppkey": pa.array(
                 b["l_suppkey"].to_numpy(
-                    zero_copy_only=False)[keep].astype(np.int64)),
+                    zero_copy_only=False).astype(np.int64)),
             "lat": pa.array(lat.astype(np.int64)),
         })
 
