@@ -51,55 +51,45 @@ def q_supplier_market_reach(sf_dir):
     nominally global but really one market) — ranked by nation
     count then entropy.  Both dims broadcast; per-(supplier,
     nation) cents fold exactly."""
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_nationkey"]).to_pandas()
-    if "c_custkey" not in cust.columns:
-        cust = pd.DataFrame({"c_custkey": [], "c_nationkey": []})
-    nk_map = dict(zip(cust["c_custkey"].astype(np.int64),
-                      cust["c_nationkey"].astype(np.int64)))
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey"]).to_pandas()
-    if "o_orderkey" not in orders.columns:
-        orders = pd.DataFrame({"o_orderkey": [], "o_custkey": []})
-    onk = {}
-    for ok, ck in zip(orders["o_orderkey"].astype(np.int64),
-                      orders["o_custkey"].astype(np.int64)):
-        nk = nk_map.get(int(ck))
-        if nk is not None:
-            onk[int(ok)] = nk
+    # both dimension hops attach via budget-gated broadcast / join
+    # (stages/broadcast.py) — neither orders nor customer lands on the
+    # driver; the (supplier, nation) grain is the only driver pull
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_orderkey", sf_dir, "orders", "o_orderkey",
+                    ["o_custkey"], how="inner")
+    li = attach_dim(li, "o_custkey", sf_dir, "customer", "c_custkey",
+                    ["c_nationkey"], how="inner")
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_orderkey", "l_suppkey",
-                       "l_extendedprice", "l_discount"))
         if b.num_rows == 0:
             return pa.table({
                 "sk": pa.array([], pa.int64()),
                 "nk": pa.array([], pa.int64()),
                 "cents": pa.array([], pa.int64()),
             })
-        ok = pd.Series(
-            b["l_orderkey"].to_numpy(zero_copy_only=False))
-        nk = ok.map(onk)
-        keep = nk.notna().to_numpy()
         rev = (b["l_extendedprice"].cast(pa.float64()).to_numpy(
-            zero_copy_only=False)[keep]
+            zero_copy_only=False)
             * (1.0 - b["l_discount"].cast(pa.float64()).to_numpy(
-                zero_copy_only=False)[keep]))
+                zero_copy_only=False)))
         cents = np.where(
             rev >= 0, np.floor(rev * 100.0 + 0.5),
             np.ceil(rev * 100.0 - 0.5)).astype(np.int64)
         t = pa.table({
             "sk": pa.array(
                 b["l_suppkey"].to_numpy(
-                    zero_copy_only=False)[keep].astype(np.int64)),
-            "nk": pa.array(nk.to_numpy()[keep].astype(np.int64)),
+                    zero_copy_only=False).astype(np.int64)),
+            "nk": pa.array(
+                b["c_nationkey"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)),
             "cents": pa.array(cents),
         })
         g = t.group_by(["sk", "nk"]).aggregate([("cents", "sum")])

@@ -319,65 +319,65 @@ def q_parts_per_customer_quantiles(sf_dir):
     have room, a wide one means breadth is already saturated.
     Distinct (customer, part) pairs fold exactly via the order
     bridge; quantiles are interpolated."""
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey"]).to_pandas()
-    if "o_orderkey" not in orders.columns:
-        orders = pd.DataFrame({"o_orderkey": [], "o_custkey": []})
-    orders = orders.dropna(subset=["o_orderkey", "o_custkey"])
-    cust_map = dict(zip(orders["o_orderkey"].astype(np.int64),
-                        orders["o_custkey"].astype(np.int64)))
+    # scale shape: the orderkey->custkey bridge attaches via budget-
+    # gated broadcast / join; distinct pairs dedup and per-customer
+    # breadth counts in cust-disjoint shards, each emitting a bounded
+    # (breadth, n_customers) histogram; quantiles interpolate from the
+    # merged histogram. Orders never land whole on the driver.
+    from mimirsbrunn_ray.stages.broadcast import attach_dim, sharded_reduce
+    from mimirsbrunn_ray.stages.exactrank import percentile_from_counts
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_orderkey", "l_partkey")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_orderkey", sf_dir, "orders", "o_orderkey",
+                    ["o_custkey"], how="inner")
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_orderkey", "l_partkey"))
         if b.num_rows == 0:
             return pa.table({
                 "cust": pa.array([], pa.int64()),
                 "pk": pa.array([], pa.int64()),
             })
-        ok = pd.Series(
-            b["l_orderkey"].to_numpy(zero_copy_only=False))
-        cust = ok.map(cust_map)
-        keep = cust.notna().to_numpy()
         t = pa.table({
-            "cust": pa.array(
-                cust.to_numpy()[keep].astype(np.int64)),
-            "pk": pa.array(
-                b["l_partkey"].to_numpy(
-                    zero_copy_only=False)[keep].astype(np.int64)),
+            "cust": b["o_custkey"].cast(pa.int64()),
+            "pk": b["l_partkey"].cast(pa.int64()),
         })
         return t.group_by(["cust", "pk"]).aggregate([])
 
-    def distinct(b: pa.Table) -> pa.Table:
-        return b.select(["cust", "pk"]).group_by(
-            ["cust", "pk"]).aggregate([])
+    def shard_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "cust" not in df.columns:
+            return pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        cp = df.drop_duplicates(["cust", "pk"])
+        k = cp.groupby("cust").size()
+        h = k.value_counts().sort_index()
+        return pd.DataFrame({"k": h.index.to_numpy(np.int64),
+                             "n": h.to_numpy(np.int64)})
 
-    cp = tree_merge(
-        li.map_batches(part, batch_format="pyarrow",
-                       batch_size=None),
-        distinct,
-        final_shards=8,
-        shard_cols=["cust"],
-    ).to_pandas()
-    if "cust" not in cp.columns or len(cp) == 0:
+    hist = sharded_reduce(
+        li.map_batches(part, batch_format="pyarrow", batch_size=None),
+        ["cust"], shard_hist, num_shards=8).to_pandas()
+    if "k" not in hist.columns or len(hist) == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _PPC_COLS})
-    k = cp.groupby("cust").size().to_numpy(np.int64)
+    h = hist.groupby("k")["n"].sum().sort_index()
+    vals = h.index.to_numpy(np.int64)
+    cnts = h.to_numpy(np.int64)
     return pa.table({
-        "n_customers": pa.array([len(k)], pa.int64()),
+        "n_customers": pa.array([int(cnts.sum())], pa.int64()),
         "p25": pa.array(
-            [_round_half_away(float(np.percentile(k, 25)))],
+            [_round_half_away(percentile_from_counts(vals, cnts, 25))],
             pa.int64()),
         "p50_x1e3": pa.array(
-            [_round_half_away(float(np.percentile(k, 50))
+            [_round_half_away(percentile_from_counts(vals, cnts, 50)
                               * 1e3)], pa.int64()),
         "p75": pa.array(
-            [_round_half_away(float(np.percentile(k, 75)))],
+            [_round_half_away(percentile_from_counts(vals, cnts, 75))],
             pa.int64()),
-        "max_parts": pa.array([int(k.max())], pa.int64()),
+        "max_parts": pa.array([int(vals.max())], pa.int64()),
     })
 
 

@@ -43,57 +43,128 @@ def q_return_rate_by_balance_decile(sf_dir):
     10 // n over (acctbal cents, custkey) order) — a monotone
     gradient here prices returns into segment margins.  The
     decile map broadcasts; counts fold exactly."""
-    cust = rd.read_parquet(
+    # scale shape: the decile cut folds over a distributed balance-cents
+    # histogram (value-grain); only the <=9 cents groups straddling a
+    # decile boundary pull their custkeys (bounded by tie multiplicity)
+    # to split exactly by the custkey tie-break. The decile then attaches
+    # to orders via the budget-gated customer broadcast, and to lineitem
+    # via a distributed orderkey join — no fact table lands on the
+    # driver.
+    import ray
+
+    from mimirsbrunn_ray.stages.broadcast import (
+        attach_dim, attach_ds, probe)
+    from mimirsbrunn_ray.stages.exactrank import value_counts
+
+    def cust_proj(b: pa.Table) -> pa.Table:
+        b = _valid(b, ("c_custkey", "c_acctbal"))
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cents = np.where(
+            bal >= 0, np.floor(bal * 100.0 + 0.5),
+            np.ceil(bal * 100.0 - 0.5)).astype(np.int64)
+        return pa.table({
+            "ck": b["c_custkey"].cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    cust_ds = rd.read_parquet(
         f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_acctbal"]).to_pandas()
-    if "c_custkey" not in cust.columns or len(cust) == 0:
+        columns=["c_custkey", "c_acctbal"],
+    ).map_batches(cust_proj, batch_format="pyarrow",
+                  batch_size=None).materialize()
+    hist = value_counts(cust_ds, "cents")
+    if len(hist) == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _RBD_COLS})
-    cust = cust.dropna(subset=["c_custkey", "c_acctbal"])
-    bal = cust["c_acctbal"].to_numpy(np.float64)
-    cents = np.where(
-        bal >= 0, np.floor(bal * 100.0 + 0.5),
-        np.ceil(bal * 100.0 - 0.5)).astype(np.int64)
-    ck = cust["c_custkey"].to_numpy(np.int64)
-    order = np.lexsort((ck, cents))
-    n = len(ck)
-    decile = np.empty(n, dtype=np.int64)
-    decile[order] = np.arange(n, dtype=np.int64) * 10 // n
-    dec_map = dict(zip(ck, decile))
+    vals = hist.index.to_numpy(np.int64)
+    cnts = hist.to_numpy(np.int64)
+    n = int(cnts.sum())
+    ends = np.cumsum(cnts)
+    starts = ends - cnts
+    dec_lo = starts * 10 // n
+    dec_hi = (ends - 1) * 10 // n
+    uniform = dec_lo == dec_hi
+    # value -> decile for uniform groups; -1 marks a straddling group
+    vdec = np.where(uniform, dec_lo, -1).astype(np.int64)
+    strad_ck, strad_dec = [], []
+    for v, s0 in zip(vals[~uniform], starts[~uniform]):
+        def pull(b: pa.Table, _v=int(v)) -> pa.Table:
+            keep = pc.equal(b["cents"], pa.scalar(_v, pa.int64()))
+            return pa.table({"ck": b["ck"].filter(
+                pc.fill_null(keep, False))})
 
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey"]).to_pandas()
-    if "o_orderkey" not in orders.columns:
-        orders = pd.DataFrame({"o_orderkey": [], "o_custkey": []})
-    orders = orders.dropna(subset=["o_orderkey", "o_custkey"])
-    odec = {}
-    for ok, c in zip(orders["o_orderkey"].astype(np.int64),
-                     orders["o_custkey"].astype(np.int64)):
-        d = dec_map.get(int(c))
-        if d is not None:
-            odec[int(ok)] = d
+        grp = cust_ds.map_batches(
+            pull, batch_format="pyarrow", batch_size=None).to_pandas()
+        cks = np.sort(grp["ck"].to_numpy(np.int64), kind="stable")
+        ranks = int(s0) + np.arange(len(cks), dtype=np.int64)
+        strad_ck.append(cks)
+        strad_dec.append(ranks * 10 // n)
+    sk = (np.concatenate(strad_ck) if strad_ck
+          else np.array([], np.int64))
+    sd = (np.concatenate(strad_dec) if strad_dec
+          else np.array([], np.int64))
+    s_order = np.argsort(sk, kind="stable")
+    lut_ref = ray.put((vals, vdec, sk[s_order], sd[s_order]))
+
+    # orders gain their customer's decile: customer cents attach via the
+    # budget-gated broadcast, then the decile resolves per batch
+    orders_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    orders_ds = orders_ds.map_batches(
+        lambda b: _valid(b, ("o_orderkey", "o_custkey")),
+        batch_format="pyarrow", batch_size=None)
+    orders_ds = attach_dim(orders_ds, "o_custkey", sf_dir, "customer",
+                           "c_custkey", ["c_acctbal"], how="inner")
+
+    def add_decile(b: pa.Table) -> pa.Table:
+        v_arr, v_dec, s_ck, s_dc = ray.get(lut_ref)
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cents = np.where(
+            bal >= 0, np.floor(bal * 100.0 + 0.5),
+            np.ceil(bal * 100.0 - 0.5)).astype(np.int64)
+        idx = np.clip(np.searchsorted(v_arr, cents), 0, len(v_arr) - 1)
+        hit = v_arr[idx] == cents
+        dec = np.where(hit, v_dec[idx], np.int64(-2))
+        need = dec == -1
+        if need.any():
+            ck = b["o_custkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            h2, v2 = probe(ck[need], s_ck, {"d": s_dc})
+            dd = dec[need]
+            dd[h2] = v2["d"][h2]
+            dec[need] = dd
+        keep = dec >= 0
+        return pa.table({
+            "o_orderkey": b["o_orderkey"].filter(pa.array(keep)),
+            "decile": pa.array(dec[keep]),
+        })
+
+    odec_ds = orders_ds.map_batches(
+        add_decile, batch_format="pyarrow", batch_size=None)
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_returnflag"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_orderkey", "l_returnflag")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_ds(li, "l_orderkey", odec_ds, "o_orderkey", ["decile"],
+                   how="inner")
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_orderkey", "l_returnflag"))
         if b.num_rows == 0:
             return pa.table({
                 "decile": pa.array([], pa.int64()),
                 "n": pa.array([], pa.int64()),
                 "r": pa.array([], pa.int64()),
             })
-        ok = pd.Series(
-            b["l_orderkey"].to_numpy(zero_copy_only=False))
-        dec = ok.map(odec)
-        keep = dec.notna().to_numpy()
         ret = (np.asarray(b["l_returnflag"].to_numpy(
-            zero_copy_only=False))[keep] == "R")
+            zero_copy_only=False)) == "R")
         df = pd.DataFrame({
-            "decile": dec.to_numpy()[keep].astype(np.int64),
-            "n": np.ones(int(keep.sum()), np.int64),
+            "decile": b["decile"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n": np.ones(b.num_rows, np.int64),
             "r": ret.astype(np.int64),
         })
         agg = df.groupby("decile", sort=False).agg(

@@ -135,6 +135,39 @@ def attach_table(
     return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
 
 
+def attach_ds(
+    ds: "rd.Dataset",
+    on: str,
+    dim: "rd.Dataset",
+    dim_key: str,
+    val_cols: list[str],
+    *,
+    how: str = "inner",
+    n_part: int | None = None,
+) -> "rd.Dataset":
+    """Attach columns from a DERIVED (Dataset) dim by a distributed hash
+    join — for fact-grain dims (e.g. orders + a computed column) where a
+    driver broadcast would be unbounded. Both sides shuffle once."""
+    from mimirsbrunn_ray.context import pool_size
+
+    n_part = n_part or max(8, pool_size())
+    dim = dim.map_batches(
+        lambda b, _k=dim_key, _v=tuple(val_cols): pa.table(
+            {c: b[c] for c in (_k, *_v)}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    join_type = "inner" if how == "inner" else "left_outer"
+    return ds.repartition(n_part).join(
+        dim.repartition(n_part),
+        join_type=join_type,
+        num_partitions=n_part,
+        on=(on,),
+        right_on=(dim_key,),
+    ).materialize()
+
+
 def keyed_counts(
     sf_dir: str,
     table: str,

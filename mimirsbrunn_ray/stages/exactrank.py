@@ -103,3 +103,18 @@ def member_mask(
         return np.zeros(len(values), dtype=bool)
     v_star, t_star = thr
     return (values > v_star) | ((values == v_star) & (ties <= t_star))
+
+
+def percentile_from_counts(
+    values: np.ndarray, counts: np.ndarray, q: float
+) -> float:
+    """np.percentile(expanded, q) (linear interpolation) computed from a
+    (sorted distinct values, counts) histogram — the value-grain form the
+    distributed histograms reduce to."""
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    pos = (n - 1) * (q / 100.0)
+    i0, i1 = int(np.floor(pos)), int(np.ceil(pos))
+    lo = float(values[np.searchsorted(cum, i0 + 1, side="left")])
+    hi = float(values[np.searchsorted(cum, i1 + 1, side="left")])
+    return lo + (hi - lo) * (pos - i0)
