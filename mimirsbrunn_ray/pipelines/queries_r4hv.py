@@ -372,33 +372,61 @@ def q_first_vs_repeat_order_size(sf_dir):
             "cents": g["cents"].to_numpy(np.int64),
         })
 
-    fr = (
+    # first/repeat flags stay a Dataset (order grain); the Welch moments
+    # stream in two passes (exact int64 sums -> means, then centered
+    # float sums) — orders never land whole on the driver
+    fr_ds = (
         orders.map_batches(project, batch_format="pyarrow",
                            batch_size=None)
         .groupby(_BUCKET)
         .map_groups(split, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
-    if "is_first" not in fr.columns or len(fr) == 0:
+
+    def sums1(df: pd.DataFrame) -> pd.DataFrame:
+        isf = df["is_first"].to_numpy(np.int64) == 1
+        c = df["cents"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_f": [np.int64(isf.sum())],
+            "s_f": [np.int64(c[isf].sum())],
+            "n_r": [np.int64((~isf).sum())],
+            "s_r": [np.int64(c[~isf].sum())],
+        })
+
+    p1 = fr_ds.map_batches(
+        sums1, batch_format="pandas", batch_size=None).to_pandas()
+    if "n_f" not in p1.columns or len(p1) == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _FVR_COLS})
-    isf = fr["is_first"].to_numpy(np.int64) == 1
-    cents = fr["cents"].to_numpy(np.int64).astype(np.float64)
-    a, b_ = cents[isf], cents[~isf]
-    if len(a) < 2 or len(b_) < 2:
+    n_a, n_b = int(p1["n_f"].sum()), int(p1["n_r"].sum())
+    if n_a < 2 or n_b < 2:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _FVR_COLS})
-    ma, mb = a.mean(), b_.mean()
-    va = ((a - ma) ** 2).sum() / (len(a) - 1)
-    vb = ((b_ - mb) ** 2).sum() / (len(b_) - 1)
-    se = np.sqrt(va / len(a) + vb / len(b_))
+    ma = float(p1["s_f"].sum()) / n_a
+    mb = float(p1["s_r"].sum()) / n_b
+
+    def sums2(df: pd.DataFrame) -> pd.DataFrame:
+        isf = df["is_first"].to_numpy(np.int64) == 1
+        c = df["cents"].to_numpy(np.int64).astype(np.float64)
+        da = c[isf] - ma
+        db = c[~isf] - mb
+        return pd.DataFrame({
+            "ss_f": [float((da * da).sum())],
+            "ss_r": [float((db * db).sum())],
+        })
+
+    p2 = fr_ds.map_batches(
+        sums2, batch_format="pandas", batch_size=None).to_pandas()
+    va = float(p2["ss_f"].sum()) / (n_a - 1)
+    vb = float(p2["ss_r"].sum()) / (n_b - 1)
+    se = np.sqrt(va / n_a + vb / n_b)
     if se == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _FVR_COLS})
     t = (ma - mb) / se
     return pa.table({
-        "n_first": pa.array([len(a)], pa.int64()),
-        "n_repeat": pa.array([len(b_)], pa.int64()),
+        "n_first": pa.array([n_a], pa.int64()),
+        "n_repeat": pa.array([n_b], pa.int64()),
         "mean_first_cents": pa.array(
             [_round_half_away(ma)], pa.int64()),
         "mean_repeat_cents": pa.array(
