@@ -48,46 +48,36 @@ def q_nation_trade_balance(sf_dir):
     in ppm — 500000 is balanced trade; a one-sided rollup can
     never show the asymmetry.  Both dims broadcast; cents fold
     exactly."""
-    supp = rd.read_parquet(
-        f"{sf_dir}/supplier.parquet",
-        columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    if "s_suppkey" not in supp.columns:
-        supp = pd.DataFrame({"s_suppkey": [], "s_nationkey": []})
-    s_map = dict(zip(supp["s_suppkey"].astype(np.int64),
-                     supp["s_nationkey"].astype(np.int64)))
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_nationkey"]).to_pandas()
-    if "c_custkey" not in cust.columns:
-        cust = pd.DataFrame({"c_custkey": [], "c_nationkey": []})
-    c_map = dict(zip(cust["c_custkey"].astype(np.int64),
-                     cust["c_nationkey"].astype(np.int64)))
+    # both dims attach via budget-gated broadcast / join
+    # (stages/broadcast.py) — neither lands whole on the driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_suppkey", "l_extendedprice",
+                             "l_discount")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_suppkey", sf_dir, "supplier", "s_suppkey",
+                    ["s_nationkey"], how="inner")
 
     def s_part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_suppkey", "l_extendedprice",
-                       "l_discount"))
         if b.num_rows == 0:
             return pa.table({
                 "nk": pa.array([], pa.int64()),
                 "cents": pa.array([], pa.int64()),
             })
-        sk = pd.Series(
-            b["l_suppkey"].to_numpy(zero_copy_only=False))
-        nk = sk.map(s_map)
-        keep = nk.notna().to_numpy()
         rev = (b["l_extendedprice"].cast(pa.float64()).to_numpy(
-            zero_copy_only=False)[keep]
+            zero_copy_only=False)
             * (1.0 - b["l_discount"].cast(pa.float64()).to_numpy(
-                zero_copy_only=False)[keep]))
+                zero_copy_only=False)))
         cents = np.where(
             rev >= 0, np.floor(rev * 100.0 + 0.5),
             np.ceil(rev * 100.0 - 0.5)).astype(np.int64)
         t = pa.table({
-            "nk": pa.array(nk.to_numpy()[keep].astype(np.int64)),
+            "nk": pa.array(b["s_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
             "cents": pa.array(cents),
         })
         g = t.group_by(["nk"]).aggregate([("cents", "sum")])
@@ -106,25 +96,26 @@ def q_nation_trade_balance(sf_dir):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: _valid(b, ("o_custkey", "o_totalprice")),
+        batch_format="pyarrow", batch_size=None)
+    orders = attach_dim(orders, "o_custkey", sf_dir, "customer",
+                        "c_custkey", ["c_nationkey"], how="inner")
 
     def c_part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("o_custkey", "o_totalprice"))
         if b.num_rows == 0:
             return pa.table({
                 "nk": pa.array([], pa.int64()),
                 "cents": pa.array([], pa.int64()),
             })
-        ck = pd.Series(
-            b["o_custkey"].to_numpy(zero_copy_only=False))
-        nk = ck.map(c_map)
-        keep = nk.notna().to_numpy()
         x = b["o_totalprice"].cast(pa.float64()).to_numpy(
-            zero_copy_only=False)[keep]
+            zero_copy_only=False)
         cents = np.where(
             x >= 0, np.floor(x * 100.0 + 0.5),
             np.ceil(x * 100.0 - 0.5)).astype(np.int64)
         t = pa.table({
-            "nk": pa.array(nk.to_numpy()[keep].astype(np.int64)),
+            "nk": pa.array(b["c_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
             "cents": pa.array(cents),
         })
         g = t.group_by(["nk"]).aggregate([("cents", "sum")])

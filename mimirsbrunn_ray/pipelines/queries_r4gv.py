@@ -42,37 +42,55 @@ def q_supplier_negative_balance_risk(sf_dir):
     revenue flowing through them — the revenue a credit freeze on
     distressed suppliers would interrupt.  The supplier dim
     broadcasts; revenue cents fold exactly."""
-    supp = rd.read_parquet(
+    # supplier counts reduce distributed; the balance attaches to
+    # lineitem via budget-gated broadcast / join — the dim never lands
+    # whole on the driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
+
+    def s_count(b: pa.Table) -> pa.Table:
+        b = _valid(b, ("s_suppkey", "s_acctbal"))
+        if b.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "neg": pa.array([], pa.int64())})
+        bal = b["s_acctbal"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        bc = np.where(
+            bal >= 0, np.floor(bal * 100.0 + 0.5),
+            np.ceil(bal * 100.0 - 0.5)).astype(np.int64)
+        return pa.table({
+            "n": pa.array([np.int64(b.num_rows)]),
+            "neg": pa.array([np.int64((bc < 0).sum())]),
+        })
+
+    sc = rd.read_parquet(
         f"{sf_dir}/supplier.parquet",
-        columns=["s_suppkey", "s_acctbal"]).to_pandas()
-    if "s_suppkey" not in supp.columns or len(supp) == 0:
+        columns=["s_suppkey", "s_acctbal"],
+    ).map_batches(s_count, batch_format="pyarrow",
+                  batch_size=None).to_pandas()
+    n_supp = int(sc["n"].sum()) if "n" in sc.columns else 0
+    n_neg = int(sc["neg"].sum()) if "neg" in sc.columns else 0
+    if n_supp == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _SNB_COLS})
-    supp = supp.dropna(subset=["s_suppkey", "s_acctbal"])
-    bal = supp["s_acctbal"].to_numpy(np.float64)
-    bal_cents = np.where(
-        bal >= 0, np.floor(bal * 100.0 + 0.5),
-        np.ceil(bal * 100.0 - 0.5)).astype(np.int64)
-    neg_set = set(
-        supp["s_suppkey"].astype(np.int64).to_numpy()[
-            bal_cents < 0].tolist())
-    n_supp = len(supp)
-    n_neg = len(neg_set)
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_suppkey", "l_extendedprice",
+                             "l_discount")),
+        batch_format="pyarrow", batch_size=None)
+    # left attach: every lineitem counts in the total, only matched
+    # negative-balance suppliers count as exposed (the dict semantics)
+    li = attach_dim(li, "l_suppkey", sf_dir, "supplier", "s_suppkey",
+                    ["s_acctbal"], how="left")
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_suppkey", "l_extendedprice",
-                       "l_discount"))
         if b.num_rows == 0:
             return pa.table({
                 "total": pa.array([], pa.int64()),
                 "exposed": pa.array([], pa.int64()),
             })
-        sk = b["l_suppkey"].to_numpy(
-            zero_copy_only=False).astype(np.int64)
         rev = (b["l_extendedprice"].cast(pa.float64()).to_numpy(
             zero_copy_only=False)
             * (1.0 - b["l_discount"].cast(pa.float64()).to_numpy(
@@ -80,7 +98,14 @@ def q_supplier_negative_balance_risk(sf_dir):
         cents = np.where(
             rev >= 0, np.floor(rev * 100.0 + 0.5),
             np.ceil(rev * 100.0 - 0.5)).astype(np.int64)
-        is_neg = pd.Series(sk).isin(neg_set).to_numpy()
+        bal_col = b["s_acctbal"]
+        valid = pc.is_valid(bal_col).to_numpy(zero_copy_only=False)
+        bal = bal_col.to_numpy(zero_copy_only=False).astype(np.float64)
+        bal = np.where(valid, bal, 0.0)
+        bc = np.where(
+            bal >= 0, np.floor(bal * 100.0 + 0.5),
+            np.ceil(bal * 100.0 - 0.5)).astype(np.int64)
+        is_neg = valid & (bc < 0)
         return pa.table({
             "total": pa.array([int(cents.sum())], pa.int64()),
             "exposed": pa.array(
@@ -169,36 +194,34 @@ def q_region_revenue_hhi(sf_dir):
         nat = pd.DataFrame({"n_nationkey": [], "n_regionkey": []})
     reg_map = dict(zip(nat["n_nationkey"].astype(np.int64),
                        nat["n_regionkey"].astype(np.int64)))
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_nationkey"]).to_pandas()
-    if "c_custkey" not in cust.columns:
-        cust = pd.DataFrame({"c_custkey": [], "c_nationkey": []})
-    nk_map = dict(zip(cust["c_custkey"].astype(np.int64),
-                      cust["c_nationkey"].astype(np.int64)))
+    # the customer nation attaches via budget-gated broadcast / join
+    # (stages/broadcast.py) — the customer dim never lands whole on the
+    # driver; the nation->region map is 25 rows (reference-blessed)
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: _valid(b, ("o_custkey", "o_totalprice")),
+        batch_format="pyarrow", batch_size=None)
+    orders = attach_dim(orders, "o_custkey", sf_dir, "customer",
+                        "c_custkey", ["c_nationkey"], how="inner")
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("o_custkey", "o_totalprice"))
         if b.num_rows == 0:
             return pa.table({
                 "nk": pa.array([], pa.int64()),
                 "cents": pa.array([], pa.int64()),
             })
-        ck = pd.Series(
-            b["o_custkey"].to_numpy(zero_copy_only=False))
-        nk = ck.map(nk_map)
-        keep = nk.notna().to_numpy()
         x = b["o_totalprice"].cast(pa.float64()).to_numpy(
-            zero_copy_only=False)[keep]
+            zero_copy_only=False)
         cents = np.where(
             x >= 0, np.floor(x * 100.0 + 0.5),
             np.ceil(x * 100.0 - 0.5)).astype(np.int64)
         t = pa.table({
-            "nk": pa.array(nk.to_numpy()[keep].astype(np.int64)),
+            "nk": pa.array(b["c_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
             "cents": pa.array(cents),
         })
         g = t.group_by(["nk"]).aggregate([("cents", "sum")])
