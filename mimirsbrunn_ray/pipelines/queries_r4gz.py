@@ -325,58 +325,72 @@ def q_balance_order_rate_corr(sf_dir):
     correlation here flags data that was NOT generated the way
     its docs claim (the generative-assumption audit).  Per-
     customer counts fold exactly; the dim broadcasts."""
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_acctbal"]).to_pandas()
-    if "c_custkey" not in cust.columns or len(cust) == 0:
+    # scale shape: per-customer order counts reduce in the cluster
+    # (keyed_counts), attach to the streaming customer table, and the
+    # Pearson moments fold in two passes — neither fact table lands
+    # whole on the driver.
+    from mimirsbrunn_ray.stages.broadcast import attach_table, keyed_counts
+
+    oc = keyed_counts(sf_dir, "orders", "o_custkey")
+
+    def cust_proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["c_custkey"]),
+                             pc.is_valid(b["c_acctbal"])))
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cents = np.where(
+            bal >= 0, np.floor(bal * 100.0 + 0.5),
+            np.ceil(bal * 100.0 - 0.5)).astype(np.int64)
+        return pa.table({
+            "ck": b["c_custkey"].cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    cust_ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(cust_proj, batch_format="pyarrow", batch_size=None)
+    cust_ds = attach_table(cust_ds, "ck", oc, "o_custkey", ["n"],
+                           how="left").materialize()
+
+    def sums1(b: pa.Table) -> pa.Table:
+        x = b["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = pc.fill_null(b["n"], 0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.table({"nn": pa.array([np.int64(len(x))]),
+                         "sx": pa.array([float(x.sum())]),
+                         "sy": pa.array([float(y.sum())])})
+
+    p1 = cust_ds.map_batches(
+        sums1, batch_format="pyarrow", batch_size=None).to_pandas()
+    n_cust = int(p1["nn"].sum()) if "nn" in p1.columns else 0
+    if n_cust < 3:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _BOR_COLS})
-    cust = cust.dropna(subset=["c_custkey", "c_acctbal"])
-    bal = cust["c_acctbal"].to_numpy(np.float64)
-    bal_cents = np.where(
-        bal >= 0, np.floor(bal * 100.0 + 0.5),
-        np.ceil(bal * 100.0 - 0.5)).astype(np.int64)
-    bal_map = dict(zip(cust["c_custkey"].astype(np.int64),
-                       bal_cents))
+    mb = float(p1["sx"].sum()) / n_cust
+    mo = float(p1["sy"].sum()) / n_cust
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey"])
+    def sums2(b: pa.Table) -> pa.Table:
+        dx = b["cents"].to_numpy(zero_copy_only=False).astype(
+            np.float64) - mb
+        dy = pc.fill_null(b["n"], 0).to_numpy(
+            zero_copy_only=False).astype(np.float64) - mo
+        return pa.table({"sxy": pa.array([float((dx * dy).sum())]),
+                         "sxx": pa.array([float((dx * dx).sum())]),
+                         "syy": pa.array([float((dy * dy).sum())])})
 
-    def part(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b["o_custkey"]))
-        g = b.group_by(["o_custkey"]).aggregate(
-            [([], "count_all")])
-        return g.rename_columns(["cust", "n"])
-
-    def comb(b: pa.Table) -> pa.Table:
-        g = b.group_by(["cust"]).aggregate([("n", "sum")])
-        return g.rename_columns(["cust", "n"])
-
-    oc = tree_merge(
-        orders.map_batches(part, batch_format="pyarrow",
-                           batch_size=None),
-        comb,
-        final_shards=8,
-        shard_cols=["cust"],
-    ).to_pandas()
-    counts = (dict(zip(oc["cust"].astype(np.int64),
-                       oc["n"].astype(np.int64)))
-              if "cust" in oc.columns else {})
-    keys = sorted(bal_map)
-    x = np.array([bal_map[k] for k in keys], dtype=np.float64)
-    y = np.array([counts.get(k, 0) for k in keys],
-                 dtype=np.float64)
-    r = _pearson(x, y)
-    if r is None:
+    p2 = cust_ds.map_batches(
+        sums2, batch_format="pyarrow", batch_size=None).to_pandas()
+    sxx, syy = float(p2["sxx"].sum()), float(p2["syy"].sum())
+    if sxx <= 0 or syy <= 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _BOR_COLS})
+    r = float(p2["sxy"].sum()) / np.sqrt(sxx * syy)
     return pa.table({
-        "n_customers": pa.array([len(keys)], pa.int64()),
+        "n_customers": pa.array([n_cust], pa.int64()),
         "r_x1e6": pa.array(
             [_round_half_away(r * 1e6)], pa.int64()),
         "mean_orders_x1e3": pa.array(
-            [_round_half_away(float(y.mean()) * 1e3)],
-            pa.int64()),
+            [_round_half_away(mo * 1e3)], pa.int64()),
     })
 
 

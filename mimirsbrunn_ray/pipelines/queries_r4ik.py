@@ -169,56 +169,63 @@ def q_goodman_kruskal_balance_orders(sf_dir):
     immune to the heavy ties both ordinals carry.  Quartile
     edges use integer ranks; the pair counts are integer
     products."""
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_acctbal"]).to_pandas()
-    if len(cust) == 0 or cust["c_acctbal"].isna().all():
+    # scale shape: the quartile cut resolves via a distributed balance
+    # histogram + bounded straddle pulls (stages/exactrank.py), order
+    # counts reduce per customer in the cluster, and the 4x4 contingency
+    # folds as per-batch partials — neither fact table lands whole on
+    # the driver.
+    from mimirsbrunn_ray.stages.broadcast import attach_table, keyed_counts
+    from mimirsbrunn_ray.stages.exactrank import band_of, rank_band_lut
+
+    def cust_proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["c_custkey"]),
+                             pc.is_valid(b["c_acctbal"])))
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cents = np.where(bal >= 0, np.floor(bal * 100 + 0.5),
+                         np.ceil(bal * 100 - 0.5)).astype(np.int64)
+        return pa.table({
+            "ck": b["c_custkey"].cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    cust_ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(cust_proj, batch_format="pyarrow",
+                  batch_size=None).materialize()
+    lut, n = rank_band_lut(cust_ds, "cents", "ck", 4)
+    if lut is None:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _GKG_COLS})
-    cust = cust.dropna(subset=["c_custkey", "c_acctbal"])
-    cents = cust["c_acctbal"].to_numpy(np.float64)
-    cents = np.where(cents >= 0, np.floor(cents * 100 + 0.5),
-                     np.ceil(cents * 100 - 0.5)).astype(np.int64)
-    n = len(cents)
-    # quartile band by rank: band = (4 * (rank-1)) // n, ranks
-    # assigned after sorting by (cents, custkey) for determinism
-    order = np.lexsort((cust["c_custkey"].to_numpy(np.int64),
-                        cents))
-    band = np.empty(n, np.int64)
-    band[order] = (4 * np.arange(n, dtype=np.int64)) // n
 
-    oc = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                         columns=["o_custkey"])
+    onc = keyed_counts(sf_dir, "orders", "o_custkey")
+    withc = attach_table(cust_ds, "ck", onc, "o_custkey", ["n"],
+                         how="left")
 
-    def part(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b["o_custkey"]))
-        t = pa.table({
-            "ck": b["o_custkey"].cast(pa.int64()),
-            "n": pa.array(np.ones(b.num_rows, np.int64)),
-        })
-        g = t.group_by(["ck"]).aggregate([("n", "sum")])
-        return g.rename_columns(["ck", "n"])
+    def cell_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"band": pa.array([], pa.int64()),
+                             "oband": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        ck = b["ck"].to_numpy(zero_copy_only=False)
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        band = band_of(cents, ck, lut)
+        ocount = pc.fill_null(b["n"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        oband = np.where(ocount == 0, 0,
+                         np.where(ocount <= 2, 1,
+                                  np.where(ocount <= 5, 2, 3)))
+        t = pa.table({"band": pa.array(band),
+                      "oband": pa.array(oband),
+                      "cnt": pa.array(np.ones(len(band), np.int64))})
+        g = t.group_by(["band", "oband"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["band", "oband", "cnt"])
 
-    def comb(b: pa.Table) -> pa.Table:
-        g = b.group_by(["ck"]).aggregate([("n", "sum")])
-        return g.rename_columns(["ck", "n"])
-
-    onc = tree_merge(
-        oc.map_batches(part, batch_format="pyarrow",
-                       batch_size=None), comb).to_pandas()
-    cmap = (dict(zip(onc["ck"].astype(np.int64),
-                     onc["n"].astype(np.int64)))
-            if "ck" in onc.columns else {})
-    ocount = np.array(
-        [cmap.get(k, 0)
-         for k in cust["c_custkey"].to_numpy(np.int64)],
-        np.int64)
-    oband = np.where(ocount == 0, 0,
-                     np.where(ocount <= 2, 1,
-                              np.where(ocount <= 5, 2, 3)))
+    cells = withc.map_batches(
+        cell_part, batch_format="pyarrow", batch_size=None).to_pandas()
     tab = np.zeros((4, 4), np.int64)
-    for bb, ob in zip(band, oband):
-        tab[bb, ob] += 1
+    for bb, ob, cn in zip(cells["band"], cells["oband"], cells["cnt"]):
+        tab[int(bb), int(ob)] += int(cn)
     conc = 0
     disc = 0
     for i in range(4):
@@ -305,10 +312,7 @@ def q_region_share_swing(sf_dir):
     region = rd.read_parquet(
         f"{sf_dir}/region.parquet",
         columns=["r_regionkey", "r_name"]).to_pandas()
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_nationkey"]).to_pandas()
-    if len(nation) == 0 or len(region) == 0 or len(cust) == 0:
+    if len(nation) == 0 or len(region) == 0:
         return pa.table({
             "r_name": pa.array([], pa.string()),
             "n_years": pa.array([], pa.int64()),
@@ -316,29 +320,34 @@ def q_region_share_swing(sf_dir):
             "max_share_ppm": pa.array([], pa.int64()),
             "swing_ppm": pa.array([], pa.int64()),
         })
+    # nation -> region is 25 rows (reference-blessed driver map); the
+    # customer hop attaches via budget-gated broadcast / join instead of
+    # a driver dict (stages/broadcast.py)
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
+
     n2r = dict(zip(nation["n_nationkey"].astype(np.int64),
                    nation["n_regionkey"].astype(np.int64)))
-    c2r = {int(ck): n2r.get(int(nk), -1)
-           for ck, nk in zip(cust["c_custkey"],
-                             cust["c_nationkey"])}
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: _valid(b, ("o_custkey", "o_orderdate",
+                             "o_totalprice")),
+        batch_format="pyarrow", batch_size=None)
+    orders = attach_dim(orders, "o_custkey", sf_dir, "customer",
+                        "c_custkey", ["c_nationkey"], how="inner")
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("o_custkey", "o_orderdate",
-                       "o_totalprice"))
         if b.num_rows == 0:
             return pa.table({
                 "rk": pa.array([], pa.int64()),
                 "yr": pa.array([], pa.int64()),
                 "cents": pa.array([], pa.int64()),
             })
-        ck = b["o_custkey"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        rk = np.array([c2r.get(int(k), -1) for k in ck],
-                      np.int64)
+        nk = b["c_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rk = np.array([n2r.get(int(k), -1) for k in nk], np.int64)
         d = b["o_orderdate"].cast(pa.timestamp("us")).to_pandas()
         yr = d.dt.year.to_numpy(np.int64)
         tp = b["o_totalprice"].cast(pa.float64()).to_numpy(

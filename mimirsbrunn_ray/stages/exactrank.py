@@ -118,3 +118,71 @@ def percentile_from_counts(
     lo = float(values[np.searchsorted(cum, i0 + 1, side="left")])
     hi = float(values[np.searchsorted(cum, i1 + 1, side="left")])
     return lo + (hi - lo) * (pos - i0)
+
+
+def rank_band_lut(ds: "rd.Dataset", value_col: str, tie_col: str,
+                  n_bands: int):
+    """Exact n-band rank cut (band = rank * n_bands // n over
+    (value, tie) order) as a broadcastable lookup: a distributed value
+    histogram assigns whole groups their band; only groups STRADDLING a
+    band boundary pull their tie keys (bounded by tie multiplicity) to
+    split exactly. Returns ``(ref, n)`` where ``ref`` is a ``ray.put`` of
+    (values, band_or_minus1, straddle_keys_sorted, straddle_bands) and
+    ``n`` the total row count — resolve rows with ``band_of``."""
+    import ray
+
+    hist = value_counts(ds, value_col)
+    if len(hist) == 0:
+        return None, 0
+    vals = hist.index.to_numpy(np.int64)
+    cnts = hist.to_numpy(np.int64)
+    n = int(cnts.sum())
+    ends = np.cumsum(cnts)
+    starts = ends - cnts
+    b_lo = starts * n_bands // n
+    b_hi = (ends - 1) * n_bands // n
+    uniform = b_lo == b_hi
+    vband = np.where(uniform, b_lo, -1).astype(np.int64)
+    import pyarrow.compute as pc
+
+    strad_k, strad_b = [], []
+    for v, s0 in zip(vals[~uniform], starts[~uniform]):
+        def pull(b: pa.Table, _v=int(v)) -> pa.Table:
+            keep = pc.equal(b[value_col], pa.scalar(_v, pa.int64()))
+            return pa.table(
+                {tie_col: b[tie_col].filter(pc.fill_null(keep, False))}
+            )
+
+        grp = ds.map_batches(
+            pull, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        ks = np.sort(grp[tie_col].to_numpy(np.int64), kind="stable")
+        ranks = int(s0) + np.arange(len(ks), dtype=np.int64)
+        strad_k.append(ks)
+        strad_b.append(ranks * n_bands // n)
+    sk = np.concatenate(strad_k) if strad_k else np.array([], np.int64)
+    sb = np.concatenate(strad_b) if strad_b else np.array([], np.int64)
+    order = np.argsort(sk, kind="stable")
+    return ray.put((vals, vband, sk[order], sb[order])), n
+
+
+def band_of(values: np.ndarray, ties: np.ndarray, ref) -> np.ndarray:
+    """Resolve each row's band from a ``rank_band_lut`` ref; -1 for rows
+    whose value is not in the histogram (should not happen for rows the
+    lut was built from)."""
+    import ray
+
+    v_arr, v_band, s_k, s_b = ray.get(ref)
+    idx = np.clip(np.searchsorted(v_arr, values), 0, max(len(v_arr) - 1, 0))
+    if len(v_arr) == 0:
+        return np.full(len(values), -1, np.int64)
+    hit = v_arr[idx] == values
+    band = np.where(hit, v_band[idx], np.int64(-1))
+    need = band == -1
+    if need.any() and len(s_k):
+        j = np.clip(np.searchsorted(s_k, ties[need]), 0, len(s_k) - 1)
+        h2 = s_k[j] == ties[need]
+        bb = band[need]
+        bb[h2] = s_b[j][h2]
+        band[need] = bb
+    return band
