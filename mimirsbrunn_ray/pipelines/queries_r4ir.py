@@ -156,28 +156,54 @@ def q_segment_balance_chisq(sf_dir):
     custkey) — independence means segment targeting says nothing
     about ability to pay.  The 4×k contingency builds from exact
     counts."""
-    cust = rd.read_parquet(
+    # scale shape: the quartile cut resolves via a distributed balance
+    # histogram + bounded straddle pulls (stages/exactrank.py); the 4xk
+    # contingency folds as per-batch partials — customer never lands
+    # whole on the driver.
+    from mimirsbrunn_ray.stages.exactrank import band_of, rank_band_lut
+
+    def cust_proj(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(b["c_custkey"]),
+                            pc.is_valid(b["c_acctbal"])),
+                    pc.is_valid(b["c_mktsegment"]))
+        b = b.filter(m)
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cents = np.where(bal >= 0, np.floor(bal * 100 + 0.5),
+                         np.ceil(bal * 100 - 0.5)).astype(np.int64)
+        return pa.table({
+            "ck": b["c_custkey"].cast(pa.int64()),
+            "cents": pa.array(cents),
+            "seg": b["c_mktsegment"],
+        })
+
+    cust_ds = rd.read_parquet(
         f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_acctbal",
-                 "c_mktsegment"]).to_pandas()
-    if len(cust) == 0:
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    ).map_batches(cust_proj, batch_format="pyarrow",
+                  batch_size=None).materialize()
+    lut, n = rank_band_lut(cust_ds, "cents", "ck", 4)
+    if lut is None:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _SBC_COLS})
-    cust = cust.dropna(
-        subset=["c_custkey", "c_acctbal", "c_mktsegment"])
-    if len(cust) == 0:
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in _SBC_COLS})
-    cents = cust["c_acctbal"].to_numpy(np.float64)
-    cents = np.where(cents >= 0, np.floor(cents * 100 + 0.5),
-                     np.ceil(cents * 100 - 0.5)).astype(np.int64)
-    n = len(cust)
-    order = np.lexsort((cust["c_custkey"].to_numpy(np.int64),
-                        cents))
-    band = np.empty(n, np.int64)
-    band[order] = (4 * np.arange(n, dtype=np.int64)) // n
-    seg = cust["c_mktsegment"].to_numpy()
-    piv = pd.crosstab(pd.Series(band), pd.Series(seg))
+
+    def cell_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"band": pa.array([], pa.int64()),
+                             "seg": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        band = band_of(b["cents"].to_numpy(zero_copy_only=False),
+                       b["ck"].to_numpy(zero_copy_only=False), lut)
+        t = pa.table({"band": pa.array(band), "seg": b["seg"],
+                      "cnt": pa.array(np.ones(len(band), np.int64))})
+        g = t.group_by(["band", "seg"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["band", "seg", "cnt"])
+
+    cells = cust_ds.map_batches(
+        cell_part, batch_format="pyarrow", batch_size=None).to_pandas()
+    cells = cells.groupby(["band", "seg"], as_index=False)["cnt"].sum()
+    piv = cells.pivot_table(index="band", columns="seg", values="cnt",
+                            fill_value=0, aggfunc="sum")
     m = piv.to_numpy(np.float64)
     r, c = m.shape
     if r < 2 or c < 2:

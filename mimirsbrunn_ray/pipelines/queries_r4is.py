@@ -300,20 +300,10 @@ def q_top_decile_order_share_by_segment(sf_dir):
     segments that look healthy in aggregate can be one whale
     deep.  Per-customer order counts fold exactly; the decile
     cut is an integer rank."""
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    if len(cust) == 0:
-        return pa.table({
-            "c_mktsegment": pa.array([], pa.string()),
-            "n_customers": pa.array([], pa.int64()),
-            "k": pa.array([], pa.int64()),
-            "top_decile_order_share_ppm": pa.array(
-                [], pa.int64()),
-        })
-    cust = cust.dropna(subset=["c_custkey", "c_mktsegment"])
-    smap = dict(zip(cust["c_custkey"].astype(np.int64),
-                    cust["c_mktsegment"]))
+    # the segment attaches to the per-customer counts via budget-gated
+    # broadcast / join (stages/broadcast.py); the only driver pull is the
+    # customer-grain reduction the decile walk needs
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey"])
@@ -331,9 +321,13 @@ def q_top_decile_order_share_by_segment(sf_dir):
         g = b.group_by(["ck"]).aggregate([("n", "sum")])
         return g.rename_columns(["ck", "n"])
 
-    oc = tree_merge(
+    oc_ds = tree_merge(
         orders.map_batches(part, batch_format="pyarrow",
-                           batch_size=None), comb).to_pandas()
+                           batch_size=None), comb)
+    oc_ds = attach_dim(oc_ds, "ck", sf_dir, "customer", "c_custkey",
+                       ["c_mktsegment"], how="inner",
+                       out_names=["seg"])
+    oc = oc_ds.to_pandas()
     if "ck" not in oc.columns or len(oc) == 0:
         return pa.table({
             "c_mktsegment": pa.array([], pa.string()),
@@ -342,8 +336,6 @@ def q_top_decile_order_share_by_segment(sf_dir):
             "top_decile_order_share_ppm": pa.array(
                 [], pa.int64()),
         })
-    oc["seg"] = [smap.get(int(k)) for k in oc["ck"]]
-    oc = oc.dropna(subset=["seg"])
     rows = []
     for seg, g in oc.groupby("seg"):
         n = len(g)
