@@ -127,17 +127,10 @@ def q_supplier_balance_volume_corr(sf_dir):
     working capital.  Per-supplier line counts fold exactly; the
     tiny supplier dim joins on the driver; moment sums are
     exact integers."""
-    supp = rd.read_parquet(
-        f"{sf_dir}/supplier.parquet",
-        columns=["s_suppkey", "s_acctbal"]).to_pandas()
-    if len(supp) == 0:
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in _SBV_COLS})
-    supp = supp.dropna(subset=["s_suppkey", "s_acctbal"])
-    bal = supp["s_acctbal"].to_numpy(np.float64)
-    cents = np.where(bal >= 0, np.floor(bal * 100 + 0.5),
-                     np.ceil(bal * 100 - 0.5)).astype(np.int64)
-    bmap = dict(zip(supp["s_suppkey"].astype(np.int64), cents))
+    # the supplier dim streams; per-supplier volumes reduce in the
+    # cluster and attach back (stages/broadcast.py); the moment sums are
+    # exact int64 partials — nothing lands whole on the driver
+    from mimirsbrunn_ray.stages.broadcast import attach_table
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_suppkey"])
@@ -158,20 +151,53 @@ def q_supplier_balance_volume_corr(sf_dir):
     vol = tree_merge(
         li.map_batches(part, batch_format="pyarrow",
                        batch_size=None), comb).to_pandas()
-    vmap = (dict(zip(vol["sk"].astype(np.int64),
-                     vol["n"].astype(np.int64)))
-            if "sk" in vol.columns else {})
-    x = np.array([vmap.get(int(k), 0)
-                  for k in supp["s_suppkey"]], np.int64)
-    y = cents
-    n = float(len(x))
+    if "sk" not in vol.columns:
+        vol = pd.DataFrame({"sk": pd.Series([], dtype=np.int64),
+                            "n": pd.Series([], dtype=np.int64)})
+    vol_tbl = pa.Table.from_pandas(vol, preserve_index=False)
+
+    def supp_proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["s_suppkey"]),
+                             pc.is_valid(b["s_acctbal"])))
+        bal = b["s_acctbal"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cents = np.where(bal >= 0, np.floor(bal * 100 + 0.5),
+                         np.ceil(bal * 100 - 0.5)).astype(np.int64)
+        return pa.table({
+            "sk": b["s_suppkey"].cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    supp_ds = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_acctbal"],
+    ).map_batches(supp_proj, batch_format="pyarrow", batch_size=None)
+    supp_ds = attach_table(supp_ds, "sk", vol_tbl, "sk", ["n"],
+                           how="left", out_names=["vol"])
+
+    def mom_part(b: pa.Table) -> pa.Table:
+        x = pc.fill_null(b["vol"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = b["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nn": pa.array([np.int64(len(x))]),
+            "sx": pa.array([np.int64(x.sum())]),
+            "sy": pa.array([np.int64(y.sum())]),
+            "sxx": pa.array([np.int64((x * x).sum())]),
+            "syy": pa.array([np.int64((y * y).sum())]),
+            "sxy": pa.array([np.int64((x * y).sum())]),
+        })
+
+    mom = supp_ds.map_batches(
+        mom_part, batch_format="pyarrow", batch_size=None).to_pandas()
+    n = float(int(mom["nn"].sum())) if "nn" in mom.columns else 0.0
     if n < 3:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _SBV_COLS})
-    sx, sy = float(x.sum()), float(y.sum())
-    sxx = float((x * x).sum())
-    syy = float((y * y).sum())
-    sxy = float((x * y).sum())
+    sx, sy = float(mom["sx"].sum()), float(mom["sy"].sum())
+    sxx = float(mom["sxx"].sum())
+    syy = float(mom["syy"].sum())
+    sxy = float(mom["sxy"].sum())
     denx = n * sxx - sx * sx
     deny = n * syy - sy * sy
     if denx <= 0 or deny <= 0:

@@ -165,45 +165,35 @@ def q_big_order_segment_mix(sf_dir):
     of ALL orders, with the lift — the segment the sales org
     should actually staff for.  Counts fold exactly through the
     broadcast customer → segment map."""
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    if len(cust) == 0:
-        return pa.table({
-            "c_mktsegment": pa.array([], pa.string()),
-            "n_big_orders": pa.array([], pa.int64()),
-            "big_share_ppm": pa.array([], pa.int64()),
-            "base_share_ppm": pa.array([], pa.int64()),
-            "lift_x1e3": pa.array([], pa.int64()),
-        })
-    cust = cust.dropna(subset=["c_custkey", "c_mktsegment"])
-    smap = dict(zip(cust["c_custkey"].astype(np.int64),
-                    cust["c_mktsegment"]))
+    # the segment attaches via budget-gated broadcast / join
+    # (stages/broadcast.py) — the customer dim never lands whole on the
+    # driver; only the (segment, cents) histogram does (value-grain)
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: _valid(b, ("o_custkey", "o_totalprice")),
+        batch_format="pyarrow", batch_size=None)
+    orders = attach_dim(orders, "o_custkey", sf_dir, "customer",
+                        "c_custkey", ["c_mktsegment"], how="inner",
+                        out_names=["seg"])
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("o_custkey", "o_totalprice"))
         if b.num_rows == 0:
             return pa.table({
                 "seg": pa.array([], pa.string()),
                 "cents": pa.array([], pa.int64()),
                 "n": pa.array([], pa.int64()),
             })
-        ck = b["o_custkey"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        seg = np.array([smap.get(int(k)) for k in ck],
-                       dtype=object)
         tp = b["o_totalprice"].cast(pa.float64()).to_numpy(
             zero_copy_only=False)
         cents = np.where(tp >= 0, np.floor(tp * 100 + 0.5),
                          np.ceil(tp * 100 - 0.5)).astype(
             np.int64)
-        keep = seg != None  # noqa: E711
-        df = pd.DataFrame({"seg": seg[keep],
-                           "cents": cents[keep], "n": 1})
+        df = pd.DataFrame({"seg": b["seg"].to_pandas(),
+                           "cents": cents, "n": 1})
         agg = df.groupby(["seg", "cents"]).sum().reset_index()
         agg["cents"] = agg["cents"].astype(np.int64)
         agg["n"] = agg["n"].astype(np.int64)

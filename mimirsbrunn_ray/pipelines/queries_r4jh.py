@@ -135,58 +135,60 @@ def q_order_affordability_census(sf_dir):
     order-to-balance ratio — every exceeding order is credit the
     books quietly extend.  The tiny balance map broadcasts into
     an exact counting pass."""
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_acctbal"]).to_pandas()
-    if len(cust) == 0:
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in _OAC_COLS})
-    cust = cust.dropna(subset=["c_custkey", "c_acctbal"])
-    bal = cust["c_acctbal"].to_numpy(np.float64)
-    cents = np.where(bal >= 0, np.floor(bal * 100 + 0.5),
-                     np.ceil(bal * 100 - 0.5)).astype(np.int64)
-    bmap = {int(k): int(c)
-            for k, c in zip(cust["c_custkey"], cents)
-            if c > 0}
+    # scale shape: the balance attaches via budget-gated broadcast /
+    # join, exceed counts fold as per-batch partials, and the ratio
+    # median resolves via the distributed sort + block-span pull of
+    # stages/exactrank.quantile_float — neither table lands whole on
+    # the driver.
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
+    from mimirsbrunn_ray.stages.exactrank import quantile_float
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: _valid(b, ("o_custkey", "o_totalprice")),
+        batch_format="pyarrow", batch_size=None)
+    orders = attach_dim(orders, "o_custkey", sf_dir, "customer",
+                        "c_custkey", ["c_acctbal"], how="inner")
 
-    def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("o_custkey", "o_totalprice"))
+    def to_ratio(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({
-                "n": pa.array([], pa.int64()),
-                "ex": pa.array([], pa.int64()),
-                "ratios": pa.array([], pa.float64()),
-            })
-        ck = b["o_custkey"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
+            return pa.table({"ex": pa.array([], pa.int64()),
+                             "ratio": pa.array([], pa.float64())})
         tp = b["o_totalprice"].cast(pa.float64()).to_numpy(
             zero_copy_only=False)
         oc = np.where(tp >= 0, np.floor(tp * 100 + 0.5),
                       np.ceil(tp * 100 - 0.5)).astype(np.int64)
-        bc = np.array([bmap.get(int(k), 0) for k in ck],
-                      np.int64)
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        bc = np.where(bal >= 0, np.floor(bal * 100 + 0.5),
+                      np.ceil(bal * 100 - 0.5)).astype(np.int64)
         keep = bc > 0
         oc, bc = oc[keep], bc[keep]
         return pa.table({
-            "n": pa.array(np.ones(len(oc), np.int64)),
             "ex": pa.array((oc > bc).astype(np.int64)),
-            "ratios": pa.array(oc.astype(np.float64) / bc),
+            "ratio": pa.array(oc.astype(np.float64) / bc),
         })
 
-    rr = orders.map_batches(
-        part, batch_format="pyarrow",
-        batch_size=None).to_pandas()
-    if "ratios" not in rr.columns or len(rr) == 0:
+    ratios = orders.map_batches(
+        to_ratio, batch_format="pyarrow", batch_size=None).materialize()
+
+    def cnt_part(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([np.int64(b.num_rows)]),
+            "ex": pa.array([np.int64(
+                pc.sum(b["ex"]).as_py() or 0)]),
+        })
+
+    cp = ratios.map_batches(
+        cnt_part, batch_format="pyarrow", batch_size=None).to_pandas()
+    n = int(cp["n"].sum()) if "n" in cp.columns else 0
+    if n == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _OAC_COLS})
-    n = len(rr)
-    ex = int(rr["ex"].sum())
-    med = float(np.percentile(
-        rr["ratios"].to_numpy(np.float64), 50))
+    ex = int(cp["ex"].sum())
+    med = quantile_float(ratios, "ratio", 50)
     return pa.table({
         "n_orders": pa.array([n], pa.int64()),
         "n_exceed": pa.array([ex], pa.int64()),

@@ -186,3 +186,64 @@ def band_of(values: np.ndarray, ties: np.ndarray, ref) -> np.ndarray:
         bb[h2] = s_b[j][h2]
         band[need] = bb
     return band
+
+
+def quantile_float(ds: "rd.Dataset", col: str, q: float) -> float | None:
+    """Exact interpolated quantile of a float column without pulling the
+    column: distributed sort -> per-block (count, min, max) summaries ->
+    the driver locates the block span covering the target ranks -> ONE
+    range-filtered pull bounded by block size (+ ties). Returns None on
+    an empty dataset."""
+    import pyarrow.compute as pc
+
+    s = ds.sort(key=col)
+
+    def summ(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"cnt": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        v = b[col].to_numpy(zero_copy_only=False)
+        return pa.table({"cnt": pa.array([np.int64(len(v))]),
+                         "lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    sm = s.map_batches(
+        summ, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if "cnt" not in sm.columns or len(sm) == 0 or sm["cnt"].sum() == 0:
+        return None
+    sm = sm.sort_values(["lo", "hi"], ignore_index=True)
+    n = int(sm["cnt"].sum())
+    pos = (n - 1) * (q / 100.0)
+    i0, i1 = int(np.floor(pos)), int(np.ceil(pos))
+    cum = np.cumsum(sm["cnt"].to_numpy(np.int64))
+    b0 = int(np.searchsorted(cum, i0 + 1, side="left"))
+    b1 = int(np.searchsorted(cum, i1 + 1, side="left"))
+    lo = float(sm["lo"].iloc[b0])
+    hi = float(sm["hi"].iloc[b1])
+    below = int(cum[b0 - 1]) if b0 > 0 else 0
+    # ties equal to `lo` may sit in earlier blocks: include them in the
+    # pull and recompute the offset from the strictly-smaller count
+    def pull(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b[col], pa.scalar(lo, pa.float64())),
+            pc.less_equal(b[col], pa.scalar(hi, pa.float64())),
+        )
+        return pa.table({col: b[col].filter(pc.fill_null(keep, False))})
+
+    def count_below(b: pa.Table) -> pa.Table:
+        keep = pc.less(b[col], pa.scalar(lo, pa.float64()))
+        return pa.table({"c": pa.array(
+            [np.int64(pc.sum(keep).as_py() or 0)])})
+
+    nb = ds.map_batches(
+        count_below, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    below = int(nb["c"].sum()) if "c" in nb.columns else 0
+    vals = np.sort(
+        ds.map_batches(pull, batch_format="pyarrow", batch_size=None)
+        .to_pandas()[col].to_numpy(np.float64), kind="stable")
+    v0 = float(vals[i0 - below])
+    v1 = float(vals[i1 - below])
+    return v0 + (v1 - v0) * (pos - i0)
