@@ -44,59 +44,89 @@ def q_nonbuyer_balance_gap(sf_dir):
     plus the Welch t — a significant gap means engagement is
     financially selective.  Per-customer order counts fold in one
     distinct pass; moments fold exactly per group."""
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_acctbal"]).to_pandas()
-    if "c_custkey" not in cust.columns or len(cust) == 0:
+    # scale shape: per-customer order counts reduce in the cluster and
+    # attach to the streaming customer table; the median resolves from
+    # the bounded order-count histogram, and the two-group Welch moments
+    # fold in two passes — neither fact table lands whole on the driver.
+    from mimirsbrunn_ray.stages.broadcast import attach_table, keyed_counts
+    from mimirsbrunn_ray.stages.exactrank import (
+        percentile_from_counts, value_counts)
+
+    oc = keyed_counts(sf_dir, "orders", "o_custkey")
+
+    def cust_proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["c_custkey"]),
+                             pc.is_valid(b["c_acctbal"])))
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cents = np.where(
+            bal >= 0, np.floor(bal * 100.0 + 0.5),
+            np.ceil(bal * 100.0 - 0.5)).astype(np.int64)
+        return pa.table({
+            "ck": b["c_custkey"].cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    cust_ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(cust_proj, batch_format="pyarrow", batch_size=None)
+    cust_ds = attach_table(cust_ds, "ck", oc, "o_custkey", ["n"],
+                           how="left").map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n"), "n",
+            pc.fill_null(b["n"], 0).cast(pa.int64())),
+        batch_format="pyarrow", batch_size=None).materialize()
+    hist = value_counts(cust_ds, "n")
+    if len(hist) == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _NBG_COLS})
-    cust = cust.dropna(subset=["c_custkey", "c_acctbal"])
-    bal = cust["c_acctbal"].to_numpy(np.float64)
-    cents = np.where(
-        bal >= 0, np.floor(bal * 100.0 + 0.5),
-        np.ceil(bal * 100.0 - 0.5)).astype(np.int64)
+    med = percentile_from_counts(
+        hist.index.to_numpy(np.int64), hist.to_numpy(np.int64), 50)
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey"])
+    def sums1(b: pa.Table) -> pa.Table:
+        nn = b["n"].to_numpy(zero_copy_only=False)
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        buyer = nn > med
+        return pa.table({
+            "nb": pa.array([np.int64(buyer.sum())]),
+            "sb": pa.array([np.int64(cents[buyer].sum())]),
+            "nl": pa.array([np.int64((~buyer).sum())]),
+            "sl": pa.array([np.int64(cents[~buyer].sum())]),
+        })
 
-    def part(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b["o_custkey"]))
-        g = b.group_by(["o_custkey"]).aggregate(
-            [([], "count_all")])
-        return g.rename_columns(["o_custkey", "n"])
-
-    def comb(b: pa.Table) -> pa.Table:
-        g = b.group_by(["o_custkey"]).aggregate([("n", "sum")])
-        return g.rename_columns(["o_custkey", "n"])
-
-    buyers_df = tree_merge(
-        orders.map_batches(part, batch_format="pyarrow",
-                           batch_size=None),
-        comb,
-    ).to_pandas()
-    counts = (dict(zip(buyers_df["o_custkey"].astype(np.int64),
-                       buyers_df["n"].astype(np.int64)))
-              if "o_custkey" in buyers_df.columns else {})
-    n_orders = cust["c_custkey"].astype(np.int64).map(
-        counts).fillna(0).to_numpy(np.int64)
-    med = float(np.median(n_orders))
-    is_buyer = n_orders > med
-    b_c = cents[is_buyer].astype(np.float64)
-    n_c = cents[~is_buyer].astype(np.float64)
-    if len(b_c) < 2 or len(n_c) < 2:
+    p1 = cust_ds.map_batches(
+        sums1, batch_format="pyarrow", batch_size=None).to_pandas()
+    n_b, n_l = int(p1["nb"].sum()), int(p1["nl"].sum())
+    if n_b < 2 or n_l < 2:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _NBG_COLS})
-    mb, mn_ = b_c.mean(), n_c.mean()
-    vb = ((b_c - mb) ** 2).sum() / (len(b_c) - 1)
-    vn = ((n_c - mn_) ** 2).sum() / (len(n_c) - 1)
-    se = np.sqrt(vb / len(b_c) + vn / len(n_c))
+    mb = float(p1["sb"].sum()) / n_b
+    mn_ = float(p1["sl"].sum()) / n_l
+
+    def sums2(b: pa.Table) -> pa.Table:
+        nn = b["n"].to_numpy(zero_copy_only=False)
+        cents = b["cents"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        buyer = nn > med
+        db = cents[buyer] - mb
+        dl = cents[~buyer] - mn_
+        return pa.table({
+            "ssb": pa.array([float((db * db).sum())]),
+            "ssl": pa.array([float((dl * dl).sum())]),
+        })
+
+    p2 = cust_ds.map_batches(
+        sums2, batch_format="pyarrow", batch_size=None).to_pandas()
+    vb = float(p2["ssb"].sum()) / (n_b - 1)
+    vn = float(p2["ssl"].sum()) / (n_l - 1)
+    se = np.sqrt(vb / n_b + vn / n_l)
     if se == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _NBG_COLS})
     t = (mb - mn_) / se
     return pa.table({
-        "n_heavy": pa.array([len(b_c)], pa.int64()),
-        "n_light": pa.array([len(n_c)], pa.int64()),
+        "n_heavy": pa.array([n_b], pa.int64()),
+        "n_light": pa.array([n_l], pa.int64()),
         "mean_heavy_cents_x1e3": pa.array(
             [_round_half_away(mb * 1e3)], pa.int64()),
         "mean_light_cents_x1e3": pa.array(
@@ -281,60 +311,59 @@ def q_cross_border_order_share(sf_dir):
     cross-border latency, customs and currency risk that
     same-nation fan-out does not.  Distinct (order, nation) pairs
     fold exactly."""
-    supp = rd.read_parquet(
-        f"{sf_dir}/supplier.parquet",
-        columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    if "s_suppkey" not in supp.columns:
-        supp = pd.DataFrame({"s_suppkey": [], "s_nationkey": []})
-    nk_map = dict(zip(supp["s_suppkey"].astype(np.int64),
-                      supp["s_nationkey"].astype(np.int64)))
+    # the supplier nation attaches via budget-gated broadcast / join
+    # (stages/broadcast.py) — the dim never lands whole on the driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_suppkey"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_orderkey", "l_suppkey")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_suppkey", sf_dir, "supplier", "s_suppkey",
+                    ["s_nationkey"], how="inner")
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_orderkey", "l_suppkey"))
         if b.num_rows == 0:
             return pa.table({
                 "okey": pa.array([], pa.int64()),
                 "nk": pa.array([], pa.int64()),
             })
-        sk = pd.Series(
-            b["l_suppkey"].to_numpy(zero_copy_only=False))
-        nk = sk.map(nk_map)
-        keep = nk.notna().to_numpy()
         t = pa.table({
-            "okey": pa.array(
-                b["l_orderkey"].to_numpy(
-                    zero_copy_only=False)[keep].astype(np.int64)),
-            "nk": pa.array(nk.to_numpy()[keep].astype(np.int64)),
+            "okey": b["l_orderkey"].cast(pa.int64()),
+            "nk": b["s_nationkey"].cast(pa.int64()),
         })
         return t.group_by(["okey", "nk"]).aggregate([])
 
-    def distinct(b: pa.Table) -> pa.Table:
-        return b.select(["okey", "nk"]).group_by(
-            ["okey", "nk"]).aggregate([])
+    def shard_cross(df: pd.DataFrame) -> pd.DataFrame:
+        # one shard = complete (okey, *) groups: the per-order distinct
+        # nation count folds here; the driver sees 2 sums per shard
+        if len(df) == 0 or "okey" not in df.columns:
+            return pd.DataFrame({"n": pd.Series([], dtype=np.int64),
+                                 "x": pd.Series([], dtype=np.int64),
+                                 "mx": pd.Series([], dtype=np.int64)})
+        per = df.drop_duplicates(["okey", "nk"]).groupby("okey").size()
+        return pd.DataFrame({"n": [np.int64(len(per))],
+                             "x": [np.int64((per >= 2).sum())],
+                             "mx": [np.int64(per.max())]})
 
-    onk = tree_merge(
-        li.map_batches(part, batch_format="pyarrow",
-                       batch_size=None),
-        distinct,
-        final_shards=8,
-        shard_cols=["okey"],
-    ).to_pandas()
-    if "okey" not in onk.columns or len(onk) == 0:
+    from mimirsbrunn_ray.stages.broadcast import sharded_reduce
+
+    parts = sharded_reduce(
+        li.map_batches(part, batch_format="pyarrow", batch_size=None),
+        ["okey"], shard_cross, num_shards=8).to_pandas()
+    if "n" not in parts.columns or parts["n"].sum() == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _CBO_COLS})
-    per_order = onk.groupby("okey").size()
-    n = len(per_order)
-    cross = int((per_order >= 2).sum())
+    n = int(parts["n"].sum())
+    cross = int(parts["x"].sum())
     return pa.table({
         "n_orders": pa.array([n], pa.int64()),
         "n_cross_border": pa.array([cross], pa.int64()),
         "cross_ppm": pa.array(
             [_round_half_away(cross / n * 1e6)], pa.int64()),
         "max_nations_per_order": pa.array(
-            [int(per_order.max())], pa.int64()),
+            [int(parts["mx"].max())], pa.int64()),
     })
 
 

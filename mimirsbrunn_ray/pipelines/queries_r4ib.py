@@ -51,19 +51,9 @@ def q_home_bias_revenue_share(sf_dir):
     Lineitem joins orders on the order key (hash join, both sides
     repartitioned); the tiny customer → nation and supplier →
     nation maps broadcast."""
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_nationkey"]).to_pandas()
-    supp = rd.read_parquet(
-        f"{sf_dir}/supplier.parquet",
-        columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    if len(cust) == 0 or len(supp) == 0:
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in _HBR_COLS})
-    cmap = dict(zip(cust["c_custkey"].astype(np.int64),
-                    cust["c_nationkey"].astype(np.int64)))
-    smap = dict(zip(supp["s_suppkey"].astype(np.int64),
-                    supp["s_nationkey"].astype(np.int64)))
+    # both nation hops attach via budget-gated broadcast / join
+    # (stages/broadcast.py) — neither dim lands whole on the driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -84,22 +74,27 @@ def q_home_bias_revenue_share(sf_dir):
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
+    joined = joined.map_batches(
+        lambda b: _valid(b, ("l_suppkey", "o_custkey",
+                             "l_extendedprice", "l_discount")),
+        batch_format="pyarrow", batch_size=None)
+    joined = attach_dim(joined, "o_custkey", sf_dir, "customer",
+                        "c_custkey", ["c_nationkey"], how="inner")
+    joined = attach_dim(joined, "l_suppkey", sf_dir, "supplier",
+                        "s_suppkey", ["s_nationkey"], how="inner")
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_suppkey", "o_custkey",
-                       "l_extendedprice", "l_discount"))
         if b.num_rows == 0:
             return pa.table({
                 "cn": pa.array([], pa.int64()),
                 "sn": pa.array([], pa.int64()),
                 "cents": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
             })
-        ck = b["o_custkey"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        sk = b["l_suppkey"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        cn = np.array([cmap.get(k, -1) for k in ck], np.int64)
-        sn = np.array([smap.get(k, -1) for k in sk], np.int64)
+        cn = b["c_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sn = b["s_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
         rev = (b["l_extendedprice"].cast(pa.float64()).to_numpy(
             zero_copy_only=False)
             * (1.0 - b["l_discount"].cast(
@@ -107,9 +102,7 @@ def q_home_bias_revenue_share(sf_dir):
         cents = np.where(
             rev >= 0, np.floor(rev * 100.0 + 0.5),
             np.ceil(rev * 100.0 - 0.5)).astype(np.int64)
-        keep = (cn >= 0) & (sn >= 0)
-        df = pd.DataFrame({"cn": cn[keep], "sn": sn[keep],
-                           "cents": cents[keep]})
+        df = pd.DataFrame({"cn": cn, "sn": sn, "cents": cents})
         agg = df.groupby(["cn", "sn"])["cents"].agg(
             ["sum", "count"]).reset_index()
         return pa.table({
