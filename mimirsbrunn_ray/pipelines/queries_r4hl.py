@@ -42,42 +42,39 @@ def q_top_supplier_per_nation(sf_dir):
     share marks single-champion nations whose supply risk the
     HHI-by-region view aggregates away.  The supplier dim
     broadcasts; per-(nation, supplier) cents fold exactly."""
-    supp = rd.read_parquet(
-        f"{sf_dir}/supplier.parquet",
-        columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    if "s_suppkey" not in supp.columns:
-        supp = pd.DataFrame({"s_suppkey": [], "s_nationkey": []})
-    nk_map = dict(zip(supp["s_suppkey"].astype(np.int64),
-                      supp["s_nationkey"].astype(np.int64)))
+    # the supplier nation attaches via budget-gated broadcast / join
+    # (stages/broadcast.py) — the dim never lands whole on the driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_suppkey", "l_extendedprice",
+                             "l_discount")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_suppkey", sf_dir, "supplier", "s_suppkey",
+                    ["s_nationkey"], how="inner")
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_suppkey", "l_extendedprice",
-                       "l_discount"))
         if b.num_rows == 0:
             return pa.table({
                 "nk": pa.array([], pa.int64()),
                 "sk": pa.array([], pa.int64()),
                 "cents": pa.array([], pa.int64()),
             })
-        sk = pd.Series(
-            b["l_suppkey"].to_numpy(zero_copy_only=False))
-        nk = sk.map(nk_map)
-        keep = nk.notna().to_numpy()
         rev = (b["l_extendedprice"].cast(pa.float64()).to_numpy(
-            zero_copy_only=False)[keep]
+            zero_copy_only=False)
             * (1.0 - b["l_discount"].cast(pa.float64()).to_numpy(
-                zero_copy_only=False)[keep]))
+                zero_copy_only=False)))
         cents = np.where(
             rev >= 0, np.floor(rev * 100.0 + 0.5),
             np.ceil(rev * 100.0 - 0.5)).astype(np.int64)
         t = pa.table({
-            "nk": pa.array(nk.to_numpy()[keep].astype(np.int64)),
-            "sk": pa.array(
-                sk.to_numpy()[keep].astype(np.int64)),
+            "nk": pa.array(b["s_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "sk": pa.array(b["l_suppkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
             "cents": pa.array(cents),
         })
         g = t.group_by(["nk", "sk"]).aggregate([("cents", "sum")])
@@ -153,35 +150,38 @@ def q_orders_per_capita_nation(sf_dir):
     capita) — raw order totals rank customer-base size, this ranks
     how HARD each nation's customers buy, the number market-entry
     decisions actually need.  Both dims fold exactly."""
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_nationkey"]).to_pandas()
-    if "c_custkey" not in cust.columns or len(cust) == 0:
+    # nation population reduces distributed; the customer nation
+    # attaches to orders via budget-gated broadcast / join — the
+    # customer dim never lands whole on the driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim, keyed_counts
+
+    pop_tbl = keyed_counts(
+        sf_dir, "customer", "c_nationkey", extra_cols=["c_custkey"],
+        dim_filter=lambda b: _valid(b, ("c_custkey", "c_nationkey")))
+    if pop_tbl.num_rows == 0 or "c_nationkey" not in pop_tbl.column_names:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _OPC_COLS})
-    cust = cust.dropna(subset=["c_custkey", "c_nationkey"])
-    nk_map = dict(zip(cust["c_custkey"].astype(np.int64),
-                      cust["c_nationkey"].astype(np.int64)))
-    pop = cust.groupby("c_nationkey").size()
+    pop = pd.Series(pop_tbl["n"].to_numpy(zero_copy_only=False),
+                    index=pop_tbl["c_nationkey"].to_numpy(
+                        zero_copy_only=False))
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.is_valid(b["o_custkey"])),
+        batch_format="pyarrow", batch_size=None)
+    orders = attach_dim(orders, "o_custkey", sf_dir, "customer",
+                        "c_custkey", ["c_nationkey"], how="inner")
 
     def part(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b["o_custkey"]))
         if b.num_rows == 0:
             return pa.table({
                 "nk": pa.array([], pa.int64()),
                 "n": pa.array([], pa.int64()),
             })
-        ck = pd.Series(
-            b["o_custkey"].to_numpy(zero_copy_only=False))
-        nk = ck.map(nk_map)
-        keep = nk.notna().to_numpy()
         t = pa.table({
-            "nk": pa.array(nk.to_numpy()[keep].astype(np.int64)),
-            "n": pa.array(
-                np.ones(int(keep.sum()), np.int64)),
+            "nk": b["c_nationkey"].cast(pa.int64()),
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
         })
         g = t.group_by(["nk"]).aggregate([("n", "sum")])
         return g.rename_columns(["nk", "n"])
