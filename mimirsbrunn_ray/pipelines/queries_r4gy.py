@@ -48,34 +48,31 @@ def q_return_rate_by_brand(sf_dir):
     their lineitems, ppm-snapped before ranking, ties to the
     brand name) — the de-facto quality league table.  The part
     dim broadcasts; counts fold exactly."""
-    part_dim = rd.read_parquet(
-        f"{sf_dir}/part.parquet",
-        columns=["p_partkey", "p_brand"]).to_pandas()
-    if "p_partkey" not in part_dim.columns:
-        part_dim = pd.DataFrame({"p_partkey": [], "p_brand": []})
-    brand_map = dict(zip(part_dim["p_partkey"].astype(np.int64),
-                         part_dim["p_brand"]))
+    # the brand attaches via budget-gated broadcast / join
+    # (stages/broadcast.py) — the part dim never lands whole on the
+    # driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_partkey", "l_returnflag"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_partkey", "l_returnflag")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_partkey", sf_dir, "part", "p_partkey",
+                    ["p_brand"], how="inner", out_names=["brand"])
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_partkey", "l_returnflag"))
         if b.num_rows == 0:
             return pa.table({
                 "brand": pa.array([], pa.string()),
                 "n": pa.array([], pa.int64()),
                 "r": pa.array([], pa.int64()),
             })
-        pk = pd.Series(
-            b["l_partkey"].to_numpy(zero_copy_only=False))
-        brand = pk.map(brand_map)
-        keep = brand.notna().to_numpy()
         ret = (np.asarray(b["l_returnflag"].to_numpy(
-            zero_copy_only=False))[keep] == "R")
+            zero_copy_only=False)) == "R")
         df = pd.DataFrame({
-            "brand": brand.to_numpy()[keep],
-            "n": np.ones(int(keep.sum()), np.int64),
+            "brand": b["brand"].to_pandas(),
+            "n": np.ones(b.num_rows, np.int64),
             "r": ret.astype(np.int64),
         })
         agg = df.groupby("brand", sort=False).agg(

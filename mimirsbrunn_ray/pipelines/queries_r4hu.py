@@ -132,17 +132,12 @@ def q_shelf_warmer_census(sf_dir):
     costs catalog surface, photography, and index space while
     earning nothing.  The sold-part set folds as one distinct
     pass against the part dim."""
-    parts = rd.read_parquet(
-        f"{sf_dir}/part.parquet",
-        columns=["p_partkey", "p_retailprice"]).to_pandas()
-    if "p_partkey" not in parts.columns or len(parts) == 0:
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in _SWC_COLS})
-    parts = parts.dropna(subset=["p_partkey", "p_retailprice"])
-    rp = parts["p_retailprice"].to_numpy(np.float64)
-    cents = np.where(
-        rp >= 0, np.floor(rp * 100.0 + 0.5),
-        np.ceil(rp * 100.0 - 0.5)).astype(np.int64)
+    # the part dim streams; the sold set reduces distributed and
+    # broadcasts back (stages/broadcast.py) — neither table lands whole
+    # on the driver
+    import ray
+
+    from mimirsbrunn_ray.stages.broadcast import probe
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_partkey"])
@@ -161,13 +156,42 @@ def q_shelf_warmer_census(sf_dir):
                        batch_size=None),
         distinct,
     ).to_pandas()
-    sold = (set(sold_df["l_partkey"].astype(np.int64))
-            if "l_partkey" in sold_df.columns else set())
-    is_sold = parts["p_partkey"].astype(np.int64).isin(
-        sold).to_numpy()
-    n_parts = len(parts)
-    never = int((~is_sold).sum())
-    idle = int(cents[~is_sold].sum())
+    sold_ref = ray.put(np.sort(
+        sold_df["l_partkey"].to_numpy(np.int64)
+        if "l_partkey" in sold_df.columns
+        else np.array([], np.int64), kind="stable"))
+
+    def census(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["p_partkey"]),
+                             pc.is_valid(b["p_retailprice"])))
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("n", "never", "idle")})
+        rp = b["p_retailprice"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cents = np.where(
+            rp >= 0, np.floor(rp * 100.0 + 0.5),
+            np.ceil(rp * 100.0 - 0.5)).astype(np.int64)
+        pk = b["p_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        is_sold, _ = probe(pk, ray.get(sold_ref), {})
+        return pa.table({
+            "n": pa.array([np.int64(len(pk))]),
+            "never": pa.array([np.int64((~is_sold).sum())]),
+            "idle": pa.array([np.int64(cents[~is_sold].sum())]),
+        })
+
+    cen = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice"],
+    ).map_batches(census, batch_format="pyarrow",
+                  batch_size=None).to_pandas()
+    n_parts = int(cen["n"].sum()) if "n" in cen.columns else 0
+    if n_parts == 0:
+        return pa.table(
+            {c: pa.array([], pa.int64()) for c in _SWC_COLS})
+    never = int(cen["never"].sum())
+    idle = int(cen["idle"].sum())
     return pa.table({
         "n_parts": pa.array([n_parts], pa.int64()),
         "n_never_sold": pa.array([never], pa.int64()),
