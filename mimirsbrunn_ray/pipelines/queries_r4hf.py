@@ -181,68 +181,73 @@ def q_unit_price_vs_retail(sf_dir):
     here collects the ratio column — bounded at test scale; the
     100-TB path swaps in the engine's t-digest / exact-histogram
     quantile stages, stages/sketch.py and stages/rollup.py.)"""
-    part_dim = rd.read_parquet(
-        f"{sf_dir}/part.parquet",
-        columns=["p_partkey", "p_retailprice"]).to_pandas()
-    if "p_partkey" not in part_dim.columns:
-        part_dim = pd.DataFrame(
-            {"p_partkey": [], "p_retailprice": []})
-    part_dim = part_dim.dropna(
-        subset=["p_partkey", "p_retailprice"])
-    rp = part_dim["p_retailprice"].to_numpy(np.float64)
-    rp_cents = np.where(
-        rp >= 0, np.floor(rp * 100.0 + 0.5),
-        np.ceil(rp * 100.0 - 0.5)).astype(np.int64)
-    rp_map = dict(zip(part_dim["p_partkey"].astype(np.int64),
-                      rp_cents))
+    # the retail price attaches via budget-gated broadcast / join;
+    # counts/means fold per batch, and the p99 resolves via the
+    # distributed sort + block-span pull of exactrank.quantile_float —
+    # neither table lands whole on the driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
+    from mimirsbrunn_ray.stages.exactrank import quantile_float
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_partkey", "l_quantity",
+                             "l_extendedprice")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_partkey", sf_dir, "part", "p_partkey",
+                    ["p_retailprice"], how="inner")
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_partkey", "l_quantity",
-                       "l_extendedprice"))
         if b.num_rows == 0:
             return pa.table(
                 {"ratio": pa.array([], pa.float64())})
-        pk = pd.Series(
-            b["l_partkey"].to_numpy(zero_copy_only=False))
-        rpc = pk.map(rp_map)
-        keep = rpc.notna().to_numpy()
         x = b["l_extendedprice"].cast(pa.float64()).to_numpy(
-            zero_copy_only=False)[keep]
+            zero_copy_only=False)
         ep_cents = np.where(
             x >= 0, np.floor(x * 100.0 + 0.5),
             np.ceil(x * 100.0 - 0.5)).astype(np.int64)
         qf = b["l_quantity"].cast(pa.float64()).to_numpy(
-            zero_copy_only=False)[keep]
+            zero_copy_only=False)
         q = np.where(qf >= 0, np.floor(qf + 0.5),
                      np.ceil(qf - 0.5)).astype(np.int64)
-        rc = rpc.to_numpy()[keep].astype(np.int64)
+        rp = b["p_retailprice"].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        rc = np.where(rp >= 0, np.floor(rp * 100.0 + 0.5),
+                      np.ceil(rp * 100.0 - 0.5)).astype(np.int64)
         ok = (q > 0) & (rc > 0)
         ratio = (ep_cents[ok].astype(np.float64) / q[ok]
                  / rc[ok].astype(np.float64))
         return pa.table({"ratio": pa.array(ratio)})
 
     ratios = li.map_batches(part, batch_format="pyarrow",
-                            batch_size=None).to_pandas()
-    if "ratio" not in ratios.columns or len(ratios) == 0:
+                            batch_size=None).materialize()
+
+    def sums(b: pa.Table) -> pa.Table:
+        r = b["ratio"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([np.int64(len(r))]),
+            "s": pa.array([float(r.sum())]),
+            "ab": pa.array([np.int64((r > 1.0).sum())]),
+        })
+
+    sm = ratios.map_batches(
+        sums, batch_format="pyarrow", batch_size=None).to_pandas()
+    n = int(sm["n"].sum()) if "n" in sm.columns else 0
+    if n == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _UPR_COLS})
-    r = ratios["ratio"].to_numpy(np.float64)
-    n = len(r)
+    p99 = quantile_float(ratios, "ratio", 99)
     return pa.table({
         "n_lineitems": pa.array([n], pa.int64()),
         "mean_ratio_ppm": pa.array(
-            [_round_half_away(float(r.mean()) * 1e6)],
+            [_round_half_away(float(sm["s"].sum()) / n * 1e6)],
             pa.int64()),
         "above_ppm": pa.array(
-            [_round_half_away(float((r > 1.0).sum()) / n * 1e6)],
+            [_round_half_away(float(int(sm["ab"].sum())) / n * 1e6)],
             pa.int64()),
         "p99_ratio_ppm": pa.array(
-            [_round_half_away(float(np.percentile(r, 99))
-                              * 1e6)], pa.int64()),
+            [_round_half_away(p99 * 1e6)], pa.int64()),
     })
 
 
