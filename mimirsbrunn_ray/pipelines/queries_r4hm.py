@@ -265,20 +265,10 @@ def q_price_popularity_elasticity(sf_dir):
     slope means price does not sort demand in this catalog and
     price-based ranking features are noise.  Quantities fold
     exactly; the log-log fit mirrors."""
-    part_dim = rd.read_parquet(
-        f"{sf_dir}/part.parquet",
-        columns=["p_partkey", "p_retailprice"]).to_pandas()
-    if "p_partkey" not in part_dim.columns:
-        part_dim = pd.DataFrame(
-            {"p_partkey": [], "p_retailprice": []})
-    part_dim = part_dim.dropna(
-        subset=["p_partkey", "p_retailprice"])
-    rp = part_dim["p_retailprice"].to_numpy(np.float64)
-    rp_cents = np.where(
-        rp >= 0, np.floor(rp * 100.0 + 0.5),
-        np.ceil(rp * 100.0 - 0.5)).astype(np.int64)
-    rp_map = dict(zip(part_dim["p_partkey"].astype(np.int64),
-                      rp_cents))
+    # the retail price attaches to the part-grain reduction via
+    # budget-gated broadcast / join — the part dim never lands whole on
+    # the driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_partkey", "l_quantity"])
@@ -305,18 +295,23 @@ def q_price_popularity_elasticity(sf_dir):
         g = b.group_by(["pk"]).aggregate([("q", "sum")])
         return g.rename_columns(["pk", "q"])
 
-    pq = tree_merge(
+    pq_ds = tree_merge(
         li.map_batches(part, batch_format="pyarrow",
                        batch_size=None),
         comb,
         final_shards=8,
         shard_cols=["pk"],
-    ).to_pandas()
+    )
+    pq_ds = attach_dim(pq_ds, "pk", sf_dir, "part", "p_partkey",
+                       ["p_retailprice"], how="inner")
+    pq = pq_ds.to_pandas()
     if "pk" not in pq.columns or len(pq) == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _PPE_COLS})
-    pq["rp"] = pq["pk"].astype(np.int64).map(rp_map)
-    pq = pq.dropna(subset=["rp"])
+    rpv = pq["p_retailprice"].to_numpy(np.float64)
+    pq["rp"] = np.where(
+        rpv >= 0, np.floor(rpv * 100.0 + 0.5),
+        np.ceil(rpv * 100.0 - 0.5)).astype(np.int64)
     pq = pq[(pq["q"].astype(np.int64) > 0)
             & (pq["rp"].astype(np.int64) > 0)]
     if len(pq) < 3:

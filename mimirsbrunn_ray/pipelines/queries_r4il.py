@@ -149,15 +149,9 @@ def q_size_demand_slope(sf_dir):
     negative slope quantifies how much shelf-unfriendly SKUs
     underperform.  Per-part quantity sums fold exactly; the tiny
     part-size map broadcasts; moment sums are exact integers."""
-    parts = rd.read_parquet(
-        f"{sf_dir}/part.parquet",
-        columns=["p_partkey", "p_size"]).to_pandas()
-    if len(parts) == 0:
-        return pa.table(
-            {c: pa.array([], pa.int64()) for c in _SDS_COLS})
-    parts = parts.dropna(subset=["p_partkey", "p_size"])
-    smap = dict(zip(parts["p_partkey"].astype(np.int64),
-                    parts["p_size"].astype(np.int64)))
+    # the size attaches to the part-grain reduction via budget-gated
+    # broadcast / join — the part dim never lands whole on the driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -185,18 +179,20 @@ def q_size_demand_slope(sf_dir):
         g = b.group_by(["pk"]).aggregate([("q", "sum")])
         return g.rename_columns(["pk", "q"])
 
-    pq = tree_merge(
+    pq_ds = tree_merge(
         li.map_batches(part, batch_format="pyarrow",
-                       batch_size=None), comb).to_pandas()
+                       batch_size=None), comb)
+    pq_ds = attach_dim(pq_ds, "pk", sf_dir, "part", "p_partkey",
+                       ["p_size"], how="inner")
+    pq = pq_ds.to_pandas()
     if "pk" not in pq.columns or len(pq) == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _SDS_COLS})
-    pq = pq[pq["pk"].isin(smap)]
+    pq = pq.dropna(subset=["p_size"])
     if len(pq) < 3:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _SDS_COLS})
-    x = np.array([smap[int(k)] for k in pq["pk"]],
-                 np.int64).astype(np.float64)
+    x = pq["p_size"].to_numpy(np.int64).astype(np.float64)
     y = pq["q"].to_numpy(np.int64).astype(np.float64)
     n = float(len(x))
     sx, sy = x.sum(), y.sum()

@@ -230,36 +230,27 @@ def q_brand_revenue_hhi(sf_dir):
     brand with its share — the portfolio-risk number for the
     whole catalog.  Line revenue folds per brand through the
     broadcast part → brand map; shares mirror in double."""
-    parts = rd.read_parquet(
-        f"{sf_dir}/part.parquet",
-        columns=["p_partkey", "p_brand"]).to_pandas()
-    if len(parts) == 0:
-        return pa.table({
-            "n_brands": pa.array([], pa.int64()),
-            "hhi_ppm": pa.array([], pa.int64()),
-            "top_brand": pa.array([], pa.string()),
-            "top_share_ppm": pa.array([], pa.int64()),
-        })
-    parts = parts.dropna(subset=["p_partkey", "p_brand"])
-    bmap = dict(zip(parts["p_partkey"].astype(np.int64),
-                    parts["p_brand"]))
+    # the brand attaches via budget-gated broadcast / join
+    # (stages/broadcast.py) — the part dim never lands whole on the
+    # driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_partkey", "l_extendedprice",
+                             "l_discount")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_partkey", sf_dir, "part", "p_partkey",
+                    ["p_brand"], how="inner", out_names=["brand"])
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_partkey", "l_extendedprice",
-                       "l_discount"))
         if b.num_rows == 0:
             return pa.table({
                 "brand": pa.array([], pa.string()),
                 "cents": pa.array([], pa.int64()),
             })
-        pk = b["l_partkey"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        brand = np.array([bmap.get(int(k)) for k in pk],
-                         dtype=object)
         rev = (b["l_extendedprice"].cast(pa.float64()).to_numpy(
             zero_copy_only=False)
             * (1.0 - b["l_discount"].cast(pa.float64()).to_numpy(
@@ -267,9 +258,8 @@ def q_brand_revenue_hhi(sf_dir):
         cents = np.where(rev >= 0, np.floor(rev * 100 + 0.5),
                          np.ceil(rev * 100 - 0.5)).astype(
             np.int64)
-        keep = brand != None  # noqa: E711
-        df = pd.DataFrame({"brand": brand[keep],
-                           "cents": cents[keep]})
+        df = pd.DataFrame({"brand": b["brand"].to_pandas(),
+                           "cents": cents})
         agg = df.groupby("brand")["cents"].sum().reset_index()
         agg["cents"] = agg["cents"].astype(np.int64)
         return pa.Table.from_pandas(agg, preserve_index=False)
