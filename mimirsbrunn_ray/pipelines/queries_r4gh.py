@@ -133,38 +133,35 @@ def q_newsvendor_stock_plan(sf_dir):
     would still have exceeded it.  Brand attaches by broadcast;
     per-(brand, day) quantities fold int64; the fractile is pure
     rank math."""
-    part_dim = rd.read_parquet(
-        f"{sf_dir}/part.parquet",
-        columns=["p_partkey", "p_brand"]).to_pandas()
-    if "p_partkey" not in part_dim.columns:
-        part_dim = pd.DataFrame({"p_partkey": [], "p_brand": []})
-    brand_map = dict(zip(part_dim["p_partkey"].astype(np.int64),
-                         part_dim["p_brand"]))
+    # the brand attaches via budget-gated broadcast / join
+    # (stages/broadcast.py) — the part dim never lands whole on the
+    # driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
+
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_shipdate", "l_quantity"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_partkey", "l_shipdate", "l_quantity")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_partkey", sf_dir, "part", "p_partkey",
+                    ["p_brand"], how="inner", out_names=["brand"])
 
     def part(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_partkey", "l_shipdate", "l_quantity"))
         if b.num_rows == 0:
             return pa.table({
                 "brand": pa.array([], pa.string()),
                 "day": pa.array([], pa.int64()),
                 "q": pa.array([], pa.int64()),
             })
-        pk = pd.Series(
-            b["l_partkey"].to_numpy(zero_copy_only=False))
-        brand = pk.map(brand_map)
-        keep = brand.notna().to_numpy()
         us = b["l_shipdate"].cast(pa.timestamp("us")).cast(
-            pa.int64()).to_numpy(zero_copy_only=False)[keep]
+            pa.int64()).to_numpy(zero_copy_only=False)
         x = b["l_quantity"].cast(pa.float64()).to_numpy(
-            zero_copy_only=False)[keep]
+            zero_copy_only=False)
         q = np.where(x >= 0, np.floor(x + 0.5),
                      np.ceil(x - 0.5)).astype(np.int64)
         t = pa.table({
-            "brand": pa.array(brand.to_numpy()[keep].tolist(),
-                              pa.string()),
+            "brand": b["brand"].cast(pa.string()),
             "day": pa.array(us // _DAY_US),
             "q": pa.array(q),
         })

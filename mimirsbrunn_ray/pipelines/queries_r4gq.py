@@ -168,35 +168,25 @@ def q_cross_brand_substitution(sf_dir):
     elasticity and assortment-rationalization decisions.  The part
     dim broadcasts; (order, type, brand) triples fold exactly in
     order-disjoint shards."""
-    part_dim = rd.read_parquet(
-        f"{sf_dir}/part.parquet",
-        columns=["p_partkey", "p_type", "p_brand"]).to_pandas()
-    if "p_partkey" not in part_dim.columns:
-        part_dim = pd.DataFrame(
-            {"p_partkey": [], "p_type": [], "p_brand": []})
-    type_map = dict(zip(part_dim["p_partkey"].astype(np.int64),
-                        part_dim["p_type"]))
-    brand_map = dict(zip(part_dim["p_partkey"].astype(np.int64),
-                         part_dim["p_brand"]))
+    # type/brand attach via budget-gated broadcast / join
+    # (stages/broadcast.py) — the part dim never lands whole on the
+    # driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_orderkey", "l_partkey")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_partkey", sf_dir, "part", "p_partkey",
+                    ["p_type", "p_brand"], how="inner",
+                    out_names=["ptype", "brand"])
 
     def project(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_orderkey", "l_partkey"))
-        pk = pd.Series(
-            b["l_partkey"].to_numpy(zero_copy_only=False))
-        ptype = pk.map(type_map)
-        brand = pk.map(brand_map)
-        keep = (ptype.notna() & brand.notna()).to_numpy()
         t = pa.table({
-            "l_orderkey": pa.array(
-                b["l_orderkey"].to_numpy(
-                    zero_copy_only=False)[keep]),
-            "ptype": pa.array(
-                ptype.to_numpy()[keep].tolist(), pa.string()),
-            "brand": pa.array(
-                brand.to_numpy()[keep].tolist(), pa.string()),
+            "l_orderkey": b["l_orderkey"],
+            "ptype": b["ptype"].cast(pa.string()),
+            "brand": b["brand"].cast(pa.string()),
         })
         g = t.group_by(["l_orderkey", "ptype", "brand"]).aggregate(
             [])
