@@ -52,53 +52,44 @@ def q_basket_brand_entropy_by_segment(sf_dir):
     broadcast customer+orders path, and segments average — low
     entropy = single-brand shoppers, high = mixed baskets; the
     assortment census behind cross-sell planning."""
-    part_dim = rd.read_parquet(
-        f"{sf_dir}/part.parquet",
-        columns=["p_partkey", "p_brand"]).to_pandas()
-    if "p_partkey" not in part_dim.columns:
-        part_dim = pd.DataFrame({"p_partkey": [], "p_brand": []})
-    brand_map = dict(zip(part_dim["p_partkey"].astype(np.int64),
-                         part_dim["p_brand"]))
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    if "c_custkey" not in cust.columns:
-        cust = pd.DataFrame({"c_custkey": [], "c_mktsegment": []})
-    seg_map = dict(zip(cust["c_custkey"].astype(np.int64),
-                       cust["c_mktsegment"]))
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey"]).to_pandas()
-    if "o_orderkey" not in orders.columns:
-        orders = pd.DataFrame({"o_orderkey": [], "o_custkey": []})
-    oseg_map = dict(zip(
-        orders["o_orderkey"].astype(np.int64),
-        orders["o_custkey"].map(
-            lambda k: seg_map.get(int(k)))))
+    # every hop attaches via budget-gated broadcast / join
+    # (stages/broadcast.py): brand onto lineitem, segment onto orders,
+    # then the per-order entropies join the order-segment dim with a
+    # distributed hash join — no fact table lands on the driver.
+    from mimirsbrunn_ray.stages.broadcast import attach_dim, attach_ds
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey"])
+    li = li.map_batches(
+        lambda b: _valid(b, ("l_orderkey", "l_partkey")),
+        batch_format="pyarrow", batch_size=None)
+    li = attach_dim(li, "l_partkey", sf_dir, "part", "p_partkey",
+                    ["p_brand"], how="inner", out_names=["brand"])
+
+    oseg_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    oseg_ds = oseg_ds.map_batches(
+        lambda b: _valid(b, ("o_orderkey", "o_custkey")),
+        batch_format="pyarrow", batch_size=None)
+    oseg_ds = attach_dim(oseg_ds, "o_custkey", sf_dir, "customer",
+                         "c_custkey", ["c_mktsegment"], how="inner",
+                         out_names=["segment"])
+    oseg_ds = oseg_ds.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"],
+                            "segment": b["segment"].cast(pa.string())}),
+        batch_format="pyarrow", batch_size=None)
 
     def project(b: pa.Table) -> pa.Table:
-        b = _valid(b, ("l_orderkey", "l_partkey"))
-        pk = pd.Series(
-            b["l_partkey"].to_numpy(zero_copy_only=False))
-        brand = pk.map(brand_map)
-        keep = brand.notna().to_numpy()
         t = pa.table({
-            "l_orderkey": pa.array(
-                b["l_orderkey"].to_numpy(
-                    zero_copy_only=False)[keep]),
-            "brand": pa.array(
-                brand.to_numpy()[keep].tolist(), pa.string()),
+            "l_orderkey": b["l_orderkey"],
+            "brand": b["brand"].cast(pa.string()),
         })
         return add_bucket(t, "l_orderkey", 64)
 
     def order_entropy(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
-            "segment": pd.Series([], dtype=object),
-            "n_orders": pd.Series([], dtype=np.int64),
-            "sum_h": pd.Series([], dtype=np.float64),
+            "l_orderkey": pd.Series([], dtype=np.int64),
+            "h": pd.Series([], dtype=np.float64),
         })
         if len(g) == 0:
             return empty
@@ -116,17 +107,30 @@ def q_basket_brand_entropy_by_segment(sf_dir):
         p = n / np.repeat(tots, lens)
         terms = -(p * np.log2(p))
         h = np.add.reduceat(terms, starts)
-        seg = pd.Series(ok[starts]).map(oseg_map)
-        keep = seg.notna().to_numpy()
-        if not keep.any():
-            return empty
-        df = pd.DataFrame({"segment": seg.to_numpy()[keep],
-                           "h": h[keep]})
+        return pd.DataFrame({"l_orderkey": ok[starts], "h": h})
+
+    oh = (li.map_batches(project, batch_format="pyarrow",
+                         batch_size=None)
+          .groupby(_BUCKET)
+          .map_groups(order_entropy, batch_format="pandas"))
+    oh = attach_ds(oh, "l_orderkey", oseg_ds, "o_orderkey",
+                   ["segment"], how="inner")
+
+    def seg_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "segment": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+                "sum_h": pa.array([], pa.float64()),
+            })
+        df = pd.DataFrame({"segment": b["segment"].to_pandas(),
+                           "h": b["h"].to_numpy(
+                               zero_copy_only=False)})
         agg = df.groupby("segment", sort=False).agg(
             n_orders=("h", "size"), sum_h=("h", "sum")
         ).reset_index()
         agg["n_orders"] = agg["n_orders"].astype(np.int64)
-        return agg
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
     def comb(b: pa.Table) -> pa.Table:
         g = b.group_by(["segment"]).aggregate(
@@ -134,10 +138,8 @@ def q_basket_brand_entropy_by_segment(sf_dir):
         return g.rename_columns(["segment", "n_orders", "sum_h"])
 
     res = tree_merge(
-        li.map_batches(project, batch_format="pyarrow",
-                       batch_size=None)
-        .groupby(_BUCKET)
-        .map_groups(order_entropy, batch_format="pandas"),
+        oh.map_batches(seg_part, batch_format="pyarrow",
+                       batch_size=None),
         comb,
     ).to_pandas()
     if "segment" not in res.columns or len(res) == 0:
