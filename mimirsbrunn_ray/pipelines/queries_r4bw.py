@@ -171,24 +171,21 @@ def q_priority_segment_chisq(sf_dir):
     integer marginals in both engines."""
     from mimirsbrunn_ray.stages.join import (
         broadcast_join,
-        make_lookup_ref_arrays,
+        lookup_ref_from_parquet,
     )
 
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
-    if "c_custkey" not in cust.columns:  # fully-empty input file
-        cust = pd.DataFrame({"c_custkey": [], "c_mktsegment": []})
-    lookup = make_lookup_ref_arrays(
-        cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()
-    )
+    # budget-gated: broadcast arrays under the byte budget, None past it
+    # (broadcast_join then runs the distributed left join via dim_spec)
+    _dim = (f"{sf_dir}/customer.parquet", "c_custkey", "c_mktsegment")
+    lookup = lookup_ref_from_parquet(*_dim)
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderpriority"],
     )
     joined = broadcast_join(
-        orders, lookup, "o_custkey", "segment", out_type=pa.string()
+        orders, lookup, "o_custkey", "segment", out_type=pa.string(),
+        dim_spec=_dim,
     )
 
     def partial(b: pa.Table) -> pa.Table:

@@ -339,35 +339,25 @@ def q_semijoin_reduction_audit(sf_dir):
     sized rows, never the lineitem stream."""
     from mimirsbrunn_ray.context import pool_size
 
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    if "c_custkey" not in cust.columns:
-        cust = pd.DataFrame({"c_custkey": [], "c_mktsegment": []})
-    seg_map = dict(zip(cust["c_custkey"].astype(np.int64),
-                       cust["c_mktsegment"]))
-
-    def orders_project(b: pa.Table) -> pa.Table:
-        m = pc.and_(pc.is_valid(b["o_orderkey"]),
-                    pc.is_valid(b["o_custkey"]))
-        b = b.filter(m)
-        ck = pd.Series(
-            b["o_custkey"].to_numpy(zero_copy_only=False))
-        seg = ck.map(seg_map)
-        keep = seg.notna().to_numpy()
-        return pa.table({
-            "o_orderkey": pa.array(
-                b["o_orderkey"].to_numpy(
-                    zero_copy_only=False)[keep]),
-            "segment": pa.array(
-                seg.to_numpy()[keep].tolist(), pa.string()),
-        })
+    # the segment attaches via budget-gated broadcast / join
+    # (stages/broadcast.py) — the customer dim never lands whole on
+    # the driver
+    from mimirsbrunn_ray.stages.broadcast import attach_dim
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey"],
-    ).map_batches(orders_project, batch_format="pyarrow",
-                  batch_size=None)
+        columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.and_(pc.is_valid(b["o_orderkey"]),
+                                   pc.is_valid(b["o_custkey"]))),
+        batch_format="pyarrow", batch_size=None)
+    orders = attach_dim(orders, "o_custkey", sf_dir, "customer",
+                        "c_custkey", ["c_mktsegment"], how="inner",
+                        out_names=["segment"])
+    orders = orders.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"],
+                            "segment": b["segment"].cast(pa.string())}),
+        batch_format="pyarrow", batch_size=None)
 
     def li_partial(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_valid(b["l_orderkey"]))
