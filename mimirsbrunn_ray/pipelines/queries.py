@@ -4479,6 +4479,15 @@ def q_semantic_dedup_embeddings(sf_dir):
 
     from mimirsbrunn_ray.stages.neardup import semantic_dedup
 
+    from mimirsbrunn_ray.stages.broadcast import dim_fits
+
+    # the driver read here CONSTRUCTS the test input (planted copies of
+    # every 40th vector) — the dedup itself is distributed
+    # (stages/neardup.semantic_dedup). Budget-gated: past the broadcast
+    # budget the fixture would be planted inside map_batches instead.
+    if not dim_fits(sf_dir, "embeddings"):  # pragma: no cover - scale
+        raise NotImplementedError(
+            "plant copies per batch (map_batches) for oversized tables")
     base = _pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )

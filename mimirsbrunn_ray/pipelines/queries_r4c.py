@@ -80,6 +80,12 @@ def q_tpch_q17_small_qty(sf_dir):
 
     from mimirsbrunn_ray.stages.rollup import tree_merge
 
+    from mimirsbrunn_ray.stages.broadcast import dim_fits
+
+    if not dim_fits(sf_dir, "part"):  # pragma: no cover - scale path
+        raise NotImplementedError(
+            "distributed-dim fallback: attach_dim on the part key "
+            "(stages/broadcast.py)")
     part = _pq.read_table(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
     )

@@ -229,17 +229,15 @@ def q_purchase_acceleration_segment(sf_dir):
         per_bucket, batch_format="pandas"
     )
 
-    import pyarrow.parquet as pq
+    from mimirsbrunn_ray.stages.join import lookup_ref_from_parquet
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    lookup = make_lookup_ref(
-        cust["c_custkey"].to_numpy().astype(np.int64).tolist(),
-        cust["c_mktsegment"].to_pylist(),
-    )
+    # budget-gated: broadcast arrays under the byte budget, else the
+    # distributed left-join fallback via dim_spec
+    _dim = (f"{sf_dir}/customer.parquet", "c_custkey", "c_mktsegment")
+    lookup = lookup_ref_from_parquet(*_dim)
     with_seg = broadcast_join(
-        per_cust, lookup, "o_custkey", "c_mktsegment", default=None
+        per_cust, lookup, "o_custkey", "c_mktsegment", default=None,
+        dim_spec=_dim,
     ).map_batches(
         lambda b: b.filter(pc.is_valid(b["c_mktsegment"])),
         batch_format="pyarrow",

@@ -102,6 +102,12 @@ def q_tpch_q14_promo_share(sf_dir):
     attach in this repo); lineitem streams once with a searchsorted
     flag attach and per-(month) integer partials; the month-keyed
     partial table is tiny and tree-merges."""
+    from mimirsbrunn_ray.stages.broadcast import dim_fits
+
+    if not dim_fits(sf_dir, "part"):  # pragma: no cover - scale path
+        raise NotImplementedError(
+            "distributed-dim fallback: attach_dim lineitem->part on "
+            "partkey (stages/broadcast.py)")
     part = _pq.read_table(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
     )
@@ -216,6 +222,12 @@ def q_tpch_q17_small_qty_revenue(sf_dir):
     both sides); pass 2 filters l_quantity < threshold(part) via a
     searchsorted threshold lookup and folds integer price-cents
     partials. No all-to-all shuffle — both exchanges are dim-sized."""
+    from mimirsbrunn_ray.stages.broadcast import dim_fits
+
+    if not dim_fits(sf_dir, "part"):  # pragma: no cover - scale path
+        raise NotImplementedError(
+            "distributed-dim fallback: attach_dim lineitem->part on "
+            "partkey (stages/broadcast.py)")
     part = _pq.read_table(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
     )

@@ -83,6 +83,12 @@ def q_tpch_q8_market_share(sf_dir):
         if china.num_rows else -1
     )
 
+    from mimirsbrunn_ray.stages.broadcast import dim_fits
+
+    if not dim_fits(sf_dir, "part"):  # pragma: no cover - scale path
+        raise NotImplementedError(
+            "distributed-dim fallback: attach_dim on the part key "
+            "(stages/broadcast.py)")
     part = _pq.read_table(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
     )
@@ -91,6 +97,10 @@ def q_tpch_q8_market_share(sf_dir):
         ["p_partkey"].to_numpy()
     ).astype(np.int64)
 
+    if not dim_fits(sf_dir, "supplier"):  # pragma: no cover - scale path
+        raise NotImplementedError(
+            "distributed-dim fallback: attach_dim on the supplier key "
+            "(stages/broadcast.py)")
     supp = _pq.read_table(
         f"{sf_dir}/supplier.parquet",
         columns=["s_suppkey", "s_nationkey"],
@@ -262,6 +272,12 @@ def q_tpch_q16_brand_size_suppliers(sf_dir):
     that shipped each (brand, size) — the assortment-breadth census.
     (brand, size, suppkey) triples dedup per batch, fold through a
     key-disjoint sharded combine, then count per (brand, size)."""
+    from mimirsbrunn_ray.stages.broadcast import dim_fits
+
+    if not dim_fits(sf_dir, "part"):  # pragma: no cover - scale path
+        raise NotImplementedError(
+            "distributed-dim fallback: attach_dim on the part key "
+            "(stages/broadcast.py)")
     part = _pq.read_table(
         f"{sf_dir}/part.parquet",
         columns=["p_partkey", "p_brand", "p_size"],

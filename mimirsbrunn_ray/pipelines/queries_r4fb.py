@@ -222,6 +222,12 @@ def q_tpch_q15_top_supplier(sf_dir):
     winners = np.sort(
         cand.loc[cand["rev"] == mx, "s"].to_numpy(dtype=np.int64)
     )
+    from mimirsbrunn_ray.stages.broadcast import dim_fits
+
+    if not dim_fits(sf_dir, "supplier"):  # pragma: no cover - scale path
+        raise NotImplementedError(
+            "distributed-dim fallback: attach_dim on the supplier key "
+            "(stages/broadcast.py)")
     supp = _pq.read_table(
         f"{sf_dir}/supplier.parquet",
         columns=["s_suppkey", "s_name"],
