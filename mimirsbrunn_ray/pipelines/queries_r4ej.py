@@ -237,6 +237,14 @@ def q_part_hits_scores(sf_dir):
         np.add.at(a, dst, h[src])
         h = np.zeros(n, dtype=np.int64)
         np.add.at(h, src, a[dst])
+    # the output IS the node-grain score table (one row per part), so
+    # pulling the key vector equals pulling the result; gate it anyway
+    from mimirsbrunn_ray.stages.broadcast import dim_fits
+
+    if not dim_fits(sf_dir, "part"):  # pragma: no cover - scale path
+        raise NotImplementedError(
+            "distributed HITS: per-iteration edge-aggregation via "
+            "tree_merge (q_part_components' label-propagation shape)")
     keys = (
         rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
         .to_pandas()["p_partkey"]
