@@ -4,8 +4,11 @@ exists, compare rows + columns + values against DuckDB — the same compare
 as the driver's correctness gate, over the WHOLE registry instead of its
 first 50 slots. No-oracle entries are run and row-counted.
 
-Usage: python tools/sweep.py [sf_dir] [only=name1,name2,...]
-       (sf_dir default /root/testdata/sf0.01; only= restricts to listed queries)
+Usage: python tools/sweep.py [sf_dir] [only=name1,name2,...] [--per-family=N]
+       (sf_dir default /root/testdata/sf0.01; only= restricts to listed
+       queries; --per-family=N samples N queries per registry family —
+       family = the callable's defining module — so a bounded sweep still
+       touches every operator family instead of walking all ~960 entries)
 """
 
 from __future__ import annotations
@@ -42,9 +45,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = None
-    for a in sys.argv[2:]:
+    per_family = None
+    for a in sys.argv[1:]:
         if a.startswith("only="):
             only = set(a[5:].split(","))
+        elif a.startswith("--per-family="):
+            per_family = int(a.split("=", 1)[1])
     import duckdb
     import ray
 
@@ -56,6 +62,26 @@ def main() -> int:
     import __ray_entry__ as e
 
     queries, oracles = e.queries(), e.oracle_sql()
+    if per_family is not None:
+        # family = defining module; deterministic spread: sort each
+        # family's names by a stable hash so repeated runs sample the
+        # same set but no family's "first alphabetical" bias survives
+        import hashlib
+        import itertools
+
+        fams: dict = {}
+        for name, fn in queries.items():
+            fams.setdefault(getattr(fn, "__module__", "?"), []).append(name)
+        chosen = set(
+            itertools.chain.from_iterable(
+                sorted(ns, key=lambda n: hashlib.sha1(
+                    n.encode()).hexdigest())[:per_family]
+                for ns in fams.values()
+            )
+        )
+        only = chosen if only is None else (only & chosen)
+        print(f"per-family={per_family}: {len(fams)} families, "
+              f"{len(chosen)} queries sampled")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
