@@ -87,6 +87,15 @@ def main(argv=None) -> int:
     c.add_argument("--run-id", required=True)
     c.add_argument("--keep-runs", type=int, default=2)
 
+    s = sub.add_parser(
+        "serve",
+        help="HTTP query daemon over published tiers (the bragi-daemon "
+             "graft: /autocomplete /features/<id> /reverse /status with "
+             "per-request weight overrides)",
+    )
+    s.add_argument("--root", required=True)
+    s.add_argument("--port", type=int, default=4000)
+
     q = sub.add_parser("query", help="read API over published tiers")
     q.add_argument("--root", required=True)
     q.add_argument("action", choices=["top-k", "lookup", "as-of", "status"])
@@ -152,6 +161,14 @@ def main(argv=None) -> int:
         )
         print(json.dumps(summary))
         ray.shutdown()
+        return 0
+
+    if args.cmd == "serve":
+        # serving reads committed parquet via pushdown scans — no Ray
+        # session needed (query.py is driver-side metadata + reads)
+        from mimirsbrunn_ray.service import serve_forever
+
+        serve_forever(args.root, args.port)
         return 0
 
     if args.cmd == "merge-late":

@@ -144,6 +144,69 @@ def top_k(
 
 
 @_timed_route
+def top_k_scored(
+    store: TierStore,
+    tier: str = "1m",
+    metric: str = "sum_tok",
+    k: int = 10,
+    offset: int = 0,
+    source: str | None = None,
+    weights: dict | None = None,
+    debug: bool = False,
+) -> pd.DataFrame:
+    """``top_k`` with PER-REQUEST scoring-weight overrides — the
+    query_settings graft (/root/reference/libs/bragi/src/query_settings.rs:1-84
+    lets each request override proximity scale/offset/decay; here each
+    request may override how the ranked score composes):
+
+      score = metric_scale * value
+              + recency_scale * zoom_decay(age_buckets / recency_decay)
+
+    with ``weights`` keys ``metric_scale`` (default 1.0),
+    ``recency_scale`` (default 0.0 — pure metric ranking, identical to
+    ``top_k`` order) and ``recency_decay`` (buckets, default 1440).
+    ``age_buckets`` counts back from the tier's newest bucket. Ties break
+    (source, bucket) ascending like ``top_k``."""
+    import numpy as np
+
+    from mimirsbrunn_ray.functions.scoring import zoom_decay
+    from mimirsbrunn_ray.functions.timeutil import BUCKET_US as _BU
+
+    w = {"metric_scale": 1.0, "recency_scale": 0.0,
+         "recency_decay": 1440.0}
+    w.update(weights or {})
+    filt = pc.field("filled") == False  # noqa: E712
+    if source is not None:
+        filt = filt & (pc.field("source") == source)
+    tbl = _tier_dataset(store, tier).to_table(
+        columns=["source", "bucket", metric, "n_rows"], filter=filt
+    )
+    df = tbl.to_pandas()
+    if len(df) == 0:
+        return df
+    b_us = df["bucket"].astype("datetime64[us]").astype(np.int64)
+    age = (int(b_us.max()) - b_us.to_numpy()) / _BU[_gran_of(tier)]
+    score = (
+        float(w["metric_scale"]) * df[metric].to_numpy(np.float64)
+        + float(w["recency_scale"])
+        * zoom_decay(age / max(float(w["recency_decay"]), 1e-9))
+    )
+    df = df.assign(score=score).sort_values(
+        ["score", "source", "bucket"], ascending=[False, True, True]
+    )
+    page = df.iloc[offset: offset + k].reset_index(drop=True)
+    if debug:
+        page = page.assign(
+            explain=[
+                {"metric": metric, "value": float(r[metric]),
+                 "score": float(r["score"]), "weights": dict(w)}
+                for r in page.to_dict("records")
+            ]
+        )
+    return page
+
+
+@_timed_route
 def lookup_id(
     store: TierStore, doc_id: str, lang: str | None = None
 ) -> dict | None:
