@@ -140,6 +140,15 @@ class TierStore:
         # and keep zstd (default) for cold/long-retention tiers, the
         # classic hot/cold TSDB block compression split
         ds.write_parquet(run_dir, compression=codec, **kwargs)
+        if os.environ.get("GRAFT_SIGKILL_BEFORE_COMMIT") == tier:
+            # crash-injection hook (tests/test_kill9_resume.py): a REAL
+            # SIGKILL between the data write and the manifest/LATEST
+            # commit — the widest uncommitted window. The dir left behind
+            # is exactly the ghost a power-cut run leaves
+            # (reference crash test: tests/rubber_test.rs:239).
+            import signal
+
+            os.kill(os.getpid(), signal.SIGKILL)
         if counters is not None and not isinstance(counters, dict):
             counters = totals(counters)
         counters = dict(counters or {})
