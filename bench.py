@@ -80,7 +80,15 @@ def run_headline(num_cpus: int) -> dict:
     ).materialize()
 
     t0 = time.perf_counter()
-    run_tiering_job(paths, root, "bench", resume=False)
+    # GRAFT_UNTRUSTED_DEDUP=1 routes the chain through the full-shuffle
+    # dedup_exact (untrusted duplicate payloads) instead of the sparse
+    # claim path — the exchange-heavy variant the scaling record also
+    # needs to cover (VERDICT r4 item 7)
+    run_tiering_job(
+        paths, root, "bench", resume=False,
+        assume_identical_dups=os.environ.get(
+            "GRAFT_UNTRUSTED_DEDUP") != "1",
+    )
     sec = time.perf_counter() - t0
 
     store = TierStore(root)
@@ -190,6 +198,8 @@ def scaling() -> None:
         json.dumps(
             {
                 "metric": "scaling_efficiency",
+                "dedup_path": ("full_shuffle" if os.environ.get(
+                    "GRAFT_UNTRUSTED_DEDUP") == "1" else "sparse_claim"),
                 "bench_rows": int(rows),
                 "cpus_lo": lo_n,
                 "cpus_hi": hi_n,

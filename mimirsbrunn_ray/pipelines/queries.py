@@ -14,6 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.sources.documents_adapter import SEQ_CTE, sequences_from_documents
 from mimirsbrunn_ray.stages.dedup import dedup_exact
@@ -296,9 +297,12 @@ def q_orders_per_nation(sf_dir):
             batch_format="pyarrow",
             batch_size=None,
         )
-        joined = orders.join(
-            dim_small, join_type="inner", num_partitions=32,
-            on=("o_custkey",), right_on=("c_custkey",),
+        joined = _safe_join(
+            orders, dim_small,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+            join_type="inner",
+            num_partitions=32,
         )
     from mimirsbrunn_ray.stages.rollup import tree_merge
 
@@ -786,9 +790,12 @@ def q_order_priority_revenue(sf_dir):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    joined = li.join(
-        orders, join_type="inner", num_partitions=16,
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    joined = _safe_join(
+        li, orders,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=16,
     )
 
     def partial(b: pa.Table) -> pa.Table:
@@ -2039,20 +2046,17 @@ def q_customers_without_events(sf_dir):
         ),
         batch_format="pyarrow", batch_size=None,
     ).repartition(n_part)
-    confirmed = (
+    confirmed = _safe_join(
         flagged.filter(expr="maybe == True")
-        .select_columns(["c_custkey", "c_name"])
-        .repartition(n_part)
-        .join(
-            right, join_type="left_outer", num_partitions=n_part,
-            on=("c_custkey",), right_on=("user_id",),
-        )
-        .map_batches(
-            lambda b: b.filter(pc.is_null(b["has_event"])).select(
-                ["c_custkey", "c_name"]
-            ),
-            batch_format="pyarrow", batch_size=None,
-        )
+        .select_columns(["c_custkey", "c_name"]),
+        right,
+        on=("c_custkey",), right_on=("user_id",),
+        join_type="left_outer", num_partitions=n_part,
+    ).map_batches(
+        lambda b: b.filter(pc.is_null(b["has_event"])).select(
+            ["c_custkey", "c_name"]
+        ),
+        batch_format="pyarrow", batch_size=None,
     )
     return absent.union(confirmed)
 
@@ -2839,12 +2843,12 @@ def q_tpch_q3_building(sf_dir):
     ).map_batches(li_partial, batch_format="pyarrow", batch_size=None)
 
     n_part = max(8, pool_size())
-    joined = li.repartition(n_part).join(
-        orders.repartition(n_part),
-        join_type="inner",
-        num_partitions=n_part,
+    joined = _safe_join(
+        li, orders,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=n_part,
     )
 
     def combine(b: pa.Table) -> pa.Table:
@@ -3950,12 +3954,12 @@ def q_users_customers_full_outer(sf_dir):
         batch_size=None,
     ).repartition(8)
 
-    joined = counts.join(
-        cust,
-        join_type="full_outer",
-        num_partitions=16,
+    joined = _safe_join(
+        counts, cust,
         on=("user_id",),
         right_on=("c_custkey",),
+        join_type="full_outer",
+        num_partitions=16,
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -4310,10 +4314,12 @@ def q_cheapest_lineitem_per_part(sf_dir):
         part_ds = rd.read_parquet(
             f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
         )
-        named = best.repartition(n_part).join(
-            part_ds.repartition(n_part), join_type="inner",
-            num_partitions=n_part, on=("l_partkey",),
+        named = _safe_join(
+            best, part_ds,
+            on=("l_partkey",),
             right_on=("p_partkey",),
+            join_type="inner",
+            num_partitions=n_part,
         )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -4699,12 +4705,12 @@ def q_tpch_q5_region_revenue(sf_dir):
             batch_format="pyarrow", batch_size=None,
         )
 
-    joined = li.repartition(n_part).join(
-        orders.repartition(n_part),
-        join_type="inner",
-        num_partitions=n_part,
+    joined = _safe_join(
+        li, orders,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=n_part,
     )
 
     def local_partial(b: pa.Table) -> pa.Table:

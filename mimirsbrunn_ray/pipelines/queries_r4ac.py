@@ -15,6 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.stages.rollup import tree_merge
 
@@ -314,8 +315,11 @@ def q_orders_above_cust_avg(sf_dir):
     facts = orders.map_batches(
         fact, batch_format="pyarrow", batch_size=None
     ).repartition(4)
-    joined = facts.join(
-        stats, join_type="inner", num_partitions=4, on=("o_custkey",)
+    joined = _safe_join(
+        facts, stats,
+        on=("o_custkey",),
+        join_type="inner",
+        num_partitions=4,
     )
 
     def finish(b: pa.Table) -> pa.Table:

@@ -15,6 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.stages.rollup import tree_merge
 
@@ -202,8 +203,11 @@ def q_referential_integrity_orders(sf_dir):
                                                            np.int64))),
         batch_format="pyarrow", batch_size=None,
     ).repartition(4)
-    joined = ok.join(
-        lk, join_type="full_outer", num_partitions=4, on=("k",)
+    joined = _safe_join(
+        ok, lk,
+        on=("k",),
+        join_type="full_outer",
+        num_partitions=4,
     )
 
     def count_partial(b: pa.Table) -> pa.Table:

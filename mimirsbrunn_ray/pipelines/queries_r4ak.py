@@ -15,6 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.stages.rollup import tree_merge
 
@@ -118,8 +119,12 @@ def q_order_price_consistency(sf_dir):
     hdr = orders.map_batches(
         header, batch_format="pyarrow", batch_size=None
     ).repartition(4)
-    joined = hdr.join(recon, join_type="inner", num_partitions=4,
-                      on=("o_orderkey",))
+    joined = _safe_join(
+        hdr, recon,
+        on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=4,
+    )
 
     tol = 100 * 100_000_000  # one dollar = 100 cents, in the x1e8 scale
 

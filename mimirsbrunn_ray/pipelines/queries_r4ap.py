@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.stages.rollup import tree_merge
 
@@ -69,7 +70,12 @@ def q_join_cardinality_audit(sf_dir):
         lambda b: b.rename_columns(["k", "c_l"]),
         batch_format="pyarrow", batch_size=None,
     ).repartition(4)
-    joined = oc.join(lc, join_type="inner", num_partitions=4, on=("k",))
+    joined = _safe_join(
+        oc, lc,
+        on=("k",),
+        join_type="inner",
+        num_partitions=4,
+    )
 
     def fold(b: pa.Table) -> pa.Table:
         co = b["c_o"].to_numpy(zero_copy_only=False)

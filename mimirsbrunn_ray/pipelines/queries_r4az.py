@@ -15,6 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.stages.rollup import tree_merge
 
@@ -239,12 +240,12 @@ def q_ship_latency_p90_grid(sf_dir):
         batch_format="pyarrow",
         batch_size=None,
     ).repartition(4)
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=4,
+    joined = _safe_join(
+        li, orders,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=4,
     )
 
     def partial(b: pa.Table) -> pa.Table:

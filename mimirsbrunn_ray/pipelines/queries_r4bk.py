@@ -13,6 +13,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.stages.rollup import tree_merge
 
@@ -201,8 +202,12 @@ def q_user_custkey_overlap(sf_dir):
         ),
         batch_format="pyarrow", batch_size=None,
     ).repartition(4)
-    joined = uk.join(ck, join_type="full_outer", num_partitions=4,
-                     on=("k",))
+    joined = _safe_join(
+        uk, ck,
+        on=("k",),
+        join_type="full_outer",
+        num_partitions=4,
+    )
 
     def fold_partial(b: pa.Table) -> pa.Table:
         iu = pc.fill_null(b["in_u"], 0).to_numpy(zero_copy_only=False)

@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 
 # Shared fixed-point / broadcast-membership helpers (used by queries_r4d too).
@@ -1483,11 +1484,11 @@ def q_interval_overlap_join(sf_dir):
     b = side("purchase", -300_000_000, 300_000_000, "purchase_id")
 
     n_part = max(8, pool_size())
-    joined = a.repartition(n_part).join(
-        b.repartition(n_part),
+    joined = _safe_join(
+        a, b,
+        on=("user_id", "bucket",),
         join_type="inner",
         num_partitions=n_part,
-        on=("user_id", "bucket"),
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -31,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.context import pool_size
 from mimirsbrunn_ray.pipelines.queries_r4c import (
@@ -226,12 +227,12 @@ def q_tpch_q9_profit(sf_dir):
     )
 
     n_part = max(8, pool_size())
-    joined = li.repartition(n_part).join(
-        orders.repartition(n_part),
-        join_type="inner",
-        num_partitions=n_part,
+    joined = _safe_join(
+        li, orders,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=n_part,
     )
 
     def year_partial(b: pa.Table) -> pa.Table:
@@ -369,12 +370,12 @@ def q_tpch_q12_late_shipments(sf_dir):
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
     n_part = max(8, pool_size())
-    joined = li.repartition(n_part).join(
-        orders.repartition(n_part),
-        join_type="inner",
-        num_partitions=n_part,
+    joined = _safe_join(
+        li, orders,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=n_part,
     )
 
     lag_us = np.int64(_Q12_LATE_DAYS) * 86_400_000_000

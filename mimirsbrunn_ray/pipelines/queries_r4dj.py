@@ -18,6 +18,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.context import pool_size
 from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
@@ -117,9 +118,12 @@ def q_order_total_reconciliation(sf_dir):
     )
 
     n_part = max(8, pool_size())
-    joined = per_order.repartition(n_part).join(
-        orders.repartition(n_part), join_type="inner",
-        num_partitions=n_part, on=("l_orderkey",), right_on=("o_orderkey",),
+    joined = _safe_join(
+        per_order, orders,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=n_part,
     )
 
     def band(b: pa.Table) -> pa.Table:

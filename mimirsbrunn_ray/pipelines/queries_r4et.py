@@ -23,6 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as _pq
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.context import pool_size
 from mimirsbrunn_ray.stages.rollup import tree_merge
@@ -93,12 +94,12 @@ def q_tpch_q10_returned_revenue(sf_dir):
         .repartition(n_part)
     )
 
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=n_part,
+    joined = _safe_join(
+        li, orders,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=n_part,
     )
 
     def cust_partial(b: pa.Table) -> pa.Table:
@@ -229,12 +230,12 @@ def q_tpch_q13_order_counts(sf_dir):
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).repartition(n_part)
 
-    joined = cust.join(
-        counts,
-        join_type="left_outer",
-        num_partitions=n_part,
+    joined = _safe_join(
+        cust, counts,
         on=("c_custkey",),
         right_on=("o_custkey",),
+        join_type="left_outer",
+        num_partitions=n_part,
     )
 
     def hist_partial(b: pa.Table) -> pa.Table:

@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as _pq
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.context import pool_size
 from mimirsbrunn_ray.stages.rollup import tree_merge
@@ -196,12 +197,12 @@ def q_tpch_q8_market_share(sf_dir):
         .repartition(n_part)
     )
 
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=n_part,
+    joined = _safe_join(
+        li, orders,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=n_part,
     )
 
     def yr_partial(b: pa.Table) -> pa.Table:
@@ -433,12 +434,12 @@ def q_order_fill_rate_sla(sf_dir):
         .repartition(n_part)
     )
 
-    joined = orders.join(
-        last_ship,
-        join_type="inner",
-        num_partitions=n_part,
+    joined = _safe_join(
+        orders, last_ship,
         on=("o_orderkey",),
         right_on=("l_orderkey",),
+        join_type="inner",
+        num_partitions=n_part,
     )
 
     def month_partial(b: pa.Table) -> pa.Table:

@@ -23,6 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.context import pool_size
 from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
@@ -76,13 +77,19 @@ def q_relational_division_suppliers(sf_dir):
         .repartition(n_part)
     )
 
-    j1 = li.join(
-        orders, join_type="inner", num_partitions=n_part,
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    j1 = _safe_join(
+        li, orders,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=n_part,
     ).repartition(n_part)
-    j2 = j1.join(
-        cust, join_type="inner", num_partitions=n_part,
-        on=("o_custkey",), right_on=("c_custkey",),
+    j2 = _safe_join(
+        j1, cust,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        join_type="inner",
+        num_partitions=n_part,
     )
 
     def triple_dedup(b: pa.Table) -> pa.Table:

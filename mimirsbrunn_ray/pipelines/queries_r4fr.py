@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.pipelines.queries_r4fj import (
     _distinct_type_minutes,
@@ -390,12 +391,12 @@ def q_semijoin_reduction_audit(sf_dir):
         return _empty_out
 
     n_part = max(8, pool_size())
-    joined = li_counts.repartition(n_part).join(
-        orders.repartition(n_part),
-        join_type="inner",
-        num_partitions=n_part,
+    joined = _safe_join(
+        li_counts, orders,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=n_part,
     )
 
     def seg_part(b: pa.Table) -> pa.Table:

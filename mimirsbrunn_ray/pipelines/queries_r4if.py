@@ -20,6 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.pipelines.queries_r4fk import (
     _round_half_away,
@@ -117,11 +118,11 @@ def q_totalprice_recon_audit(sf_dir):
     if lsum.count() == 0 or hdr.count() == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _TRA_COLS})
-    joined = hdr.repartition(16).join(
-        lsum.repartition(16),
+    joined = _safe_join(
+        hdr, lsum,
+        on=("ok",),
         join_type="inner",
         num_partitions=16,
-        on=("ok",),
     )
 
     def stat(b: pa.Table) -> pa.Table:

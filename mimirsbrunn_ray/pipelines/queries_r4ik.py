@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.pipelines.queries_r4fk import (
     _DAY_US,
@@ -56,12 +57,12 @@ def q_ship_latency_monthly_trend(sf_dir):
     if li.count() == 0 or orders.count() == 0:
         return pa.table(
             {c: pa.array([], pa.int64()) for c in _SLM_COLS})
-    joined = li.repartition(16).join(
-        orders.repartition(16),
-        join_type="inner",
-        num_partitions=16,
+    joined = _safe_join(
+        li, orders,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=16,
     )
 
     def part(b: pa.Table) -> pa.Table:

@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.pipelines.queries_r4fk import (
     _round_half_away,
@@ -93,9 +94,11 @@ def q_value_lines_tail_dependence(sf_dir):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_totalprice"],
     ).map_batches(oproj, batch_format="pyarrow", batch_size=None)
-    joined = orders_ds.repartition(n_part).join(
-        lc.repartition(n_part), join_type="inner",
-        num_partitions=n_part, on=("ok",),
+    joined = _safe_join(
+        orders_ds, lc,
+        on=("ok",),
+        join_type="inner",
+        num_partitions=n_part,
     ).materialize()
     n = joined.count()
     k = n // 4

@@ -20,6 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.pipelines.queries_r4fk import (
     _DAY_US,
@@ -243,12 +244,12 @@ def q_same_day_ship_share(sf_dir):
             "same_day_ppm": pa.array([], pa.int64()),
             "within_3d_ppm": pa.array([], pa.int64()),
         })
-    joined = li.repartition(16).join(
-        orders.repartition(16),
-        join_type="inner",
-        num_partitions=16,
+    joined = _safe_join(
+        li, orders,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=16,
     )
 
     def part(b: pa.Table) -> pa.Table:

@@ -16,6 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.functions.timeutil import trunc_us, ts_array
 from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
@@ -259,12 +260,12 @@ def q_ship_latency_quantiles(sf_dir):
     )
 
     n = max(4, pool_size())
-    joined = first_ship.repartition(n).join(
-        orders.repartition(n),
-        join_type="inner",
-        num_partitions=n,
+    joined = _safe_join(
+        first_ship, orders,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=n,
     )
 
     def to_hist(b: pa.Table) -> pa.Table:

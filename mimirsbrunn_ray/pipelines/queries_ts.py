@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 # ---------------------------------------------------------------------------
 # counter increase (PromQL-style reset-aware rate), per user x hour
@@ -308,9 +309,12 @@ def q_tpch_q10_returns(sf_dir):
     # coalesce both sides to pool-sized blocks before the exchange —
     # the hash-join over per-file micro-blocks measured 2x slower
     n_part = max(8, pool_size())
-    joined = li.repartition(n_part).join(
-        orders.repartition(n_part), join_type="inner", num_partitions=n_part,
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    joined = _safe_join(
+        li, orders,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=n_part,
     )
 
     def cust_partial(b: pa.Table) -> pa.Table:
@@ -644,9 +648,12 @@ def q_tpch_q7_volume(sf_dir):
     from mimirsbrunn_ray.context import pool_size
 
     n_part = max(8, pool_size())
-    joined = li.repartition(n_part).join(
-        orders.repartition(n_part), join_type="inner", num_partitions=n_part,
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    joined = _safe_join(
+        li, orders,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=n_part,
     )
 
     def final_partial(b: pa.Table) -> pa.Table:

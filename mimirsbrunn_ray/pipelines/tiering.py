@@ -214,7 +214,11 @@ def run_tiering_job(
             if dim_table is not None:
                 ds = enriched(ds, build_dim_ref(dim_table))
             ds = dedup_exact(
-                ds, key="doc_id", num_buckets=dedup_buckets, counters=counters
+                ds, key="doc_id", num_buckets=dedup_buckets,
+                counters=counters,
+                # the dup scan already ran (pass 0): prune the exchange
+                # to rows of duplicated keys — winner unchanged
+                dup_hashes=dup_keys,
             )
         run_dir = store.publish(
             ds,

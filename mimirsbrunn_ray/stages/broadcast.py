@@ -114,6 +114,11 @@ def attach_table(
     fact table) to a streaming Dataset: one ``ray.put`` of sorted arrays,
     vectorized searchsorted probe per batch."""
     out_names = list(out_names or val_cols)
+    if dim.num_rows == 0 or dim_key not in dim.column_names:
+        # reduced dim came back empty/schema-less (empty corpus): an
+        # empty lut — every probe misses
+        dim = pa.table({dim_key: pa.array([], pa.int64()),
+                        **{c: pa.array([], pa.int64()) for c in val_cols}})
     k = _as_key_np(dim[dim_key])
     order = np.argsort(k, kind="stable")
     vals = {c: dim[c].to_numpy(zero_copy_only=False)[order] for c in val_cols}
@@ -133,6 +138,52 @@ def attach_table(
         return b
 
     return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+def schema_dead(ds: "rd.Dataset") -> bool:
+    """True when a dataset lost its schema — the fully-empty-input-file
+    short-circuit (round-4 learning): Ray skips the map UDFs entirely, so
+    blocks carry no columns and Acero joins crash on the missing key."""
+    try:
+        s = ds.schema(fetch_if_missing=True)
+        return s is None or len(s.names) == 0
+    except Exception:
+        return True
+
+
+def safe_join(
+    a: "rd.Dataset",
+    b: "rd.Dataset",
+    *,
+    on,
+    right_on=None,
+    join_type: str = "inner",
+    num_partitions: int,
+) -> "rd.Dataset":
+    """``Dataset.join`` that tolerates schema-dead sides (fully-empty
+    input files): returns an empty dataset instead of crashing Acero; the
+    callers' driver-side zero-column guards then produce their typed
+    empties. Both sides are materialized first — Ray's hash-shuffle join
+    stages them anyway, so this adds one object-store pin, not a
+    recompute — which makes the zero-row check free and rebuilds every
+    block with the real schema (a ZERO-ROW side otherwise reaches
+    HashShuffleAggregator.finalize as a schema-less table and crashes
+    Acero even when the dataset-level schema is known)."""
+    if schema_dead(a) or schema_dead(b):
+        return rd.from_items([])
+    a = a.materialize()
+    b = b.materialize()
+    if a.count() == 0 or b.count() == 0:
+        return rd.from_items([])
+    return a.repartition(num_partitions).join(
+        b.repartition(num_partitions),
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on if isinstance(on, tuple) else (on,),
+        right_on=(None if right_on is None
+                  else right_on if isinstance(right_on, tuple)
+                  else (right_on,)),
+    )
 
 
 def attach_ds(
@@ -159,12 +210,9 @@ def attach_ds(
         batch_size=None,
     )
     join_type = "inner" if how == "inner" else "left_outer"
-    return ds.repartition(n_part).join(
-        dim.repartition(n_part),
-        join_type=join_type,
+    return safe_join(
+        ds, dim, on=on, right_on=dim_key, join_type=join_type,
         num_partitions=n_part,
-        on=(on,),
-        right_on=(dim_key,),
     ).materialize()
 
 
@@ -215,7 +263,11 @@ def keyed_counts(
         final_shards=final_shards,
         shard_cols=[key_col] if final_shards > 1 else None,
     )
-    return pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+    out = pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+    if key_col not in out.column_names:  # empty-corpus schema loss
+        out = pa.table({key_col: pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64())})
+    return out
 
 
 def sharded_reduce(
@@ -308,12 +360,7 @@ def attach_dim(
         f"{sf_dir}/{table}.parquet", columns=[dim_key, *val_cols]
     ).map_batches(project, batch_format="pyarrow", batch_size=None)
     join_type = "inner" if how == "inner" else "left_outer"
-    # repartition both sides: groupby/map_groups outputs can carry
-    # schema-less empty blocks that crash Acero (round-2 learning)
-    return ds.repartition(n_part).join(
-        dim.repartition(n_part),
-        join_type=join_type,
+    return safe_join(
+        ds, dim, on=on, right_on=dim_key, join_type=join_type,
         num_partitions=n_part,
-        on=(on,),
-        right_on=(dim_key,),
     ).materialize()

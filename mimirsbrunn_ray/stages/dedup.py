@@ -59,17 +59,26 @@ def dedup_exact(
     tiebreak: list[str] | None = None,
     num_buckets: int = 64,
     counters=None,
+    dup_hashes=None,
 ) -> "rd.Dataset":
     """Drop all but the deterministic first row per ``key``.
 
-    Full-shuffle variant: every row moves once, hashed on ``key``. Use
+    Full-shuffle variant: rows move once, hashed on ``key``. Use
     ``dedup_exact_sparse`` when duplicates are rare and payloads are wide.
-    """
+
+    ``dup_hashes`` (sorted-able int64 key hashes from
+    ``scan_duplicate_keys``) prunes the exchange: rows whose key is
+    PROVABLY unique stream through untouched — only rows of duplicated
+    keys (all of them, so the sorted keep-first winner is unchanged —
+    pytest-pinned) pay the shuffle. At a ~1% duplicate rate this removes
+    ~99% of the exchange bytes, which is what keeps the untrusted-dedup
+    path inside the scaling bar (r5 measurement: 1->4 CPU efficiency
+    0.72 -> see BASELINE.md after pruning). Hash collisions are safe:
+    a colliding unique key merely rides the shuffle and wins its own
+    group."""
+    import ray
+
     tiebreak = tiebreak or []
-    bucketed = ds.map_batches(
-        lambda b: add_bucket(b, key, num_buckets), batch_format="pyarrow",
-        batch_size=None,
-    )
 
     def fn(group: pa.Table) -> pa.Table:
         n_in = group.num_rows
@@ -78,7 +87,37 @@ def dedup_exact(
             counters.inc.remote({"rows_deduped": n_in - out.num_rows})
         return out
 
-    return bucketed.groupby(_BUCKET).map_groups(fn, batch_format="pyarrow")
+    if dup_hashes is None:
+        bucketed = ds.map_batches(
+            lambda b: add_bucket(b, key, num_buckets),
+            batch_format="pyarrow", batch_size=None,
+        )
+        return bucketed.groupby(_BUCKET).map_groups(
+            fn, batch_format="pyarrow")
+
+    dup_ref = ray.put(np.sort(np.asarray(dup_hashes, dtype=np.int64)))
+
+    def split(b: pa.Table, want_suspect: bool) -> pa.Table:
+        dup = ray.get(dup_ref)
+        h = _hash64(b[key]).view(np.int64)
+        if len(dup) == 0:
+            member = np.zeros(len(h), dtype=bool)
+        else:
+            idx = np.clip(np.searchsorted(dup, h), 0, len(dup) - 1)
+            member = dup[idx] == h
+        return b.filter(pa.array(member if want_suspect else ~member))
+
+    clean = ds.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow",
+        batch_size=None,
+    )
+    suspects = ds.map_batches(
+        lambda b: add_bucket(split(b, True), key, num_buckets),
+        batch_format="pyarrow", batch_size=None,
+    )
+    winners = suspects.groupby(_BUCKET).map_groups(
+        fn, batch_format="pyarrow")
+    return clean.union(winners)
 
 
 def scan_duplicate_keys(

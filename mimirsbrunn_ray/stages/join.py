@@ -233,12 +233,21 @@ def bloom_anti_join(
 
     from mimirsbrunn_ray.context import pool_size
     from mimirsbrunn_ray.sources.synth import _splitmix64
+    from mimirsbrunn_ray.stages.broadcast import schema_dead
     from mimirsbrunn_ray.stages.sketch import (
         bloom_add,
         bloom_contains,
         bloom_new,
         bloom_or_merge,
     )
+
+    # fully-empty-input-file guards (schema-dead datasets crash Acero):
+    # dead left -> nothing to keep; dead right -> every left row is
+    # unmatched (NOT EXISTS over the empty set)
+    if schema_dead(left):
+        return rd.from_items([])
+    if schema_dead(right):
+        return left
 
     def partial_distinct(b: pa.Table) -> pa.Table:
         u = np.unique(b[right_key].drop_null().to_numpy(zero_copy_only=False))
@@ -346,6 +355,11 @@ def bloom_semi_join(
     Null left keys never match (SQL EXISTS equality semantics); null
     right keys are dropped at the scan.
     """
+    from mimirsbrunn_ray.stages.broadcast import schema_dead
+
+    # fully-empty-input-file guard: EXISTS over a dead side is empty
+    if schema_dead(left) or schema_dead(right):
+        return rd.from_items([])
     import pyarrow.compute as pc
 
     from mimirsbrunn_ray.context import pool_size

@@ -162,3 +162,28 @@ def test_sharded_reduce_keeps_groups_whole(ray_session):
     exp = pd.Series(keys).value_counts()
     for k, v in exp.items():
         assert int(out.set_index("k")["n"][k]) == int(v)
+
+
+def test_dedup_exact_pruned_matches_full_shuffle(ray_session):
+    """dup-scan pruning must not change dedup_exact's winners."""
+    import pyarrow.parquet as pq
+
+    from mimirsbrunn_ray.stages.dedup import _hash64, dedup_exact
+
+    rng = np.random.default_rng(23)
+    keys = [f"d{int(k)}" for k in rng.integers(0, 300, 1000)]
+    tbl = pa.table({
+        "doc_id": pa.array(keys),
+        "payload": pa.array(rng.integers(0, 1 << 30, 1000).astype(np.int64)),
+    })
+    ds = rd.from_arrow(tbl).repartition(6)
+    full = dedup_exact(ds, key="doc_id",
+                       tiebreak=["payload"]).to_pandas()
+    h = _hash64(tbl["doc_id"]).view(np.int64)
+    uniq, counts = np.unique(h, return_counts=True)
+    dup_hashes = uniq[counts > 1]
+    pruned = dedup_exact(ds, key="doc_id", tiebreak=["payload"],
+                         dup_hashes=dup_hashes).to_pandas()
+    a = full.sort_values(["doc_id", "payload"], ignore_index=True)
+    b = pruned.sort_values(["doc_id", "payload"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
