@@ -1055,7 +1055,8 @@ def q_part_dep_closure(sf_dir):
     from mimirsbrunn_ray.stages.hierarchy import dependency_closure
 
     part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
-    mx = int(part.max("p_partkey"))
+    _mx_raw = part.max("p_partkey")
+    mx = int(_mx_raw) if _mx_raw is not None else 0
     ks = np.arange(2, mx + 1, dtype=np.int64)
     src = np.concatenate([ks, ks[ks >= 3]])
     dst = np.concatenate([ks // 2, ks[ks >= 3] // 3])
@@ -2801,16 +2802,12 @@ def q_tpch_q3_building(sf_dir):
 
     cutoff = np.datetime64("1998-06-01", "us")
 
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    building = pa.concat_tables(
-        [
-            b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(
-                ["c_custkey"]
-            )
-            for b in cust.iter_batches(batch_format="pyarrow")
-        ]
+    from mimirsbrunn_ray.stages.broadcast import read_dim_table
+
+    _cust_t = read_dim_table(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = _cust_t.filter(
+        pc.equal(_cust_t["c_mktsegment"], "BUILDING")
     )["c_custkey"].combine_chunks()
 
     def filter_orders(b: pa.Table) -> pa.Table:
@@ -4385,14 +4382,15 @@ def q_mixture_allocation(sf_dir):
         g = b.group_by(["source"]).aggregate([("n", "sum")])
         return g.rename_columns(["source", "n"])
 
-    counts = (
+    from mimirsbrunn_ray.stages.broadcast import collect_typed
+
+    counts = collect_typed(
         tree_merge(
             docs.map_batches(partial, batch_format="pyarrow", batch_size=None),
             combine,
-        )
-        .to_pandas()
-        .sort_values("source", ignore_index=True)
-    )
+        ),
+        pa.schema([("source", pa.string()), ("n", pa.int64())]),
+    ).to_pandas().sort_values("source", ignore_index=True)
     n = counts["n"].to_numpy(np.float64)
     tot = n.sum()
     quota = _MIX_BUDGET * n / tot

@@ -40,7 +40,8 @@ def q_degree_assortativity(sf_dir):
     Each undirected edge contributes BOTH orientations (the standard
     symmetrized form), which keeps the statistic orientation-free."""
     part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
-    mx = int(part.max("p_partkey"))
+    _mx_raw = part.max("p_partkey")
+    mx = int(_mx_raw) if _mx_raw is not None else 0
     ks = np.arange(2, mx + 1, dtype=np.int64)
     src = np.concatenate([ks, ks[ks >= 3]])
     dst = np.concatenate([ks // 2, ks[ks >= 3] // 3])

@@ -39,7 +39,8 @@ def q_part_dep_longest_path(sf_dir):
     one vectorized key-order DP builds the table; matching a
     recursive-CTE MAX oracle."""
     part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
-    mx = int(part.max("p_partkey"))
+    _mx_raw = part.max("p_partkey")
+    mx = int(_mx_raw) if _mx_raw is not None else 0
     dist = np.full(mx + 1, -1, dtype=np.int64)
     if mx >= 1:
         dist[1] = 0

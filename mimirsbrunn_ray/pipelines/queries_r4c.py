@@ -382,7 +382,10 @@ def q_inverted_postings(sf_dir):
         .aggregate([("df", "sum")])
         .rename_columns(["term", "df"]),
     )
-    dft = pa.concat_tables(list(df.iter_batches(batch_format="pyarrow")))
+    from mimirsbrunn_ray.stages.broadcast import collect_typed
+
+    dft = collect_typed(df, pa.schema([("term", pa.string()),
+                                       ("df", pa.int64())]))
     dft = dft.filter(pc.greater_equal(dft["df"], pa.scalar(min_df)))
     terms = dft["term"].to_numpy(zero_copy_only=False)
     order = np.argsort(terms, kind="stable")
@@ -771,21 +774,23 @@ def q_idle_rich_customers(sf_dir):
             }
         )
 
-    stat = pa.concat_tables(
-        list(
-            tree_merge(
-                cust.map_batches(avg_partial, batch_format="pyarrow", batch_size=None),
-                lambda b: pa.table(
-                    {
-                        "sum_e2": pa.array([pc.sum(b["sum_e2"]).as_py() or 0], pa.int64()),
-                        "cnt": pa.array([pc.sum(b["cnt"]).as_py() or 0], pa.int64()),
-                    }
-                ),
-            ).iter_batches(batch_format="pyarrow")
-        )
+    from mimirsbrunn_ray.stages.broadcast import collect_typed as _ct
+
+    stat = _ct(
+        tree_merge(
+            cust.map_batches(avg_partial, batch_format="pyarrow",
+                             batch_size=None),
+            lambda b: pa.table(
+                {
+                    "sum_e2": pa.array([pc.sum(b["sum_e2"]).as_py() or 0], pa.int64()),
+                    "cnt": pa.array([pc.sum(b["cnt"]).as_py() or 0], pa.int64()),
+                }
+            ),
+        ),
+        pa.schema([("sum_e2", pa.int64()), ("cnt", pa.int64())]),
     )
-    sum_e2 = int(stat["sum_e2"][0].as_py())
-    cnt = int(stat["cnt"][0].as_py())
+    sum_e2 = int(stat["sum_e2"][0].as_py()) if stat.num_rows else 0
+    cnt = int(stat["cnt"][0].as_py()) if stat.num_rows else 0
 
     rich = cust.map_batches(
         lambda b: b.filter(
@@ -1105,7 +1110,8 @@ def q_part_triangles(sf_dir):
     from mimirsbrunn_ray.stages.rollup import tree_merge
 
     part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
-    mx = int(part.max("p_partkey"))
+    _mx_raw = part.max("p_partkey")
+    mx = int(_mx_raw) if _mx_raw is not None else 0
     ks = np.arange(2, mx + 1, dtype=np.int64)
     src = np.concatenate([ks, ks[ks >= 3]])
     dst = np.concatenate([ks // 2, ks[ks >= 3] // 3])

@@ -220,7 +220,8 @@ def q_part_components(sf_dir):
     from mimirsbrunn_ray.stages.neardup import minlabel_propagation
 
     part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
-    mx = int(part.max("p_partkey"))
+    _mx_raw = part.max("p_partkey")
+    mx = int(_mx_raw) if _mx_raw is not None else 0
     nodes = np.arange(0, mx + 1, dtype=np.int64)  # keys are 0-based
     chain = nodes[nodes % 17 >= 1]
     skip = nodes[nodes % 17 >= 5]

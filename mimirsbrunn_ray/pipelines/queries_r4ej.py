@@ -25,7 +25,8 @@ def _round_half_away(x: float) -> int:
 def _dep_edges(sf_dir):
     """Directed dependency edges (src, dst) and the node bound mx."""
     part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
-    mx = int(part.max("p_partkey"))
+    mx_raw = part.max("p_partkey")
+    mx = int(mx_raw) if mx_raw is not None else 0  # empty-corpus guard
     ks = np.arange(2, mx + 1, dtype=np.int64)
     src = np.concatenate([ks, ks[ks >= 3]])
     dst = np.concatenate([ks // 2, ks[ks >= 3] // 3])

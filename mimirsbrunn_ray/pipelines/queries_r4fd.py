@@ -53,7 +53,8 @@ def _reuse_distance_table(sf_dir):
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
     )
-    mx = int(ev.max("event_id"))
+    _mx_raw = ev.max("event_id")
+    mx = int(_mx_raw) if _mx_raw is not None else 0
     w = max(1, (mx + _N_ID_BUCKETS) // _N_ID_BUCKETS)
 
     # ---- pass 1: per-user prev pointers (user-hash shuffle) ----

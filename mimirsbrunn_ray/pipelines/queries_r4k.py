@@ -651,7 +651,8 @@ def q_kcore_dependency(sf_dir):
     )
     if part.count() == 0:
         return empty
-    mx = int(part.max("p_partkey"))
+    _mx_raw = part.max("p_partkey")
+    mx = int(_mx_raw) if _mx_raw is not None else 0
     ks = np.arange(2, mx + 1, dtype=np.int64)
     src = np.concatenate([ks, ks[ks >= 3]])
     dst = np.concatenate([ks // 2, ks[ks >= 3] // 3])

@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import read_dim_table
 from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 # ---------------------------------------------------------------------------
@@ -347,23 +348,8 @@ def q_tpch_q10_returns(sf_dir):
     # pure pool spin-up, the single fused stage is milliseconds)
     import ray as _ray
 
-    cust = pa.concat_tables(
-        [
-            b.select(["c_custkey", "c_name", "c_nationkey"])
-            for b in rd.read_parquet(
-                f"{sf_dir}/customer.parquet",
-                columns=["c_custkey", "c_name", "c_nationkey"],
-            ).iter_batches(batch_format="pyarrow")
-        ]
-    )
-    nat = pa.concat_tables(
-        [
-            b.select(["n_nationkey", "n_name"])
-            for b in rd.read_parquet(
-                f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-            ).iter_batches(batch_format="pyarrow")
-        ]
-    )
+    cust = read_dim_table(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    nat = read_dim_table(sf_dir, "nation", ["n_nationkey", "n_name"])
     nmap = dict(
         zip(
             nat["n_nationkey"].to_numpy().tolist(),
@@ -449,14 +435,7 @@ def q_tpch_q19_brackets(sf_dir):
     from mimirsbrunn_ray.stages.join import broadcast_join, make_lookup_ref_arrays
     from mimirsbrunn_ray.stages.rollup import tree_merge
 
-    part = pa.concat_tables(
-        [
-            b.select(["p_partkey", "p_brand", "p_size"])
-            for b in rd.read_parquet(
-                f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
-            ).iter_batches(batch_format="pyarrow")
-        ]
-    )
+    part = read_dim_table(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
     pkey = part["p_partkey"].to_numpy()
     order = np.argsort(pkey, kind="stable")
     brand_ref = make_lookup_ref_arrays(
@@ -549,30 +528,9 @@ def q_tpch_q7_volume(sf_dir):
     from mimirsbrunn_ray.stages.join import broadcast_join, make_lookup_ref_arrays
     from mimirsbrunn_ray.stages.rollup import tree_merge
 
-    sup = pa.concat_tables(
-        [
-            b.select(["s_suppkey", "s_nationkey"])
-            for b in rd.read_parquet(
-                f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-            ).iter_batches(batch_format="pyarrow")
-        ]
-    )
-    cust = pa.concat_tables(
-        [
-            b.select(["c_custkey", "c_nationkey"])
-            for b in rd.read_parquet(
-                f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-            ).iter_batches(batch_format="pyarrow")
-        ]
-    )
-    nat = pa.concat_tables(
-        [
-            b.select(["n_nationkey", "n_name"])
-            for b in rd.read_parquet(
-                f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-            ).iter_batches(batch_format="pyarrow")
-        ]
-    )
+    sup = read_dim_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    cust = read_dim_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = read_dim_table(sf_dir, "nation", ["n_nationkey", "n_name"])
     nk = nat["n_nationkey"].to_numpy()
     nv = nat["n_name"].to_numpy(zero_copy_only=False)
     name_of = dict(zip(nk.tolist(), nv.tolist()))
@@ -847,14 +805,7 @@ def q_tpch_q13_custdist(sf_dir):
 
     from mimirsbrunn_ray.stages.rollup import tree_merge
 
-    cust_keys = pa.concat_tables(
-        [
-            b.select(["c_custkey"])
-            for b in rd.read_parquet(
-                f"{sf_dir}/customer.parquet", columns=["c_custkey"]
-            ).iter_batches(batch_format="pyarrow")
-        ]
-    )["c_custkey"].combine_chunks()
+    cust_keys = read_dim_table(sf_dir, "customer", ["c_custkey"])["c_custkey"].combine_chunks()
     n_cust = len(cust_keys) - cust_keys.null_count
 
     def partial(b: pa.Table) -> pa.Table:
@@ -886,9 +837,10 @@ def q_tpch_q13_custdist(sf_dir):
         .rename_columns(["c_count", "custdist"]),
     )
 
-    tbl = pa.concat_tables(
-        [b for b in dist.iter_batches(batch_format="pyarrow")]
-    )
+    from mimirsbrunn_ray.stages.broadcast import collect_typed
+
+    tbl = collect_typed(dist, pa.schema([("c_count", pa.int64()),
+                                         ("custdist", pa.int64())]))
     matched = pc.sum(tbl["custdist"]).as_py() or 0
     n_zero = n_cust - matched
     if n_zero > 0:
@@ -1084,7 +1036,10 @@ def q_event_type_pmi(sf_dir):
         .aggregate([("cnt", "sum")])
         .rename_columns(["mask", "cnt"]),
     )
-    h = pa.concat_tables(list(hist.iter_batches(batch_format="pyarrow")))
+    from mimirsbrunn_ray.stages.broadcast import collect_typed
+
+    h = collect_typed(hist, pa.schema([("mask", pa.int64()),
+                                       ("cnt", pa.int64())]))
     mvals = h["mask"].to_numpy()
     mcnts = h["cnt"].to_numpy()
     n_users = int(mcnts.sum())
@@ -1241,7 +1196,8 @@ def q_part_pagerank(sf_dir):
     from mimirsbrunn_ray.stages.hierarchy import integer_pagerank
 
     part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
-    mx = int(part.max("p_partkey"))
+    _mx_raw = part.max("p_partkey")
+    mx = int(_mx_raw) if _mx_raw is not None else 0
     ks = np.arange(2, mx + 1, dtype=np.int64)
     src = np.concatenate([ks, ks[ks >= 3]])
     dst = np.concatenate([ks // 2, ks[ks >= 3] // 3])
@@ -1321,7 +1277,11 @@ def q_chi2_type_hour(sf_dir):
         .aggregate([("o", "sum")])
         .rename_columns(["event_type", "hod", "o"]),
     )
-    tbl = pa.concat_tables(list(counts.iter_batches(batch_format="pyarrow")))
+    from mimirsbrunn_ray.stages.broadcast import collect_typed
+
+    tbl = collect_typed(counts, pa.schema([
+        ("event_type", pa.string()), ("hod", pa.int64()),
+        ("o", pa.int64())]))
     df = tbl.to_pandas()
     pivot = df.pivot_table(
         index="event_type", columns="hod", values="o", fill_value=0, aggfunc="sum"

@@ -364,3 +364,31 @@ def attach_dim(
         ds, dim, on=on, right_on=dim_key, join_type=join_type,
         num_partitions=n_part,
     ).materialize()
+
+
+def read_dim_table(
+    sf_dir: str, table: str, columns: list[str],
+    budget: int | None = None,
+) -> "pa.Table":
+    """Budget-gated whole-dim driver read (returns a TYPED table even for
+    a zero-row file — the iter_batches/concat_tables idiom it replaces
+    returned nothing to concat and crashed). Past the budget the caller
+    must go through attach_dim's distributed join instead."""
+    import pyarrow.parquet as _pq
+
+    if not dim_fits(sf_dir, table, budget):  # pragma: no cover - scale
+        raise NotImplementedError(
+            f"dim {table} exceeds the broadcast budget: route through "
+            "attach_dim's distributed join (stages/broadcast.py)")
+    return _pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def collect_typed(ds: "rd.Dataset", schema: "pa.Schema") -> "pa.Table":
+    """Concat a REDUCED dataset (tree-merge / grouped-combine output —
+    per-key grain) to the driver with a guaranteed schema: a zero-block
+    dataset (empty-corpus short-circuit) yields ``schema.empty_table()``
+    instead of an empty-list ``pa.concat_tables`` crash."""
+    parts = list(ds.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return schema.empty_table()
+    return pa.concat_tables(parts).cast(schema)
