@@ -611,6 +611,10 @@ def _query_vectors(sf_dir):
     ids = t["vec_id"].to_pylist()
     embs = {v: np.asarray(e, dtype=np.float64)
             for v, e in zip(ids, t["embedding"].to_pylist())}
+    if not all(q in embs for q in KNN_QUERY_IDS):
+        # empty-corpus guard: no query vectors exist — any fixed width
+        # works, every similarity scan is against zero rows
+        return np.zeros((len(KNN_QUERY_IDS), 8), dtype=np.float64)
     return np.stack([embs[q] for q in KNN_QUERY_IDS])
 
 
@@ -661,6 +665,14 @@ def q_knn_ivf(sf_dir):
     sampled = emb.map_batches(
         sample_batch, batch_format="pyarrow", batch_size=None
     ).limit(2000).take_all()
+    if not sampled:  # empty-corpus guard: nothing to index
+        import pandas as pd
+
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype=np.int32),
+            "vec_id": pd.Series([], dtype=np.int64),
+            "cosine": pd.Series([], dtype=np.float64),
+        })
     sample = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in sampled]
     )
@@ -4541,7 +4553,11 @@ def q_tpch_q5_region_revenue(sf_dir):
 
     region = _pq.read_table(f"{sf_dir}/region.parquet")
     nation = _pq.read_table(f"{sf_dir}/nation.parquet")
-    rkey = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0]
+    _rk = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    if len(_rk) == 0:  # empty-corpus guard: no such region -> typed empty
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "revenue_cents": pa.array([], pa.int64())})
+    rkey = _rk[0]
     nat = nation.filter(pc.equal(nation["n_regionkey"], rkey))
     nat_keys = nat["n_nationkey"].to_numpy()
     nat_names = dict(

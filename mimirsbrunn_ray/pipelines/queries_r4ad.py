@@ -93,6 +93,10 @@ def q_type_trigram_transitions(sf_dir):
         return g.rename_columns(["t1", "t2", "t3", "n"])
 
     merged = tree_merge(partials, combine).to_pandas()
+    if "n" not in merged.columns:  # empty-corpus schema loss
+        merged = pd.DataFrame({c: pd.Series([], dtype=object)
+                               for c in ("t1", "t2", "t3")} |
+                              {"n": pd.Series([], dtype=np.int64)})
     # bounded: #types^3 rows
     merged = merged.sort_values(
         ["n", "t1", "t2", "t3"], ascending=[False, True, True, True],
@@ -292,8 +296,10 @@ def q_nation_revenue_share(sf_dir):
         combine,
     ).to_pandas()  # bounded: one row per nation
     if "lab" not in per_nation.columns:
-        per_nation = pd.DataFrame({"lab": [], "revenue_x100": []})
-    parts = per_nation["lab"].str.split("\x1f", expand=True)
+        per_nation = pd.DataFrame(
+            {"lab": pd.Series([], dtype=object),
+             "revenue_x100": pd.Series([], dtype=np.int64)})
+    parts = per_nation["lab"].astype(object).str.split("\x1f", expand=True)
     if len(per_nation):
         per_nation["nation"] = parts[0]
         per_nation["region"] = parts[1]

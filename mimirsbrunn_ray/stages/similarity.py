@@ -102,6 +102,12 @@ def knn_bruteforce(
     )
     merged = tree_merge(partials, merge_topk)
     out = merged.to_pandas()
+    if "cosine" not in out.columns:  # empty-corpus schema loss
+        out = pd.DataFrame({
+            "query_id": pd.Series([], dtype=np.int32),
+            id_col: pd.Series([], dtype=np.int64),
+            "cosine": pd.Series([], dtype=np.float64),
+        })
     out["cosine"] = np.round(out["cosine"], 6)
     return out.reset_index(drop=True)
 

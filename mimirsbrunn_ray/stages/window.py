@@ -143,6 +143,10 @@ def asof_join_bucketed(
     from mimirsbrunn_ray.stages.dedup import _BUCKET, add_bucket
 
     schema = left.schema()
+    if schema is None:
+        # fully-empty-input short-circuit (round-4 learning): no schema,
+        # no rows — the as-of result is empty either way
+        return rd.from_items([])
     base = getattr(schema, "base_schema", schema)
     if isinstance(base, pa.Schema):
         arrow_schema = base
