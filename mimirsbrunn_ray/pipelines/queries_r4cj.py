@@ -73,15 +73,16 @@ def q_tpch_q21_waiting_suppliers(sf_dir):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_shipdate"],
     )
+    from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
+
     n_part = max(8, pool_size())
-    joined = li.repartition(n_part).join(
-        orders.select_columns(["o_orderkey", "o_orderdate"]).repartition(
-            n_part
-        ),
-        join_type="inner",
-        num_partitions=n_part,
+    joined = _safe_join(
+        li,
+        orders.select_columns(["o_orderkey", "o_orderdate"]),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        join_type="inner",
+        num_partitions=n_part,
     )
 
     def partial(b: pa.Table) -> pa.Table:

@@ -70,11 +70,19 @@ def q_tpch_q8_market_share(sf_dir):
     broadcast) — and the per-year share folds from int64 sums."""
     n_part = max(8, pool_size())
 
+    _q8_empty = pa.table({
+        "yr": pa.array([], pa.int64()),
+        "china_e4": pa.array([], pa.int64()),
+        "total_e4": pa.array([], pa.int64()),
+        "share_ppm": pa.array([], pa.int64()),
+    })
     region = _pq.read_table(f"{sf_dir}/region.parquet")
     nation = _pq.read_table(f"{sf_dir}/nation.parquet")
-    rkey = region.filter(
-        pc.equal(region["r_name"], _Q8_REGION)
-    )["r_regionkey"][0]
+    _rk = region.filter(
+        pc.equal(region["r_name"], _Q8_REGION))["r_regionkey"]
+    if len(_rk) == 0:  # empty-corpus guard
+        return _q8_empty
+    rkey = _rk[0]
     nat_keys = nation.filter(
         pc.equal(nation["n_regionkey"], rkey)
     )["n_nationkey"].to_numpy().astype(np.int64)
@@ -216,6 +224,8 @@ def q_tpch_q8_market_share(sf_dir):
                            batch_size=None),
         yr_partial,
     ).to_pandas()
+    if "yr" not in out.columns:  # empty-corpus schema loss
+        return _q8_empty
     out = out.sort_values("yr", ignore_index=True)
     share = np.array(
         [

@@ -678,6 +678,9 @@ def q_session_duration_quantiles(sf_dir):
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     durs = session_durations(ev, key="user_id", gap_minutes=30).materialize()
     n = durs.count()
+    if n == 0:  # empty-corpus guard: no sessions, no quantiles
+        return pa.table({c: pa.array([], pa.int64()) for c in
+                         ("n_sessions", "p50_us", "p90_us", "p99_us")})
     p50, p90, p99 = exact_continuous_quantile(
         durs, val_fn=lambda b: b["dur_us"].cast(pa.float64()), qs=(0.5, 0.9, 0.99)
     )
