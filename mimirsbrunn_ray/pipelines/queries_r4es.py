@@ -186,6 +186,13 @@ def q_tpch_q14_promo_share(sf_dir):
     out = merged.map_batches(
         finish, batch_format="pyarrow", batch_size=None
     ).to_pandas()
+    if "month" not in out.columns:  # empty-corpus schema loss
+        return pa.table({
+            "month": pa.array([], pa.string()),
+            "promo_e4": pa.array([], pa.int64()),
+            "total_e4": pa.array([], pa.int64()),
+            "promo_share_ppm": pa.array([], pa.int64()),
+        })
     return out.sort_values("month", ignore_index=True)
 
 

@@ -130,10 +130,11 @@ def q_tpch_q10_returned_revenue(sf_dir):
         totals.map_batches(local_top, batch_format="pyarrow",
                            batch_size=None)
         .to_pandas()
-        .sort_values(["rev", "o_custkey"], ascending=[False, True],
-                     ignore_index=True)
-        .head(20)
     )
+    if "rev" not in top.columns:  # empty-corpus schema loss
+        top = top.iloc[0:0].assign(rev=[], o_custkey=[])
+    top = top.sort_values(["rev", "o_custkey"], ascending=[False, True],
+                          ignore_index=True).head(20)
     if len(top) == 0:
         return pa.table(
             {"c_custkey": pa.array([], pa.int64()),
@@ -260,6 +261,9 @@ def q_tpch_q13_order_counts(sf_dir):
                            batch_size=None),
         hist_combine,
     ).to_pandas()
+    if "custdist" not in hist.columns:  # empty-corpus schema loss
+        return pa.table({"c_count": pa.array([], pa.int64()),
+                         "custdist": pa.array([], pa.int64())})
     return hist.sort_values(
         ["custdist", "c_count"], ascending=[False, False],
         ignore_index=True,

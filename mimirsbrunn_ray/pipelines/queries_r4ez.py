@@ -362,6 +362,10 @@ def q_tpch_q16_brand_size_suppliers(sf_dir):
                             batch_size=None),
         count_comb,
     ).to_pandas()
+    if "supplier_cnt" not in out.columns:  # empty-corpus schema loss
+        return pa.table({"p_brand": pa.array([], pa.string()),
+                         "p_size": pa.array([], pa.int64()),
+                         "supplier_cnt": pa.array([], pa.int64())})
     out = out.sort_values(
         ["supplier_cnt", "p_brand", "p_size"],
         ascending=[False, True, True], ignore_index=True,
@@ -479,6 +483,13 @@ def q_order_fill_rate_sla(sf_dir):
                            batch_size=None),
         month_comb,
     ).to_pandas()
+    if "month" not in out.columns:  # empty-corpus schema loss
+        return pa.table({
+            "month": pa.array([], pa.string()),
+            "n_orders": pa.array([], pa.int64()),
+            "n_met": pa.array([], pa.int64()),
+            "met_ppm": pa.array([], pa.int64()),
+        })
     out = out.sort_values("month", ignore_index=True)
     ppm = np.array(
         [
