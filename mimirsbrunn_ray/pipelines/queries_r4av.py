@@ -318,7 +318,11 @@ def q_doc_quality_rank_product(sf_dir):
             mdata.map_batches(partial, batch_format="pyarrow",
                               batch_size=None),
             combine,
-        ).to_pandas().sort_values("v")
+        ).to_pandas()
+        if "v" not in h.columns:  # empty-corpus schema loss
+            h = pd.DataFrame({"v": pd.Series([], dtype=np.int64),
+                              "n": pd.Series([], dtype=np.int64)})
+        h = h.sort_values("v")
         v = h["v"].to_numpy(dtype=np.int64)
         cum = np.cumsum(h["n"].to_numpy(dtype=np.int64))
         return v, cum

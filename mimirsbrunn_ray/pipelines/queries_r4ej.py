@@ -246,12 +246,11 @@ def q_part_hits_scores(sf_dir):
         raise NotImplementedError(
             "distributed HITS: per-iteration edge-aggregation via "
             "tree_merge (q_part_components' label-propagation shape)")
-    keys = (
-        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
-        .to_pandas()["p_partkey"]
-        .dropna()
-        .to_numpy(dtype=np.int64)
-    )
+    _kdf = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]).to_pandas()
+    keys = (_kdf["p_partkey"].dropna().to_numpy(dtype=np.int64)
+            if "p_partkey" in _kdf.columns
+            else np.array([], dtype=np.int64))
     nodes = np.sort(np.unique(keys))
     return pa.table(
         {

@@ -98,6 +98,12 @@ def q_paren_balance_audit(sf_dir):
                          batch_size=None),
         combine,
     ).to_pandas()
+    if "source" not in out.columns:  # empty-corpus schema loss
+        out = pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype=np.int64),
+            "unbal_paren_docs": pd.Series([], dtype=np.int64),
+            "odd_quote_docs": pd.Series([], dtype=np.int64)})
     out = out.sort_values("source", ignore_index=True)
     dirty = (
         out["unbal_paren_docs"].to_numpy(dtype=np.int64)
