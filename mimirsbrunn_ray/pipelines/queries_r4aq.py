@@ -267,6 +267,9 @@ def q_weekend_share_wilson(sf_dir):
         combine,
     ).to_pandas()
 
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    counts = ensure_cols(counts, ["event_type", "n", "k"])
     rows = {"event_type": [], "n": [], "k": [], "lo_x1e9": [],
             "hi_x1e9": []}
     z = _WILSON_Z

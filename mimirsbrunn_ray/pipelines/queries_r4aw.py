@@ -46,8 +46,15 @@ def q_reciprocal_nn_pairs(sf_dir):
     # broadcast the full quantized code matrix (dim x n is data-scale:
     # for corpora past the broadcast budget use the IVF/LSH path —
     # this operator is the exact ground-truth tool)
-    all_tbl = emb.to_pandas().sort_values("vec_id", ignore_index=True)
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    all_tbl = ensure_cols(emb.to_pandas(), ["vec_id", "embedding"])
+    all_tbl = all_tbl.sort_values("vec_id", ignore_index=True)
     ids = all_tbl["vec_id"].to_numpy(dtype=np.int64)
+    if len(ids) == 0:  # empty-corpus guard: nothing to pair
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "nn_id": pa.array([], pa.int64()),
+                         "dot": pa.array([], pa.int64())})
     mat = _round_half_away(
         np.stack(all_tbl["embedding"].to_numpy()).astype(np.float64) * 1e6
     )

@@ -93,6 +93,10 @@ def q_segment_revenue_profile(sf_dir):
                            batch_size=None),
         combine,
     ).to_pandas()  # bounded: one row per segment
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    rev = ensure_cols(
+        rev, ["c_mktsegment", "n_orders", "revenue_x100"])
 
     census = (
         pd.DataFrame(

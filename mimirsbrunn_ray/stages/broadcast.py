@@ -392,3 +392,15 @@ def collect_typed(ds: "rd.Dataset", schema: "pa.Schema") -> "pa.Table":
     if not parts:
         return schema.empty_table()
     return pa.concat_tables(parts).cast(schema)
+
+
+def ensure_cols(df, cols: list[str]):
+    """Driver-side empty-corpus guard: a reduced pull that came back as a
+    zero-column frame (schema-loss short-circuit) gains the expected
+    columns as empty Series, so the driver finish code runs its normal
+    empty path instead of KeyError-ing."""
+    import pandas as pd
+
+    if all(c in df.columns for c in cols):
+        return df
+    return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
