@@ -14,6 +14,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import scalar0 as _scalar0
 
 from mimirsbrunn_ray.stages.rollup import tree_merge
 
@@ -278,7 +279,7 @@ def q_candidate_key_audit(sf_dir):
             ev.map_batches(n_rows_partial, batch_format="pyarrow",
                            batch_size=None),
             fold,
-        ).to_pandas()["n_rows"][0]
+        ).to_pandas().pipe(_scalar0, "n_rows")
     )
 
     def distinct_count(cols):
@@ -311,7 +312,7 @@ def q_candidate_key_audit(sf_dir):
                 ded.map_batches(cnt, batch_format="pyarrow",
                                 batch_size=None),
                 fold,
-            ).to_pandas()["n"][0]
+            ).to_pandas().pipe(_scalar0, "n")
         )
 
     n_event_id = distinct_count(["event_id"])

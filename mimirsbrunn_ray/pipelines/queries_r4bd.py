@@ -279,7 +279,17 @@ def q_nation_above_median_balance(sf_dir):
         cust.map_batches(hist_partial, batch_format="pyarrow",
                          batch_size=None),
         hist_combine,
-    ).to_pandas().sort_values("v")
+    ).to_pandas()
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    hist = ensure_cols(hist, ["v", "n"]).sort_values("v")
+    if not len(hist):  # empty-corpus guard
+        return pa.table({
+            "n_name": pa.array([], pa.string()),
+            "n_customers": pa.array([], pa.int64()),
+            "n_above": pa.array([], pa.int64()),
+            "share_ppm": pa.array([], pa.int64()),
+        })
     v = hist["v"].to_numpy(dtype=np.int64)
     cum = np.cumsum(hist["n"].to_numpy(dtype=np.int64))
     total = int(cum[-1])

@@ -317,7 +317,11 @@ def q_vocab_entropy_per_source(sf_dir):
     m = tree_merge(
         vocab.map_batches(fold, batch_format="pyarrow", batch_size=None),
         fold_combine,
-    ).to_pandas().sort_values("source", ignore_index=True)
+    ).to_pandas()
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    m = ensure_cols(m, ["source"]).sort_values(
+        "source", ignore_index=True)
 
     if not len(m):
         return pa.table(

@@ -13,6 +13,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from mimirsbrunn_ray.stages.broadcast import scalar0 as _scalar0
 from mimirsbrunn_ray.stages.broadcast import safe_join as _safe_join
 
 from mimirsbrunn_ray.stages.rollup import tree_merge
@@ -237,7 +238,7 @@ def q_part_order_coverage(sf_dir):
         tree_merge(
             ded.map_batches(cnt, batch_format="pyarrow", batch_size=None),
             fold,
-        ).to_pandas()["n"][0]
+        ).to_pandas().pipe(_scalar0, "n")
     )
     return pa.table(
         {

@@ -127,9 +127,11 @@ def q_name_format_audit(sf_dir):
                            batch_size=None),
             fold,
         ).to_pandas()
+        from mimirsbrunn_ray.stages.broadcast import scalar0
+
         rows["table_name"].append(table)
-        rows["n_rows"].append(int(out["n_rows"][0]))
-        rows["n_conforming"].append(int(out["n_conforming"][0]))
+        rows["n_rows"].append(int(scalar0(out, "n_rows")))
+        rows["n_conforming"].append(int(scalar0(out, "n_conforming")))
     return pa.table(
         {
             "table_name": pa.array(rows["table_name"], pa.string()),

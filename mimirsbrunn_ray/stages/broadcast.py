@@ -404,3 +404,11 @@ def ensure_cols(df, cols: list[str]):
     if all(c in df.columns for c in cols):
         return df
     return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+
+
+def scalar0(df, col: str, default=0):
+    """First value of a 1-row reduced pull, or ``default`` when the
+    empty-corpus short-circuit returned no rows / no columns."""
+    if col in df.columns and len(df):
+        return df[col][0]
+    return default
