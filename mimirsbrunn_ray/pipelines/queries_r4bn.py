@@ -166,7 +166,11 @@ def q_length_vocab_slope_sign(sf_dir):
         docs.map_batches(partial, batch_format="pyarrow",
                          batch_size=None),
         combine,
-    ).to_pandas().sort_values("source", ignore_index=True)
+    ).to_pandas()
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    m = ensure_cols(m, ["source", "n", "sx", "sy", "sxy"]).sort_values(
+        "source", ignore_index=True)
 
     if not len(m):
         return pa.table(

@@ -110,13 +110,15 @@ def q_user_rtm_correlation(sf_dir):
             }
         )
 
+    from mimirsbrunn_ray.stages.broadcast import scalar0
+
     m = tree_merge(partials, combine).to_pandas()
-    n = int(m["n"][0])
-    sx = int(m["sx"][0])
-    sy = int(m["sy"][0])
-    sxx = int(m["sxx"][0])
-    syy = int(m["syy"][0])
-    sxy = int(m["sxy"][0])
+    n = int(scalar0(m, "n"))
+    sx = int(scalar0(m, "sx"))
+    sy = int(scalar0(m, "sy"))
+    sxx = int(scalar0(m, "sxx"))
+    syy = int(scalar0(m, "syy"))
+    sxy = int(scalar0(m, "sxy"))
     num = n * sxy - sx * sy
     d1 = n * sxx - sx * sx
     d2 = n * syy - sy * sy

@@ -113,7 +113,7 @@ def q_full_coverage_users(sf_dir):
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
     n_types = len(
-        [t for t in ev.unique("event_type") if t is not None]
+        [t for t in (ev.unique("event_type") or []) if t is not None]
     )
 
     def project(b: pa.Table) -> pa.Table:

@@ -65,7 +65,10 @@ def q_hubness_embeddings(sf_dir):
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    all_tbl = emb.to_pandas().sort_values("vec_id", ignore_index=True)
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    all_tbl = ensure_cols(emb.to_pandas(), ["vec_id", "embedding"])
+    all_tbl = all_tbl.sort_values("vec_id", ignore_index=True)
     cols = ["n", "k", "max_o", "n_antihubs", "n_hubs_2k", "skew_x1e6"]
     if len(all_tbl) < 7:
         return pa.table({c: pa.array([], pa.int64()) for c in cols})
@@ -335,6 +338,10 @@ def q_range_partition_plan(sf_dir):
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
     qs = tuple(k / 16.0 for k in range(1, 16))
     bounds = exact_continuous_quantile(ev, val_fn=lambda b: b["value"], qs=qs)
+    if any(x is None for x in bounds):  # empty-corpus guard
+        return pa.table({"part_id": pa.array([], pa.int64()),
+                         "lo_value": pa.array([], pa.float64()),
+                         "n_rows": pa.array([], pa.int64())})
     barr = np.asarray(bounds, dtype=np.float64)
     import ray
 

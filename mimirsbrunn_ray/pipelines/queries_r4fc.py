@@ -66,11 +66,15 @@ def _daily_purchase_counts(sf_dir) -> pd.DataFrame:
         g = b.group_by(["d"]).aggregate([("n", "sum"), ("x", "sum")])
         return g.rename_columns(["d", "n", "x"])
 
-    return tree_merge(
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    out = tree_merge(
         ev.map_batches(partial, batch_format="pyarrow",
                        batch_size=None),
         combine,
-    ).to_pandas().sort_values("d", ignore_index=True)
+    ).to_pandas()
+    return ensure_cols(out, ["d", "n", "x"]).sort_values(
+        "d", ignore_index=True)
 
 
 def q_sprt_purchase_drift(sf_dir):
@@ -182,7 +186,11 @@ def q_systematic_sampling_audit(sf_dir):
         ev.map_batches(partial, batch_format="pyarrow",
                        batch_size=None),
         combine,
-    ).to_pandas().sort_values("k", ignore_index=True)
+    ).to_pandas()
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    out = ensure_cols(out, ["k", "n", "s", "fn", "fs"]).sort_values(
+        "k", ignore_index=True)
     est = [
         None if n == 0 else _round_half_away(float(s) / n)
         for s, n in zip(out["s"], out["n"])

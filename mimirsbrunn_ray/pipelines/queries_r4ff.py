@@ -356,7 +356,11 @@ def q_shannon_code_length(sf_dir):
         ev.map_batches(partial, batch_format="pyarrow",
                        batch_size=None),
         combine,
-    ).to_pandas().sort_values("event_type", ignore_index=True)
+    ).to_pandas()
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    per = ensure_cols(per, ["event_type", "c"]).sort_values(
+        "event_type", ignore_index=True)
     total = int(per["c"].sum()) if len(per) else 0
     bits = [
         int(np.ceil(np.log2(total / float(c)))) if c else None
