@@ -52,6 +52,9 @@ def q_diversified_topk_docs(sf_dir):
         docs, ["lang"], "n_chars", _DIV_QUOTA,
         descending=True, tiebreak_cols=("doc_id",),
     ).to_pandas()  # bounded: quota x languages
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    per_lang = ensure_cols(per_lang, ["doc_id", "lang", "n_chars"])
     per_lang = per_lang.sort_values(
         ["n_chars", "doc_id"], ascending=[False, True], ignore_index=True
     ).head(_DIV_K)

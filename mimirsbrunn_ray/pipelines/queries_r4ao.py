@@ -165,11 +165,14 @@ def q_bm25_search_docs(sf_dir):
                          batch_size=None),
         stats_combine,
     ).to_pandas()
-    n_docs = int(st["n_docs"][0])
-    avglen = float(st["sum_len"][0]) / n_docs if n_docs else 1.0
+    from mimirsbrunn_ray.stages.broadcast import scalar0
+
+    n_docs = int(scalar0(st, "n_docs"))
+    avglen = (float(scalar0(st, "sum_len")) / n_docs
+              if n_docs else 1.0)
     idf = {
-        t: float(np.log((n_docs - int(st[f"df_{t}"][0]) + 0.5)
-                        / (int(st[f"df_{t}"][0]) + 0.5)))
+        t: float(np.log((n_docs - int(scalar0(st, f"df_{t}")) + 0.5)
+                        / (int(scalar0(st, f"df_{t}")) + 0.5)))
         for t in terms
     }
     k1, bb = _BM25_K1, _BM25_B

@@ -336,7 +336,11 @@ def q_twonn_intrinsic_dim(sf_dir):
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding", "label"],
     )
-    all_tbl = emb.to_pandas().sort_values("vec_id", ignore_index=True)
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    all_tbl = ensure_cols(
+        emb.to_pandas(), ["vec_id", "embedding", "label"]).sort_values(
+        "vec_id", ignore_index=True)
     if not len(all_tbl):
         return pa.table(
             {

@@ -86,6 +86,9 @@ def q_shapley_attribution(sf_dir):
         .aggregate([("c", "sum")])
         .rename_columns(["event_type", "c"]),
     ).to_pandas()
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    chan_tbl = ensure_cols(chan_tbl, ["event_type", "c"])
     channels = sorted(
         t for t in chan_tbl["event_type"].tolist() if t != "purchase"
     )

@@ -88,6 +88,9 @@ def q_rendezvous_hash_balance(sf_dir):
                           batch_size=None),
         combine,
     ).to_pandas()
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    hist = ensure_cols(hist, ["node", "n_keys"])
     hist = hist.sort_values("node", ignore_index=True)
     total = int(hist["n_keys"].sum()) if len(hist) else 0
     share = (
@@ -210,6 +213,9 @@ def q_reshard_move_counts(sf_dir):
                           batch_size=None),
         combine,
     ).to_pandas()
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    out = ensure_cols(out, ["strategy", "n_keys", "n_moved"])
     out = out.sort_values("strategy", ignore_index=True)
     ppm = np.array(
         [
@@ -333,6 +339,9 @@ def q_bootstrap_mean_ci_value(sf_dir):
                        batch_size=None),
         combine,
     ).to_pandas()
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    reps = ensure_cols(reps, ["b", "s", "n"])
     reps = reps[reps["n"] > 0]
     if len(reps) == 0:
         return pa.table(

@@ -289,6 +289,9 @@ def q_boilerplate_sentence_share(sf_dir):
                            batch_size=None),
         fold,
     ).to_pandas()
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    out = ensure_cols(out, ["source", "n_occ", "dup_occ"])
     out = out.sort_values("source", ignore_index=True)
     ppm = np.array(
         [

@@ -317,6 +317,9 @@ def q_partition_union_reconciliation(sf_dir):
                        batch_size=None),
         combine,
     ).to_pandas()
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    per = ensure_cols(per, ["event_type", "slice", "n", "sum_x100"])
     per = per.sort_values(["event_type", "slice"],
                           ignore_index=True)
     tot = per.groupby("event_type", sort=False).agg(
@@ -333,6 +336,7 @@ def q_partition_union_reconciliation(sf_dir):
             batch_size=None,
         )
         .to_pandas()
+        .pipe(ensure_cols, ["event_type", "n", "sum_x100"])
         .groupby("event_type")
         .agg(fn=("n", "sum"), fs=("sum_x100", "sum"))
     )

@@ -88,13 +88,18 @@ def _rollup(sf_dir, unit_us: int) -> pd.DataFrame:
             ["event_type", "bk", "c", "s", "lo", "hi"]
         )
 
-    return tree_merge(
-        ev.map_batches(partial, batch_format="pyarrow",
-                       batch_size=None),
-        combine,
-        final_shards=8,
-        shard_cols=["event_type", "bk"],
-    ).to_pandas()
+    from mimirsbrunn_ray.stages.broadcast import ensure_cols
+
+    return ensure_cols(
+        tree_merge(
+            ev.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None),
+            combine,
+            final_shards=8,
+            shard_cols=["event_type", "bk"],
+        ).to_pandas(),
+        ["event_type", "bk", "c", "s", "lo", "hi"],
+    )
 
 
 def q_tier_rollup_commutativity(sf_dir):
