@@ -209,17 +209,49 @@ def run_tiering_job(
                 dup_hashes=dup_keys,
             )
         else:
-            ds = validated(ds, counters=counters,
-                           quarantine_dir=quarantine_dir)
-            if dim_table is not None:
-                ds = enriched(ds, build_dim_ref(dim_table))
-            ds = dedup_exact(
-                ds, key="doc_id", num_buckets=dedup_buckets,
-                counters=counters,
-                # the dup scan already ran (pass 0): prune the exchange
-                # to rows of duplicated keys — winner unchanged
-                dup_hashes=dup_keys,
-            )
+            # untrusted duplicates: split at the READ on dup-scan
+            # membership, so the deterministic keep-first exchange ships
+            # only duplicate-key rows (~the corpus duplicate rate) and
+            # the provably-unique majority streams through untouched.
+            # Branches are row-disjoint (one logical pass total; the
+            # second parquet read rides the page cache), and splitting
+            # BEFORE validate/enrich avoids materializing the enriched
+            # corpus (a 1-CPU 16M-row run measured spill-bound there).
+            import numpy as _np
+            import pyarrow as _pa
+            import ray as _ray
+
+            from mimirsbrunn_ray.stages.dedup import _hash64
+
+            dup_ref = _ray.put(_np.sort(
+                _np.asarray(dup_keys, dtype=_np.int64)))
+
+            def _split(b, want_suspect):
+                dup = _ray.get(dup_ref)
+                h = _hash64(b["doc_id"]).view(_np.int64)
+                if len(dup) == 0:
+                    member = _np.zeros(len(h), dtype=bool)
+                else:
+                    idx = _np.clip(_np.searchsorted(dup, h), 0,
+                                   len(dup) - 1)
+                    member = dup[idx] == h
+                return b.filter(
+                    _pa.array(member if want_suspect else ~member))
+
+            def _branch(want_suspect):
+                d = read_sequences(input_paths).map_batches(
+                    lambda b, _w=want_suspect: _split(b, _w),
+                    batch_format="pyarrow", batch_size=None)
+                d = validated(d, counters=counters,
+                              quarantine_dir=quarantine_dir)
+                if dim_table is not None:
+                    d = enriched(d, build_dim_ref(dim_table))
+                return d
+
+            suspects = dedup_exact(
+                _branch(True), key="doc_id",
+                num_buckets=dedup_buckets, counters=counters)
+            ds = _branch(False).union(suspects)
         run_dir = store.publish(
             ds,
             "raw",
