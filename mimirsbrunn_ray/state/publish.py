@@ -109,12 +109,19 @@ class TierStore:
         append_segment: bool = False,
         allow_overwrite_live: bool = False,
         codec: str = "zstd",
+        extra_ds_fn=None,
     ) -> str:
         """Write ds -> run dir, commit manifest, swap LATEST atomically.
 
         ``counters`` may be a plain dict or a CounterActor handle; a handle
         is read AFTER the write completes (the dataset is lazy — counts only
         exist once every stage has run).
+
+        ``extra_ds_fn``: evaluated AFTER the main write and before the
+        manifest commit; a returned Dataset is written into the SAME run
+        dir (used by the untrusted-dedup spill: the winners of the
+        duplicate-key side channel join the tier atomically — readers
+        still only ever see the committed whole).
         """
         from mimirsbrunn_ray.state.metrics import ErrorBudgetExceeded, totals
 
@@ -140,6 +147,10 @@ class TierStore:
         # and keep zstd (default) for cold/long-retention tiers, the
         # classic hot/cold TSDB block compression split
         ds.write_parquet(run_dir, compression=codec, **kwargs)
+        if extra_ds_fn is not None:
+            extra = extra_ds_fn()
+            if extra is not None:
+                extra.write_parquet(run_dir, compression=codec, **kwargs)
         if os.environ.get("GRAFT_SIGKILL_BEFORE_COMMIT") == tier:
             # crash-injection hook (tests/test_kill9_resume.py): a REAL
             # SIGKILL between the data write and the manifest/LATEST
