@@ -149,9 +149,13 @@ def scan_duplicate_keys(
 
     files = _expand(paths)
     if all(detect_format(f)[0] == "parquet" for f in files):
-        # the key column is ~2% of row bytes -> proportionally fewer blocks
-        nb = num_blocks_for(files, target_bytes=2 << 30)
-        ds = rd.read_parquet(files, columns=[key], override_num_blocks=nb)
+        # one block per input file: the key column is tiny, but a single
+        # coalesced block would make the scan+hash SERIAL (measured 9s of
+        # the 4-CPU leg's floor at 16M keys); per-file blocks let the
+        # partial hashing ride every core while staying <= n_files
+        # (round-4 learning: never split files)
+        ds = rd.read_parquet(files, columns=[key],
+                             override_num_blocks=len(files))
     else:
         # CSV/JSONL drops: same key-only projection via the format reader
         ds = read_table(files, columns=[key])
